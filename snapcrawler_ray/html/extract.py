@@ -1,0 +1,204 @@
+"""Reference-faithful page extraction (the per-row invariant).
+
+Reimplements — from observed behavior, not code — the reference
+extractor semantics:
+
+- ``extract_images``   ⇔ crawling_module.py:264-318
+- ``is_image_page_url``⇔ crawling_module.py:320-331
+- ``extract_links``    ⇔ crawling_module.py:343-360
+- ``is_valid_image_url``⇔ crawling_module.py:362-422
+- page MD5             ⇔ crawling_module.py:228 (md5 of decoded text)
+
+Canonicalization note: the reference ends ``extract_images`` with
+``list(set(images))`` whose iteration order depends on the hash seed.
+We emit **sorted unique** image URLs — a pure function of the input —
+and conformance tests compare as sets (SURVEY.md §5.1).  Link and
+image-page candidates are returned in document order *with duplicates*;
+the reference dedups them at enqueue time against the visited dict, so
+that responsibility moves to the frontier/replay stage here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from urllib.parse import urljoin, urlparse
+
+from .parser import Node, parse_html
+
+IMAGE_EXTENSIONS = (
+    ".jpg", ".jpeg", ".png", ".gif", ".webp", ".svg", ".bmp", ".tiff", ".ico",
+)
+_EXCLUDE_PATTERNS = (".css", ".js", ".html", ".php", ".xml", ".json")
+_CSS_URL_RE = re.compile(r'url\(["\']?([^"\']+)["\']?\)')
+_THUMB_PX_RE = re.compile(r"/(\d+)px-")
+_IMAGE_PAGE_PATTERNS = (
+    "/image/", "/photo/", "/picture/", "/img/", "/gallery/",
+    "image_id=", "photo_id=", "picture_id=",
+)
+
+
+def is_valid_image_url(url: str, min_commons_thumb_px: int | None = None) -> bool:
+    """Does ``url`` point at an image file (Wikimedia special rules)?
+
+    ``min_commons_thumb_px`` is the already-resolved threshold
+    (reference fallback chain crawling.min_commons_thumb_px →
+    images.min_side_size → 300, crawling_module.py:386-401).
+    """
+    url_lower = url.lower()
+    parsed = urlparse(url)
+
+    if parsed.netloc.endswith("commons.wikimedia.org"):
+        path_lower = parsed.path.lower()
+        if path_lower.startswith("/wiki/file:"):
+            return False
+        if path_lower.startswith("/wiki/special:filepath/"):
+            return True
+
+    if parsed.netloc.endswith("upload.wikimedia.org"):
+        if url_lower.endswith(IMAGE_EXTENSIONS):
+            return True
+
+    if "commons.wikimedia.org" in url_lower and "/thumb/" in url_lower:
+        min_px = 300 if min_commons_thumb_px is None else int(min_commons_thumb_px)
+        m = _THUMB_PX_RE.search(url_lower)
+        if m:
+            if int(m.group(1)) < min_px:
+                return False
+        return True
+
+    if url_lower.endswith(IMAGE_EXTENSIONS):
+        return True
+
+    # Explicit non-image resources (always False afterwards anyway; kept
+    # for parity with the reference's structure).
+    if any(p in url_lower for p in _EXCLUDE_PATTERNS):
+        return False
+    return False
+
+
+def is_image_page_url(url: str, base_url: str) -> bool:
+    """Is ``url`` an image *page* (to cascade-crawl at the same depth)?"""
+    if "commons.wikimedia.org" in base_url:
+        return "/wiki/File:" in url or "/wiki/Category:" in url
+    low = url.lower()
+    return any(p in low for p in _IMAGE_PAGE_PATTERNS)
+
+
+def extract_images(
+    root: Node, base_url: str, min_commons_thumb_px: int | None = None
+) -> tuple[list[str], list[str]]:
+    """Returns ``(sorted unique image urls, image-page candidates)``.
+
+    Mirrors crawling_module.py:264-318 source-by-source:
+    (a) <img src|data-src|data-lazy-src>; (b) parent <a href> — image
+    URL or cascade image-page; (c) any [data-file-url]; (d) inline
+    style url(...); (e) <style> blocks url(...).
+    """
+    images: list[str] = []
+    image_pages: list[str] = []
+
+    for img in root.find_all("img"):
+        src = img.get("src") or img.get("data-src") or img.get("data-lazy-src")
+        if src:
+            absolute = urljoin(base_url, src)
+            if is_valid_image_url(absolute, min_commons_thumb_px):
+                images.append(absolute)
+        parent_a = img.find_parent("a")
+        if parent_a and parent_a.get("href"):
+            absolute_href = urljoin(base_url, parent_a.get("href"))
+            if is_valid_image_url(absolute_href, min_commons_thumb_px):
+                images.append(absolute_href)
+            elif is_image_page_url(absolute_href, base_url):
+                image_pages.append(absolute_href)
+
+    for element in root.find_all(attrs={"data-file-url": True}):
+        file_url = element.get("data-file-url")
+        if file_url:
+            absolute = urljoin(base_url, file_url)
+            if is_valid_image_url(absolute, min_commons_thumb_px):
+                images.append(absolute)
+
+    for element in root.find_all(style=True):
+        for u in _CSS_URL_RE.findall(element.get("style") or ""):
+            absolute = urljoin(base_url, u)
+            if is_valid_image_url(absolute, min_commons_thumb_px):
+                images.append(absolute)
+
+    for style_tag in root.find_all("style"):
+        s = style_tag.string
+        if s:
+            for u in _CSS_URL_RE.findall(s):
+                absolute = urljoin(base_url, u)
+                if is_valid_image_url(absolute, min_commons_thumb_px):
+                    images.append(absolute)
+
+    return sorted(set(images)), image_pages
+
+
+def extract_links(root: Node, base_url: str, allowed_domains: list[str]) -> list[str]:
+    """Document-order same-domain http(s) links (crawling_module.py:343-360).
+
+    The reference also drops already-visited links here; that check is a
+    frontier/seen-filter concern in this engine and happens downstream.
+    Duplicates are preserved (enqueue-time dedup keeps the first).
+    """
+    links: list[str] = []
+    allowed = set(allowed_domains)
+    for a_tag in root.find_all("a", href=True):
+        href = a_tag.get("href")
+        if href:
+            absolute = urljoin(base_url, href)
+            parsed = urlparse(absolute)
+            if parsed.netloc in allowed and parsed.scheme in ("http", "https"):
+                links.append(absolute)
+    return links
+
+
+def extract_text(root: Node) -> str:
+    """Canonical text extraction (the golden ``text`` column).
+
+    Deterministic pure function of the HTML bytes: document-order text
+    nodes excluding <script>/<style> subtrees, entity-decoded, each
+    stripped, empties dropped, joined with a single newline.  This is
+    the engine-wide definition of "extracted text" for the byte-identical
+    per-row invariant (BASELINE.json input_hint).
+    """
+    parts = []
+    for t in root.iter_text():
+        t = t.strip()
+        if t:
+            parts.append(t)
+    return "\n".join(parts)
+
+
+def page_md5(html: bytes | str) -> str:
+    """MD5 of the decoded page text (crawling_module.py:228 hashes
+    ``response.text`` — the *decoded* body re-encoded as UTF-8)."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    return hashlib.md5(html.encode("utf-8")).hexdigest()
+
+
+def extract_page(
+    html: bytes | str,
+    url: str,
+    allowed_domains: list[str],
+    min_commons_thumb_px: int | None = None,
+) -> dict:
+    """One-shot extraction for a page → plain-dict row.
+
+    Keys: image_urls (sorted unique), image_page_urls (doc order, dups),
+    links (doc order, dups), text, content_md5.
+    """
+    root = parse_html(html)
+    images, image_pages = extract_images(root, url, min_commons_thumb_px)
+    links = extract_links(root, url, allowed_domains)
+    return {
+        "url": url,
+        "image_urls": images,
+        "image_page_urls": image_pages,
+        "links": links,
+        "text": extract_text(root),
+        "content_md5": page_md5(html),
+    }

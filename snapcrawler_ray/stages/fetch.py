@@ -1,0 +1,168 @@
+"""Corpus-backed fetch: frontier ⋈ corpus hash join, pruned at the read.
+
+In this sandbox "HTTP GET page" (reference crawling_module.py:191-262)
+is a lookup of frontier URLs in the Common-Crawl-style corpus table.
+The corpus is Parquet partitioned by ``bucket = url_hash64(url) %
+corpus_buckets`` (sources/corpus.py), so a round's fetch:
+
+1. hashes the frontier once, computes the set of touched buckets,
+2. ``read_parquet`` of ONLY those bucket directories with
+   ``columns=['url','html']`` (column pruning — text/lang/warc_ts never
+   leave storage),
+3. ``map_batches(FetchJoin)`` filters each corpus block against the
+   broadcast frontier lookup (``ray.put`` once, read per actor in the
+   constructor — not re-shipped per batch) and attaches depth/seq.
+
+At 10^10-URL scale the broadcast side is the per-round *frontier*
+(bounded by politeness budget × hosts), not the corpus; if the frontier
+itself outgrows a broadcast, both sides are already hash-partitioned on
+``url_hash`` and the same join runs bucket-aligned (documented
+partitioning assumption, SURVEY.md §2.5).
+
+HTTP status simulation: found URLs return 200, with a deterministic
+hash-derived sprinkle of 503/429 first-attempts that succeed on retry
+(exercising the reference's retry budget {500,502,503,504,408,429}×3,
+settings.py:84-85, without changing crawl results).  URLs absent from
+the corpus are fetch misses (404-equivalent): the reference returns no
+images/links for them but still counts the request.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..hashing import url_hash64
+
+
+def touched_buckets(urls, n_buckets: int) -> list[int]:
+    h = url_hash64(urls)
+    return sorted(set((h % np.uint64(n_buckets)).astype(int).tolist()))
+
+
+def bucket_paths(corpus_dir: str, buckets: list[int]) -> list[str]:
+    paths = []
+    for b in buckets:
+        p = os.path.join(corpus_dir, f"bucket={b}")
+        if os.path.isdir(p):
+            paths.extend(
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
+            )
+    return paths
+
+
+def simulate_statuses(urls: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(final_status, attempts) per found url — deterministic in the url.
+
+    hash%97==0 → one 503 then 200; hash%101==0 → one 429 then 200;
+    otherwise clean 200.  Retries always succeed within the reference's
+    3-retry budget so extraction results are unaffected; politeness
+    actors still see the intermediate codes via ``attempt_codes``."""
+    h = url_hash64(urls)
+    attempts = np.ones(len(urls), dtype=np.int32)
+    first_code = np.full(len(urls), 200, dtype=np.int32)
+    m503 = (h % np.uint64(97)) == 0
+    m429 = (h % np.uint64(101)) == 0
+    attempts[m503 | m429] = 2
+    first_code[m503] = 503
+    first_code[m429] = 429
+    return first_code, attempts
+
+
+class FetchJoin:
+    """map_batches callable over corpus blocks: semi-join vs frontier.
+
+    ``frontier_ref`` is an ObjectRef to {url: (depth, seq)} placed with
+    ``ray.put`` — fetched once per actor in the constructor."""
+
+    def __init__(self, frontier_ref):
+        self.lookup: dict[str, tuple[int, int]] = ray.get(frontier_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        mask = np.fromiter((u in self.lookup for u in urls), dtype=bool, count=len(urls))
+        if not mask.any():
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "html": pa.array([], pa.binary()),
+                    "depth": pa.array([], pa.int32()),
+                    "seq": pa.array([], pa.int64()),
+                    "status": pa.array([], pa.int32()),
+                    "first_code": pa.array([], pa.int32()),
+                    "attempts": pa.array([], pa.int32()),
+                }
+            )
+        sub = batch.filter(pa.array(mask))
+        kept = [u for u, m in zip(urls, mask) if m]
+        depth = [self.lookup[u][0] for u in kept]
+        seq = [self.lookup[u][1] for u in kept]
+        first_code, attempts = simulate_statuses(kept)
+        return pa.table(
+            {
+                "url": sub.column("url"),
+                "html": sub.column("html"),
+                "depth": pa.array(depth, pa.int32()),
+                "seq": pa.array(seq, pa.int64()),
+                "status": pa.array(np.full(len(kept), 200, dtype=np.int32)),
+                "first_code": pa.array(first_code),
+                "attempts": pa.array(attempts),
+            }
+        )
+
+
+class FetchExtract(FetchJoin):
+    """Fused fetch-join + extraction stage: the html binary is parsed in
+    the same actor that joined it and never crosses a stage boundary
+    (big binary columns stay inside one map_batches, SURVEY.md §7.5
+    'Wide binary rows')."""
+
+    def __init__(self, frontier_ref, allowed_domains, min_commons_thumb_px=300):
+        super().__init__(frontier_ref)
+        from .extract_stage import ExtractPages
+
+        self.extract = ExtractPages(allowed_domains, min_commons_thumb_px)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        joined = super().__call__(batch)
+        return self.extract(joined)
+
+
+def fetch_extract_wave(
+    corpus_dir: str,
+    n_buckets: int,
+    wave: list[tuple[str, int, int]],
+    allowed_domains: list[str],
+    min_commons_thumb_px: int = 300,
+    concurrency=(1, 8),
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Fetch+extract a wave of (url, depth, seq): pruned bucket read →
+    fused semi-join + extraction actor pool.  Misses are simply absent
+    from the result (the caller diffs sets for miss accounting)."""
+    if not wave:
+        raise ValueError("empty wave")
+    urls = [w[0] for w in wave]
+    lookup = {u: (d, s) for u, d, s in wave}
+    paths = bucket_paths(corpus_dir, touched_buckets(urls, n_buckets))
+    if not paths:
+        return ray.data.from_items([])
+    ds = ray.data.read_parquet(paths, columns=["url", "html"])
+    frontier_ref = ray.put(lookup)
+    return ds.map_batches(
+        FetchExtract,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={
+            "frontier_ref": frontier_ref,
+            "allowed_domains": allowed_domains,
+            "min_commons_thumb_px": min_commons_thumb_px,
+        },
+    )

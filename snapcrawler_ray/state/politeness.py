@@ -1,0 +1,140 @@
+"""Per-host politeness scheduling (rebuild of T5/T6).
+
+The reference adapts a per-domain delay from response statuses
+(middlewares_advanced.py:348-422): 200 → ``max(base, cur×0.9)``;
+429 → ``min(max, cur×backoff)``; ≥500 → ``min(max, cur×1.5)``; other →
+unchanged; plus the parallel loop's unconditional ``request_delay``
+sleep (crawling_module.py:180-181).
+
+Here host state lives in a sharded actor pool (host routed by a stable
+hash), so any fetch task touching a host consults the single owner of
+that host's state.  In this corpus-backed sandbox nothing actually
+sleeps: ``schedule`` assigns *virtual* fetch timestamps spaced by the
+current per-host delay (recorded into metrics as the politeness-bound
+makespan), and ``report`` adapts delays from the statuses the fetch
+stage observed.  Heavy-hitter hosts (more than
+``heavy_hitter_threshold`` URLs in one round) are salted into
+``host#k`` splits by the caller for shuffle-balance, but the budget is
+still enforced by the single host owner (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..config import PolitenessConfig
+
+
+def host_shard(hosts, n_shards: int) -> np.ndarray:
+    arr = np.asarray(hosts, dtype=object)
+    return (pd.util.hash_array(arr, categorize=False) % np.uint64(n_shards)).astype(
+        np.int64
+    )
+
+
+@ray.remote(num_cpus=0)
+class PolitenessShard:
+    def __init__(self, cfg: PolitenessConfig):
+        self.cfg = cfg
+        # host -> [current_delay, next_free_virtual_ts]
+        self.state: dict[str, list[float]] = {}
+
+    def _st(self, host: str) -> list[float]:
+        if host not in self.state:
+            self.state[host] = [self.cfg.request_delay, 0.0]
+        return self.state[host]
+
+    def schedule(self, hosts: list[str], counts: list[int]) -> dict:
+        """Assign virtual fetch start times for ``counts[i]`` URLs on
+        ``hosts[i]``; returns per-host first offset + delay so the
+        caller can expand per-URL times vectorized."""
+        first_ts, delays = [], []
+        for h, c in zip(hosts, counts):
+            st = self._st(h)
+            delay, next_free = st
+            first_ts.append(next_free)
+            delays.append(delay)
+            st[1] = next_free + c * delay
+        return {"first_ts": first_ts, "delay": delays}
+
+    def report(self, hosts: list[str], statuses: list[np.ndarray]) -> None:
+        """Adapt per-host delay from observed HTTP statuses, in order."""
+        cfg = self.cfg
+        for h, st_arr in zip(hosts, statuses):
+            st = self._st(h)
+            delay = st[0]
+            for code in np.asarray(st_arr).tolist():
+                if code == 200:
+                    delay = max(cfg.request_delay, delay * cfg.success_decay)
+                elif code == 429:
+                    delay = min(cfg.max_delay, delay * cfg.backoff_factor)
+                elif code >= 500:
+                    delay = min(cfg.max_delay, delay * 1.5)
+            st[0] = delay
+
+    def snapshot(self) -> dict:
+        return {h: list(v) for h, v in self.state.items()}
+
+    def dump(self) -> bytes:
+        return pickle.dumps(self.state)
+
+    def load(self, blob: bytes) -> None:
+        self.state = pickle.loads(blob)
+
+
+class PolitenessPool:
+    def __init__(self, cfg: PolitenessConfig, n_shards: int = 4):
+        self.cfg = cfg
+        self.n_shards = n_shards
+        self.shards = [PolitenessShard.remote(cfg) for _ in range(n_shards)]
+
+    def schedule_hosts(self, hosts: list[str], counts: list[int]) -> dict[str, tuple[float, float]]:
+        """-> {host: (first_virtual_ts, per_url_delay)}"""
+        if not hosts:
+            return {}
+        shard_of = host_shard(hosts, self.n_shards)
+        refs, keys = [], []
+        for s in range(self.n_shards):
+            hs = [h for h, sh in zip(hosts, shard_of) if sh == s]
+            cs = [c for c, sh in zip(counts, shard_of) if sh == s]
+            if hs:
+                refs.append(self.shards[s].schedule.remote(hs, cs))
+                keys.append(hs)
+        out: dict[str, tuple[float, float]] = {}
+        for hs, res in zip(keys, ray.get(refs)):
+            for h, f, d in zip(hs, res["first_ts"], res["delay"]):
+                out[h] = (f, d)
+        return out
+
+    def report_hosts(self, hosts: list[str], statuses: list[np.ndarray]) -> None:
+        if not hosts:
+            return
+        shard_of = host_shard(hosts, self.n_shards)
+        refs = []
+        for s in range(self.n_shards):
+            hs = [h for h, sh in zip(hosts, shard_of) if sh == s]
+            ss = [st for st, sh in zip(statuses, shard_of) if sh == s]
+            if hs:
+                refs.append(self.shards[s].report.remote(hs, ss))
+        ray.get(refs)
+
+    def snapshot(self) -> dict:
+        out: dict = {}
+        for d in ray.get([s.snapshot.remote() for s in self.shards]):
+            out.update(d)
+        return out
+
+    def dump_all(self) -> list[bytes]:
+        return ray.get([s.dump.remote() for s in self.shards])
+
+    def load_all(self, blobs: list[bytes]) -> None:
+        ray.get([s.load.remote(b) for s, b in zip(self.shards, blobs)])
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

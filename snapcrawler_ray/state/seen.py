@@ -1,0 +1,194 @@
+"""Sharded URL-seen membership service (the rebuild of T2/T3/T4).
+
+The reference keeps URL-seen in a ``multiprocessing.Manager().dict``
+shared between two processes (parallel_manager.py:51,
+crawling_module.py:92-152); page-MD5 and pHash sets are plain
+process-local sets.  Here all three become **one actor-pool service**:
+N shard actors, key routed by ``url_hash64(key) % shards``, each shard
+holding either an exact Python-set (verification mode — byte-exact
+parity with the reference's membership semantics) or a Bloom filter
+(scale mode, ~12 bits/key for 10^10 keys sharded across the cluster).
+
+Callers batch keys per RPC (`check_and_add`) — one round trip per
+(batch × shard), never per key.  Shard contents are checkpointed per
+crawl round; the shard count is recorded in the checkpoint manifest so
+the ``url_hash → shard`` map survives resume (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import ray
+
+from ..hashing import url_hash64
+from .bloom import BloomFilter
+
+
+@ray.remote(num_cpus=0)
+class SeenShard:
+    """One shard. Namespaces keep url-seen / page-md5 / phash separate
+    inside the same pool."""
+
+    def __init__(self, mode: str = "exact", bloom_capacity: int = 1_000_000,
+                 bloom_bits_per_key: int = 12):
+        self.mode = mode
+        self._sets: dict[str, set] = {}
+        self._blooms: dict[str, BloomFilter] = {}
+        self._bloom_capacity = bloom_capacity
+        self._bloom_bits = bloom_bits_per_key
+
+    def _ns_exact(self, ns: str) -> set:
+        if ns not in self._sets:
+            self._sets[ns] = set()
+        return self._sets[ns]
+
+    def _ns_bloom(self, ns: str) -> BloomFilter:
+        if ns not in self._blooms:
+            self._blooms[ns] = BloomFilter(self._bloom_capacity, self._bloom_bits)
+        return self._blooms[ns]
+
+    def check_and_add(self, ns: str, keys: np.ndarray) -> np.ndarray:
+        """Boolean mask: True where the key was new (first presentation)."""
+        if self.mode == "bloom":
+            return self._ns_bloom(ns).check_and_add(np.asarray(keys, dtype=np.uint64))
+        s = self._ns_exact(ns)
+        out = np.empty(len(keys), dtype=bool)
+        for i, k in enumerate(keys):
+            k = int(k)
+            if k in s:
+                out[i] = False
+            else:
+                s.add(k)
+                out[i] = True
+        return out
+
+    def add(self, ns: str, keys: np.ndarray) -> int:
+        if self.mode == "bloom":
+            self._ns_bloom(ns).add(np.asarray(keys, dtype=np.uint64))
+        else:
+            self._ns_exact(ns).update(int(k) for k in keys)
+        return len(keys)
+
+    def contains(self, ns: str, keys: np.ndarray) -> np.ndarray:
+        if self.mode == "bloom":
+            return self._ns_bloom(ns).contains(np.asarray(keys, dtype=np.uint64))
+        s = self._ns_exact(ns)
+        return np.fromiter((int(k) in s for k in keys), dtype=bool, count=len(keys))
+
+    def count(self, ns: str) -> int:
+        if self.mode == "bloom":
+            return self._ns_bloom(ns).approx_count if ns in self._blooms else 0
+        return len(self._sets.get(ns, ()))
+
+    def dump(self) -> bytes:
+        if self.mode == "bloom":
+            payload = {ns: bf.dump() for ns, bf in self._blooms.items()}
+        else:
+            payload = self._sets
+        return pickle.dumps({"mode": self.mode, "payload": payload})
+
+    def load(self, blob: bytes) -> None:
+        d = pickle.loads(blob)
+        self.mode = d["mode"]
+        if self.mode == "bloom":
+            self._blooms = {ns: BloomFilter.load(b) for ns, b in d["payload"].items()}
+        else:
+            self._sets = d["payload"]
+
+
+class SeenFilterPool:
+    """Driver/stage-side handle over the shard actors.
+
+    Routing is by ``url_hash64 % shards`` for string keys (or
+    ``key % shards`` for precomputed uint64 keys), so the same key
+    always lands on the same shard regardless of which task calls."""
+
+    def __init__(self, n_shards: int = 8, mode: str = "exact",
+                 bloom_capacity: int = 1_000_000, bloom_bits_per_key: int = 12):
+        self.n_shards = n_shards
+        self.mode = mode
+        self.shards = [
+            SeenShard.remote(mode, bloom_capacity, bloom_bits_per_key)
+            for _ in range(n_shards)
+        ]
+
+    def _route(self, keys: np.ndarray) -> np.ndarray:
+        return (keys % np.uint64(self.n_shards)).astype(np.int64)
+
+    def _as_hashes(self, keys) -> np.ndarray:
+        arr = np.asarray(keys)
+        if arr.dtype == np.uint64:
+            return arr
+        return url_hash64(arr)
+
+    def check_and_add(self, keys, ns: str = "url") -> np.ndarray:
+        """Vector first-seen mask, preserving input order.
+
+        Keys are hashed, grouped per shard, checked with one RPC per
+        shard (parallel), and the masks are scattered back."""
+        hashes = self._as_hashes(keys)
+        n = len(hashes)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        shard_of = self._route(hashes)
+        out = np.empty(n, dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.n_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx):
+                refs.append(self.shards[s].check_and_add.remote(ns, hashes[idx]))
+                idxs.append(idx)
+        for idx, mask in zip(idxs, ray.get(refs)):
+            out[idx] = mask
+        return out
+
+    def add(self, keys, ns: str = "url") -> None:
+        hashes = self._as_hashes(keys)
+        if len(hashes) == 0:
+            return
+        shard_of = self._route(hashes)
+        ray.get(
+            [
+                self.shards[s].add.remote(ns, hashes[shard_of == s])
+                for s in range(self.n_shards)
+                if (shard_of == s).any()
+            ]
+        )
+
+    def contains(self, keys, ns: str = "url") -> np.ndarray:
+        hashes = self._as_hashes(keys)
+        n = len(hashes)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        shard_of = self._route(hashes)
+        out = np.empty(n, dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.n_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx):
+                refs.append(self.shards[s].contains.remote(ns, hashes[idx]))
+                idxs.append(idx)
+        for idx, mask in zip(idxs, ray.get(refs)):
+            out[idx] = mask
+        return out
+
+    def count(self, ns: str = "url") -> int:
+        return int(sum(ray.get([s.count.remote(ns) for s in self.shards])))
+
+    def dump_all(self) -> list[bytes]:
+        return ray.get([s.dump.remote() for s in self.shards])
+
+    def load_all(self, blobs: list[bytes]) -> None:
+        if len(blobs) != self.n_shards:
+            raise ValueError(
+                f"checkpoint has {len(blobs)} shards, pool has {self.n_shards}; "
+                "the url_hash→shard map must be preserved across resume"
+            )
+        ray.get([s.load.remote(b) for s, b in zip(self.shards, blobs)])
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

@@ -1,0 +1,171 @@
+"""Crawl-ordering + URL-seen conformance (SURVEY.md §5.3) and resume
+determinism (§5.4)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from snapcrawler_ray.config import CrawlConfig, CrawlLimits
+from snapcrawler_ray.html.extract import extract_page
+from snapcrawler_ray.pipelines.crawl import CrawlEngine
+from snapcrawler_ray.pipelines.replay import replay_crawl
+from snapcrawler_ray.sources.corpus import seeds_for
+from snapcrawler_ray.urlnorm import hosts_of
+
+
+def _load_corpus_dict(path):
+    rows = {}
+    for name in sorted(os.listdir(path)):
+        if name.startswith("bucket="):
+            t = pq.read_table(os.path.join(path, name, "part-0.parquet"))
+            for u, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+                rows[u] = h
+    return rows
+
+
+def _oracle(corpus, seeds, max_depth, max_requests=0, thumb_px=400):
+    # thumb_px=400: the reference's fallback chain resolves
+    # min_commons_thumb_px → images.min_side_size (default 400) → 300
+    allowed = sorted({h for h in hosts_of(seeds) if h})
+
+    def get_page(url):
+        html = corpus.get(url)
+        if html is None:
+            return None
+        return extract_page(html, url, allowed, thumb_px)
+
+    return replay_crawl(seeds, get_page, max_depth=max_depth, max_requests=max_requests)
+
+
+@pytest.fixture(scope="module")
+def engine_result(small_corpus):
+    spec, path = small_corpus
+    seeds = seeds_for(spec, 4)
+    cfg = CrawlConfig(start_urls=tuple(seeds), limits=CrawlLimits(max_depth=3))
+    eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets, mode="exact")
+    try:
+        res = eng.run()
+    finally:
+        eng.shutdown()
+    corpus = _load_corpus_dict(path)
+    oracle = _oracle(corpus, seeds, max_depth=3)
+    return res, oracle
+
+
+def test_visit_order_matches_reference_semantics(engine_result):
+    res, oracle = engine_result
+    got = res.visits.to_pylist()
+    want = oracle.visits
+    assert len(got) > 20, "crawl should visit a meaningful number of pages"
+    assert [g["url"] for g in got] == [w["url"] for w in want]
+    assert [g["depth"] for g in got] == [w["depth"] for w in want]
+    assert [g["status"] for g in got] == [w["status"] for w in want]
+    assert [g["cascade"] for g in got] == [w["cascade"] for w in want]
+
+
+def test_seen_set_matches(engine_result):
+    res, oracle = engine_result
+    assert res.seen_urls == oracle.seen_urls()
+
+
+def test_image_emission_order_matches(engine_result):
+    res, oracle = engine_result
+    got = res.emissions.to_pylist()
+    want = oracle.image_emissions
+    assert len(got) == len(want) and len(got) > 10
+    assert [g["url"] for g in got] == [w["url"] for w in want]
+    assert [g["source_page"] for g in got] == [w["source_page"] for w in want]
+
+
+def test_crawl_has_cascades_and_dups(engine_result):
+    """The corpus must actually exercise cascade + MD5-dup paths."""
+    _, oracle = engine_result
+    statuses = {v["status"] for v in oracle.visits}
+    assert any(v["cascade"] for v in oracle.visits)
+    assert "dup" in statuses
+    assert "miss" in statuses or True  # misses possible but not required
+
+
+def test_max_requests_budget(small_corpus):
+    spec, path = small_corpus
+    seeds = seeds_for(spec, 4)
+    cfg = CrawlConfig(
+        start_urls=tuple(seeds),
+        limits=CrawlLimits(max_depth=3, max_requests=17),
+    )
+    eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets, mode="exact")
+    try:
+        res = eng.run()
+    finally:
+        eng.shutdown()
+    corpus = _load_corpus_dict(path)
+    oracle = _oracle(corpus, seeds, max_depth=3, max_requests=17)
+    assert res.visits.num_rows == len(oracle.visits) == 17
+    assert res.visits.to_pylist() == [
+        {**v} for v in _visits_dicts(oracle)
+    ]
+
+
+def _visits_dicts(trace):
+    return trace.visits
+
+
+def test_scale_mode_same_coverage(small_corpus):
+    """Scale mode (bloom seen, no replay) visits the same URL set at the
+    same depths; ordering is round-synchronous instead of serial."""
+    spec, path = small_corpus
+    seeds = seeds_for(spec, 4)
+    cfg = CrawlConfig(start_urls=tuple(seeds), limits=CrawlLimits(max_depth=3))
+    eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets, mode="scale")
+    try:
+        res = eng.run()
+    finally:
+        eng.shutdown()
+    corpus = _load_corpus_dict(path)
+    oracle = _oracle(corpus, seeds, max_depth=3)
+    ok_visits = {(v["url"], v["depth"]) for v in oracle.visits if v["status"] != "miss"}
+    got = {
+        (u, d)
+        for u, d in zip(
+            res.visits.column("url").to_pylist(),
+            res.visits.column("depth").to_pylist(),
+        )
+    }
+    assert got == ok_visits
+
+
+def test_resume_identical_output(small_corpus, tmp_path):
+    spec, path = small_corpus
+    seeds = seeds_for(spec, 4)
+    cfg = CrawlConfig(start_urls=tuple(seeds), limits=CrawlLimits(max_depth=3))
+    ck1 = str(tmp_path / "ck_full")
+    eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets, mode="exact",
+                      checkpoint_dir=ck1)
+    try:
+        full = eng.run()
+    finally:
+        eng.shutdown()
+
+    # interrupted run: re-run but stop after round 1 by truncating the
+    # engine loop via a copy of the checkpoint dir, then resume
+    ck2 = str(tmp_path / "ck_partial")
+    os.makedirs(ck2)
+    # copy only round=0 and round=1 checkpoints — as if killed mid-run
+    import shutil
+
+    for r in (0, 1):
+        src = os.path.join(ck1, f"round={r}")
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(ck2, f"round={r}"))
+
+    eng2 = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets, mode="exact",
+                       checkpoint_dir=ck2)
+    try:
+        resumed = eng2.run(resume=True)
+    finally:
+        eng2.shutdown()
+
+    assert resumed.visits.to_pylist() == full.visits.to_pylist()
+    assert resumed.emissions.to_pylist() == full.emissions.to_pylist()
+    assert resumed.seen_urls == full.seen_urls
