@@ -1,0 +1,163 @@
+"""The per-image filter chain F1–F9 (rebuild of
+filtering_module.py:267-466; normative order per SURVEY.md §2.3):
+
+SVG-convert → open/parse → size → format → DPI → color-mode →
+orientation → aspect-range → [pHash dedup: global, applied by the
+pipeline] → watermark.  First failure rejects and records the reason.
+
+Divergences adopted deliberately (SURVEY.md §7.5 'Reference
+self-divergence'): orientation synonyms 'vertical'/'horizontal' map to
+portrait/landscape (pipelines.py:190-207 behavior; filtering_module
+silently passes everything for those values); the banner/logo aspect
+filter (dead code in filtering_module, live in pipelines.py:240-252)
+runs only when ``allow_logos_banners`` is False, after watermark.
+
+Watermark detection is an MSER stand-in (no OpenCV here): the count of
+16×16 tiles whose local std exceeds a contrast threshold plays the role
+of the MSER region count vs ``sensitivity`` (filtering_module.py:442-457);
+errors pass, as in the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import ImageFilterConfig
+from . import formats as F
+from .phash import phash64
+from .svg import svg_to_png
+
+
+def detect_watermark_regions(pixels: np.ndarray) -> int:
+    """MSER-region-count stand-in: high-contrast 16×16 tile count."""
+    if pixels.ndim == 3:
+        g = pixels.mean(axis=2)
+    else:
+        g = pixels.astype(np.float64)
+    h, w = g.shape
+    th, tw = max(1, h // 16), max(1, w // 16)
+    g = g[: th * 16, : tw * 16]
+    if g.size == 0:
+        return 0
+    tiles = g.reshape(th, 16, tw, 16).transpose(0, 2, 1, 3).reshape(th * tw, 256)
+    return int((tiles.std(axis=1) > 60).sum())
+
+
+def _ext_of(url: str) -> str:
+    path = url.split("?", 1)[0].rsplit("/", 1)[-1]
+    return path.rsplit(".", 1)[-1].lower() if "." in path else ""
+
+
+def filter_image(
+    url: str, data: bytes, cfg: ImageFilterConfig
+) -> dict:
+    """Run the local (non-global) filters on one image.
+
+    Returns {reason, format, width, height, mode, aspect, phash,
+    watermark_regions}; ``reason == ''`` means the image passed F1–F6
+    and F8/F9 — pHash dedup (F7) is global and decided by the pipeline.
+    ``phash`` is only computed when it may be needed (dedup enabled and
+    local filters passed)."""
+    out = {
+        "reason": "",
+        "format": "",
+        "width": 0,
+        "height": 0,
+        "mode": "",
+        "aspect": 0.0,
+        "phash": 0,
+        "watermark_regions": 0,
+    }
+    ext = _ext_of(url)
+
+    # SVG conversion first (filtering_module.py:270-283); the converted
+    # file continues as PNG (path renamed .svg → .png in the reference).
+    if ext == "svg":
+        try:
+            data = svg_to_png(data)
+            ext = "png"
+        except Exception:
+            out["reason"] = "svg_convert"
+            return out
+
+    try:
+        info = F.parse_info(data, url)
+    except Exception:
+        out["reason"] = "error"
+        return out
+
+    w, h = info.width, info.height
+    aspect = w / h if h > 0 else 1.0
+    out.update(
+        format=info.format, width=w, height=h, mode=info.mode,
+        aspect=float(aspect),
+    )
+
+    # F1 size (filtering_module.py:362-368)
+    if cfg.min_side_size > 0 and min(w, h) < cfg.min_side_size:
+        out["reason"] = "size"
+        return out
+    # F2 format by file extension (filtering_module.py:370-376)
+    if cfg.formats and ext not in [f.lower() for f in cfg.formats]:
+        out["reason"] = "format"
+        return out
+    # F3 DPI — missing DPI passes (filtering_module.py:378-390)
+    if cfg.min_dpi > 0 and info.dpi is not None and min(info.dpi) < cfg.min_dpi:
+        out["reason"] = "dpi"
+        return out
+    # F4 color mode (filtering_module.py:392-402)
+    is_gray = info.mode == "L"
+    if cfg.color_mode == "color" and is_gray:
+        out["reason"] = "color"
+        return out
+    if cfg.color_mode == "bw" and not is_gray:
+        out["reason"] = "color"
+        return out
+    # F5 orientation, with synonym mapping (pipelines.py:190-207)
+    orient = {"vertical": "portrait", "horizontal": "landscape"}.get(
+        cfg.orientation, cfg.orientation
+    )
+    if orient == "landscape" and w < h:
+        out["reason"] = "orientation"
+        return out
+    if orient == "portrait" and h < w:
+        out["reason"] = "orientation"
+        return out
+    if orient == "square" and w != h:
+        out["reason"] = "orientation"
+        return out
+    # F6 aspect range (filtering_module.py:418-430)
+    if cfg.aspect_ratio_min > 0 and aspect < cfg.aspect_ratio_min:
+        out["reason"] = "aspect"
+        return out
+    if cfg.aspect_ratio_max > 0 and aspect > cfg.aspect_ratio_max:
+        out["reason"] = "aspect"
+        return out
+
+    # pixel-level work only for survivors
+    pixels = None
+    if cfg.deduplication or cfg.watermark_enabled or not cfg.allow_logos_banners:
+        if cfg.deduplication or cfg.watermark_enabled:
+            try:
+                pixels = F.decode_pixels(data, info, url)
+            except Exception:
+                pixels = None
+
+    # F7 phash value (membership decided globally by the pipeline)
+    if cfg.deduplication and pixels is not None:
+        out["phash"] = phash64(pixels)
+
+    # F8 watermark — errors pass (filtering_module.py:442-457)
+    if cfg.watermark_enabled and cfg.watermark_sensitivity > 0 and pixels is not None:
+        regions = detect_watermark_regions(pixels)
+        out["watermark_regions"] = regions
+        if regions > cfg.watermark_sensitivity:
+            out["reason"] = "watermark"
+            return out
+
+    # F9 banner/logo extreme aspect (pipelines.py:240-252)
+    if not cfg.allow_logos_banners and (aspect > 10 or aspect < 0.1):
+        out["reason"] = "banner"
+        return out
+
+    return out

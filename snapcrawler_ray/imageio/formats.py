@@ -40,19 +40,31 @@ class ImageInfo:
 
 
 def gen_pixels(seed: int, width: int, height: int, mode: str) -> np.ndarray:
-    """Deterministic pixel pattern from a seed — textured enough that
-    pHash distinguishes different seeds and matches equal ones."""
+    """Deterministic smooth low-frequency pattern from a seed: distinct
+    DCT signature per seed (pHash separates seeds, matches equal ones)
+    while staying locally smooth so clean images never trip the
+    watermark texture heuristic."""
     rng = np.random.RandomState(seed % (2**32))
-    base = rng.randint(0, 256, size=(8, 8)).astype(np.float64)
-    ys = (np.arange(height) * 8 // max(1, height)).clip(0, 7)
-    xs = (np.arange(width) * 8 // max(1, width)).clip(0, 7)
-    g = base[np.ix_(ys, xs)]
-    yy, xx = np.mgrid[0:height, 0:width]
-    g = (g + 40 * np.sin(xx / 7.0 + seed % 7) + 40 * np.cos(yy / 5.0)) % 256
-    g = g.astype(np.uint8)
+    fx, fy = rng.uniform(0.5, 3.0, 2)
+    px_, py_ = rng.uniform(0, 2 * np.pi, 2)
+    gx, gy = rng.uniform(-60, 60, 2)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+    u = xx / max(1, width)
+    v = yy / max(1, height)
+    g = (
+        127
+        + 55 * np.sin(2 * np.pi * fx * u + px_) * np.cos(2 * np.pi * fy * v + py_)
+        + gx * u
+        + gy * v
+    )
+    g = np.clip(g, 0, 255).astype(np.uint8)
     if mode == "L":
         return g
-    rgb = np.stack([g, np.roll(g, 3, axis=1), np.roll(g, 5, axis=0)], axis=-1)
+    rgb = np.stack(
+        [g, np.clip(g * 0.8 + 20, 0, 255).astype(np.uint8),
+         np.clip(255 - g * 0.5, 0, 255).astype(np.uint8)],
+        axis=-1,
+    )
     return rgb
 
 
