@@ -1,44 +1,237 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data rebuild of SnapCrawler.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship crawl+image pipeline over the synthetic
+Common-Crawl-style corpus (BASELINE.json input_hint) derived
+deterministically from (seed=42, sf).  ``queries()`` exposes one
+callable per implemented operator family (SURVEY.md §2 + the
+training-data operators); ``oracle_sql()`` gives DuckDB equivalents
+for every SQL-expressible one.  Ray is initialised by the driver —
+nothing here calls ray.init()/shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_CORPUS_CACHE_ROOT = "/tmp/snapray_corpus_cache"
+# sf → synthetic corpus page count (deterministic, seed=42)
+_SF_PAGES = {0.001: 300, 0.01: 2000, 0.1: 20000}
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+def _corpus_for(sf_dir: str):
+    from snapcrawler_ray.sources.corpus import CorpusSpec, generate_corpus
+
+    sf = _sf_of(sf_dir)
+    n = _SF_PAGES.get(sf, max(300, int(sf * 200_000)))
+    spec = CorpusSpec(seed=42, n_pages=n, n_hosts=20, buckets=32)
+    path = generate_corpus(_CORPUS_CACHE_ROOT, spec, use_ray=True)
+    return spec, path
+
+
+_CRAWL_CACHE: dict[str, Any] = {}
+
+
+def _run_crawl(sf_dir: str):
+    """Exact-mode crawl over the sf-scaled corpus (memoized per sf)."""
+    key = str(_sf_of(sf_dir))
+    if key in _CRAWL_CACHE:
+        return _CRAWL_CACHE[key]
+    from snapcrawler_ray.config import CrawlConfig, CrawlLimits, ImageFilterConfig
+    from snapcrawler_ray.pipelines.crawl import CrawlEngine
+    from snapcrawler_ray.sources.corpus import seeds_for
+
+    spec, path = _corpus_for(sf_dir)
+    seeds = seeds_for(spec)
+    cfg = CrawlConfig(
+        start_urls=tuple(seeds),
+        limits=CrawlLimits(max_depth=4),
+        images=ImageFilterConfig(
+            deduplication=True, watermark_enabled=True, watermark_sensitivity=15
+        ),
+    )
+    eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets, mode="exact")
+    try:
+        res = eng.run()
+    finally:
+        eng.shutdown()
+    _CRAWL_CACHE[key] = (res, cfg)
+    return res, cfg
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: crawl → image filter chain →
+    per-image verdict table (reason '' = accepted)."""
+    from snapcrawler_ray.pipelines.images import run_image_pipeline
 
+    res, cfg = _run_crawl("/root/testdata/sf0.001")
+    meta = run_image_pipeline(res.emissions, cfg.images)
+    return meta
+
+
+# --------------------------------------------------------------------
+# queries: one per operator; names must match oracle_sql keys
+# --------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from snapcrawler_ray.functions import dedup, relational, similarity, text
+    from snapcrawler_ray.pipelines.images import run_image_pipeline
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def crawl_visits(sf_dir: str):
+        res, _ = _run_crawl(sf_dir)
+        return res.visits
+
+    def crawl_emissions(sf_dir: str):
+        res, _ = _run_crawl(sf_dir)
+        return res.emissions
+
+    def crawl_image_verdicts(sf_dir: str):
+        res, cfg = _run_crawl(sf_dir)
+        meta = run_image_pipeline(res.emissions, cfg.images)
+        import pyarrow.compute as pc
+
+        t = meta.to_pandas().sort_values("emit_seq").reset_index(drop=True)
+        # uint64 phash → stable int64 view for the driver's hashing
+        t["phash"] = t["phash"].astype("uint64").astype("int64", errors="ignore")
+        return t
+
+    def crawl_seen_set(sf_dir: str):
+        import pandas as pd
+
+        res, _ = _run_crawl(sf_dir)
+        return pd.DataFrame({"url": res.seen_urls})
+
+    return {
+        # --- documents: text ops (SQL-oracled) ---
+        "docs_lang_filter": lambda d: text.lang_filter(d, "en"),
+        "docs_token_counts": text.token_counts,
+        "docs_quality": text.quality_scores,
+        "docs_exact_dedup": dedup.exact_dedup,
+        "docs_dedup_per_source": dedup.dedup_count_per_source,
+        "docs_source_stats": text.source_stats,
+        # --- documents: non-SQL ops (rows-only) ---
+        "docs_lang_id": text.lang_id,
+        "docs_fingerprints": text.fingerprints,
+        "docs_simhash": dedup.simhashes,
+        "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
+        # --- embeddings ---
+        "emb_knn": lambda d: similarity.knn_bruteforce(d, k=10, n_queries=5),
+        "emb_knn_lsh": lambda d: similarity.knn_lsh(d, k=10, n_queries=5),
+        "emb_near_dup": lambda d: dedup.embedding_near_dup_pairs(d),
+        # --- relational / events (SQL-oracled) ---
+        "q1_pricing": relational.q1_pricing,
+        "q3_top_orders": lambda d: relational.q3_top_orders(d),
+        "nation_revenue": relational.nation_revenue,
+        "events_hourly": relational.events_hourly,
+        "events_topk_users": lambda d: relational.events_topk_users(d),
+        "part_type_stats": relational.part_type_stats,
+        # --- crawl engine (rows-only; oracle is the replay simulator,
+        #     enforced in tests/test_crawl.py) ---
+        "crawl_visits": crawl_visits,
+        "crawl_emissions": crawl_emissions,
+        "crawl_image_verdicts": crawl_image_verdicts,
+        "crawl_seen_set": crawl_seen_set,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n_tokens = (
+        r"CASE WHEN trim(text) = '' THEN 0 "
+        r"ELSE length(regexp_split_to_array(trim(text), '\s+')) END"
+    )
+    return {
+        "docs_lang_filter": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE lang = 'en'"
+        ),
+        "docs_token_counts": (
+            f"SELECT doc_id, {n_tokens} AS n_tokens, "
+            "length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct "
+            "FROM documents"
+        ),
+        "docs_quality": (
+            "SELECT doc_id, round(0.5 * least(1.0, n_chars / 1000.0) + "
+            f"0.5 * least(1.0, ({n_tokens}) / 200.0), 4) AS quality "
+            "FROM documents"
+        ),
+        "docs_exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, md5(text) AS content_md5 "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "docs_dedup_per_source": (
+            "SELECT source, count(*) AS n_docs, "
+            "count(DISTINCT md5(text)) AS n_unique "
+            "FROM documents GROUP BY source"
+        ),
+        "docs_source_stats": (
+            "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "emb_knn": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings WHERE vec_id < 5) "
+            "SELECT query_id, rank, vec_id FROM ("
+            "SELECT q.query_id, e.vec_id, row_number() OVER ("
+            "PARTITION BY q.query_id "
+            "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id"
+            ") AS rank FROM embeddings e CROSS JOIN q) WHERE rank <= 10"
+        ),
+        "q1_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS sum_disc_price, "
+            "count(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q3_top_orders": (
+            "SELECT l_orderkey AS o_orderkey, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY l_orderkey "
+            "ORDER BY sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT))) DESC, l_orderkey "
+            "LIMIT 10"
+        ),
+        "nation_revenue": (
+            "SELECT n_name, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ),
+        "events_hourly": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "count(*) AS n, "
+            "sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_topk_users": (
+            "SELECT user_id, "
+            "sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value, "
+            "count(*) AS n_events "
+            "FROM events GROUP BY user_id "
+            "ORDER BY sum(CAST(round(value*100) AS BIGINT)) DESC, user_id "
+            "LIMIT 20"
+        ),
+        "part_type_stats": (
+            "SELECT p_type, count(*) AS n_parts, "
+            "sum(CAST(round(p_retailprice*100) AS BIGINT))/100.0 AS total_price "
+            "FROM part GROUP BY p_type"
+        ),
+    }

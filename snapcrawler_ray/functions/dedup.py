@@ -1,0 +1,307 @@
+"""Deduplication suite over the ``documents`` / ``embeddings`` tables.
+
+The scale patterns a 100-TB training-data pipeline needs, each as a
+Ray-Data pipeline with the shuffle happening on small derived keys
+(hashes / band buckets), never on the raw text:
+
+- exact: md5(text) → hash-partitioned groupby → keep min(doc_id)
+- MinHash+LSH: word-shingle minhash signatures (vectorized numpy) →
+  band buckets → groupby(bucket) candidate pairs → exact-Jaccard verify
+- SimHash: 64-bit weighted token hash
+- embedding near-dup: random-hyperplane LSH buckets → cosine verify
+
+All pure functions of (table, seed) — deterministic across runs/nodes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import ray
+
+_WS = re.compile(r"\s+")
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """doc_id, content_md5 of the kept (min doc_id per hash) docs."""
+
+    def add_md5(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "content_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in df["text"].fillna("")
+                ],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(add_md5, batch_format="pandas")
+    kept = ds.groupby("content_md5").min("doc_id")
+    return kept.map_batches(
+        lambda df: df.rename(columns={"min(doc_id)": "doc_id"})[
+            ["doc_id", "content_md5"]
+        ],
+        batch_format="pandas",
+    )
+
+
+def dedup_count_per_source(sf_dir: str) -> pd.DataFrame:
+    """source, n_docs, n_unique (distinct text hashes) — the per-source
+    dedup-rate view."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in df["text"].fillna("")
+        ]
+        return pd.DataFrame({"source": df["source"], "content_md5": h})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).map_batches(partial, batch_format="pandas")
+    df = ds.to_pandas()
+    out = df.groupby("source").agg(
+        n_docs=("content_md5", "size"), n_unique=("content_md5", "nunique")
+    ).reset_index()
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ------------------------------------------------------------- MinHash
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    toks = _WS.split(text.strip()) if text.strip() else []
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else [""]
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = np.frombuffer(
+            hashlib.md5(s.encode("utf-8")).digest()[:8], dtype=np.uint64
+        )[0]
+    return out
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    sh = _shingle_hashes(text).astype(np.object_)  # python ints: exact mod-p math
+    vals = np.array([int(x) for x in sh], dtype=object)
+    sig = np.empty(len(a), dtype=np.uint64)
+    for i in range(len(a)):
+        hv = (int(a[i]) * vals + int(b[i])) % _MERSENNE
+        sig[i] = np.uint64(min(hv))
+    return sig
+
+
+class MinHashStage:
+    """Actor-pool stage: permutation params built once per actor."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42):
+        self.a, self.b = _perm_params(num_perm, seed)
+        self.num_perm = num_perm
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = [
+            minhash_signature(t, self.a, self.b) for t in df["text"].fillna("")
+        ]
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "signature": [s.tolist() for s in sigs]}
+        )
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa = set(_shingle_hashes(text_a, k).tolist())
+    sb = set(_shingle_hashes(text_b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> pd.DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b, jaccard ≥ threshold).
+
+    shingle → minhash (actor pool) → band-bucket explode → groupby
+    bucket (the shuffle: tiny band-hash keys, not text) → candidate
+    pairs → exact-Jaccard verify on the candidates only."""
+    rows_per_band = num_perm // bands
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sigs = docs.map_batches(
+        MinHashStage,
+        batch_format="pandas",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"num_perm": num_perm},
+    )
+
+    def to_bands(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_key = [], []
+        for doc_id, sig in zip(df["doc_id"], df["signature"]):
+            s = np.asarray(sig, dtype=np.uint64)
+            for band in range(bands):
+                chunk = s[band * rows_per_band : (band + 1) * rows_per_band]
+                key = hashlib.md5(
+                    band.to_bytes(2, "big") + chunk.tobytes()
+                ).hexdigest()
+                out_doc.append(doc_id)
+                out_key.append(key)
+        return pd.DataFrame({"doc_id": out_doc, "bucket": out_key})
+
+    buckets = sigs.map_batches(to_bands, batch_format="pandas")
+
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(df["doc_id"].tolist()))
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
+
+    cand = (
+        buckets.groupby("bucket")
+        .map_groups(pairs_in_group, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if cand.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+
+    # verify candidates against exact jaccard (texts fetched once)
+    texts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    jac = [
+        jaccard(texts.get(a, ""), texts.get(b, ""))
+        for a, b in zip(cand["doc_a"], cand["doc_b"])
+    ]
+    cand = cand.assign(jaccard=np.round(jac, 4))
+    out = cand[cand["jaccard"] >= threshold].sort_values(
+        ["doc_a", "doc_b"]
+    ).reset_index(drop=True)
+    return out
+
+
+# ------------------------------------------------------------- SimHash
+
+def simhash64(text: str) -> int:
+    toks = _WS.split(text.strip()) if text.strip() else []
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in toks:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        bits = np.unpackbits(
+            np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
+        ).astype(np.int64)
+        acc += 2 * bits - 1
+    out = np.packbits((acc > 0).astype(np.uint8))
+    return int.from_bytes(out.tobytes(), "big")
+
+
+def simhashes(sf_dir: str) -> "ray.data.Dataset":
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "simhash": np.array(
+                    [simhash64(t) for t in df["text"].fillna("")],
+                    dtype=np.uint64,
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(f, batch_format="pandas")
+
+
+# ----------------------------------------------- embedding near-dup
+
+def embedding_near_dup_pairs(
+    sf_dir: str, threshold: float = 0.95, n_planes: int = 12, seed: int = 42
+) -> pd.DataFrame:
+    """(vec_a < vec_b, cosine ≥ threshold) via hyperplane-LSH buckets +
+    exact verify inside each bucket.  The bucket groupby is the only
+    shuffle; pair verification is a small numpy matmul per bucket."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    first = ds.take(1)[0]
+    dim = len(first["embedding"])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, n_planes)).astype(np.float64)
+    planes_ref = ray.put(planes)
+
+    class BucketStage:
+        def __init__(self, ref):
+            self.planes = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            bits = (m @ self.planes) > 0
+            keys = np.packbits(bits, axis=1)[:, :2]
+            bucket = (keys[:, 0].astype(np.int64) << 8) | keys[:, 1]
+            return pd.DataFrame(
+                {
+                    "vec_id": df["vec_id"],
+                    "bucket": bucket,
+                    "embedding": df["embedding"],
+                }
+            )
+
+    bucketed = ds.map_batches(
+        BucketStage, batch_format="pandas", concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": planes_ref},
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        ids = df["vec_id"].to_numpy()
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norm = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.clip(norm, 1e-12, None)
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(df), k=1)
+        mask = sims[ia, ib] >= threshold
+        a, b = ids[ia[mask]], ids[ib[mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "cosine": np.round(sims[ia, ib][mask], 4)}
+        )
+
+    out = (
+        bucketed.groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+    return (
+        out.drop_duplicates(subset=["vec_a", "vec_b"])
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,244 @@
+"""Relational pipelines over the TPC-H-ish testdata tables.
+
+These exercise the engine's join/aggregate/sort building blocks as
+idiomatic Ray Data: column-pruned reads, partial aggregation inside
+``map_batches`` before small groupbys, broadcast joins for dimension
+tables (``ray.put`` once, read in the actor constructor), and
+``Dataset.join`` hash joins for fact⋈fact.
+
+Money/value aggregates are computed in **integer cents** (inputs have
+2-decimal precision) so sums are exact and independent of accumulation
+order — the Ray result and the DuckDB oracle match bit-for-bit, which
+matters because the driver compares value hashes.  Column names match
+the oracles in __ray_entry__ exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(s: pd.Series) -> pd.Series:
+    return np.round(s * 100).astype("int64")
+
+
+def q1_pricing(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped pricing summary: partial per-batch aggregation
+    then a tiny final combine (no row-level shuffle at all)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qty_c = _cents(df["l_quantity"])
+        price_c = _cents(df["l_extendedprice"])
+        disc_c = _cents(df["l_discount"])
+        g = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "qty_c": qty_c,
+                "price_c": price_c,
+                # price_cents × (100 - disc_cents) → exact 1e-4 units
+                "disc_price_u": price_c * (100 - disc_c),
+                "one": 1,
+            }
+        )
+        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pandas")
+    df = (
+        ds.to_pandas()
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .sum()
+    )
+    out = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": df["qty_c"] / 100.0,
+            "sum_base_price": df["price_c"] / 100.0,
+            "sum_disc_price": df["disc_price_u"] / 10000.0,
+            "count_order": df["one"].astype("int64"),
+        }
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+class BroadcastFilterJoin:
+    """map_batches actor: inner-join a fact batch against a broadcast
+    dimension DataFrame (``ray.put`` once, fetched per actor)."""
+
+    def __init__(self, ref, key: str):
+        self.lookup: pd.DataFrame = ray.get(ref)
+        self.key = key
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(self.lookup, how="inner", on=self.key)
+
+
+def _revenue_units(df: pd.DataFrame) -> pd.Series:
+    return _cents(df["l_extendedprice"]) * (100 - _cents(df["l_discount"]))
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.DataFrame:
+    """Revenue per order for one market segment → deterministic top-k
+    (revenue desc, orderkey asc).  customer broadcast ⋈ orders, then
+    lineitem ⋈ orders hash join (Dataset.join)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust[cust["c_mktsegment"] == segment][["c_custkey"]]
+    cust_ref = ray.put(cust.rename(columns={"c_custkey": "o_custkey"}))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        BroadcastFilterJoin,
+        batch_format="pandas",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": cust_ref, "key": "o_custkey"},
+    )
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = line.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"], "rev_u": _revenue_units(df)}
+        ).groupby("l_orderkey", as_index=False).sum()
+
+    agg = joined.map_batches(rev, batch_format="pandas").to_pandas()
+    agg = agg.groupby("l_orderkey", as_index=False).sum()
+    agg["revenue"] = agg["rev_u"] / 10000.0
+    top = agg.sort_values(
+        ["rev_u", "l_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return top.rename(columns={"l_orderkey": "o_orderkey"})[
+        ["o_orderkey", "revenue"]
+    ].reset_index(drop=True)
+
+
+def nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue by customer nation: broadcast dims + fact⋈fact join."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.merge(
+        nation, how="inner", left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]]
+    cust_ref = ray.put(cust.rename(columns={"c_custkey": "o_custkey"}))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        BroadcastFilterJoin,
+        batch_format="pandas",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": cust_ref, "key": "o_custkey"},
+    )
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = line.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n_name": df["n_name"], "rev_u": _revenue_units(df)}
+        ).groupby("n_name", as_index=False).sum()
+
+    agg = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = agg.groupby("n_name", as_index=False).sum()
+    agg["revenue"] = agg["rev_u"] / 10000.0
+    return agg[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Hourly windowed aggregate per event type."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "hour": df["ts"].dt.floor("h"),
+                "event_type": df["event_type"],
+                "n": 1,
+                "value_c": _cents(df["value"]),
+            }
+        ).groupby(["hour", "event_type"], as_index=False).sum()
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["hour", "event_type"], as_index=False)
+        .sum()
+    )
+    agg["sum_value"] = agg["value_c"] / 100.0
+    agg["n"] = agg["n"].astype("int64")
+    return agg[["hour", "event_type", "n", "sum_value"]].sort_values(
+        ["hour", "event_type"]
+    ).reset_index(drop=True)
+
+
+def events_topk_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k users by total event value (sum desc, user_id asc)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"], "value_c": _cents(df["value"]), "n": 1}
+        ).groupby("user_id", as_index=False).sum()
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("user_id", as_index=False)
+        .sum()
+    )
+    top = agg.sort_values(
+        ["value_c", "user_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    out = pd.DataFrame(
+        {
+            "user_id": top["user_id"].astype("int64"),
+            "total_value": top["value_c"] / 100.0,
+            "n_events": top["n"].astype("int64"),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+def part_type_stats(sf_dir: str) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_type": df["p_type"],
+                "n_parts": 1,
+                "price_c": _cents(df["p_retailprice"]),
+            }
+        ).groupby("p_type", as_index=False).sum()
+
+    ds = _read(sf_dir, "part", ["p_type", "p_retailprice"])
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("p_type", as_index=False)
+        .sum()
+    )
+    out = pd.DataFrame(
+        {
+            "p_type": agg["p_type"],
+            "n_parts": agg["n_parts"].astype("int64"),
+            "total_price": agg["price_c"] / 100.0,
+        }
+    )
+    return out.sort_values("p_type").reset_index(drop=True)

@@ -1,0 +1,165 @@
+"""Similarity search over the ``embeddings`` table.
+
+- ``knn_bruteforce``: exact cosine top-k — query matrix broadcast once
+  with ``ray.put``, per-batch float64 matmul inside ``map_batches``,
+  per-batch local top-k, tiny driver-side merge.  The baseline.
+- ``knn_lsh``: hyperplane-bucketed approximate variant (the scale
+  path): only buckets within ``probe_bits`` Hamming distance of the
+  query's bucket are scanned.
+
+Ties break by ascending vec_id so results are deterministic and match
+the DuckDB oracle's ``ORDER BY sim DESC, vec_id`` exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mask = pc.less(t.column("vec_id"), n_queries)
+    t = t.filter(mask)
+    qids = t.column("vec_id").to_numpy()
+    qm = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    qm = qm / np.clip(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12, None)
+    order = np.argsort(qids)
+    return qids[order], qm[order]
+
+
+class TopKStage:
+    """Per-batch cosine vs the broadcast query matrix → local top-k."""
+
+    def __init__(self, q_ref, k: int):
+        self.qids, self.qm = ray.get(q_ref)
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+        sims = self.qm @ m.T  # (n_q, batch)
+        ids = df["vec_id"].to_numpy()
+        out = []
+        k = min(self.k, sims.shape[1])
+        for qi, qid in enumerate(self.qids):
+            row = sims[qi]
+            # partial top-k with (sim desc, vec_id asc) tie-break
+            idx = np.argsort(-row, kind="stable")[:k]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "vec_id": ids[idx],
+                        "sim": row[idx],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFrame:
+    """query_id, rank (1-based), vec_id — exact cosine top-k."""
+    q_ref = ray.put(_load_queries(sf_dir, n_queries))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    partial = ds.map_batches(
+        TopKStage,
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+    ).to_pandas()
+    # driver merge: tiny (n_queries × k × n_batches rows)
+    partial = partial.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    top = partial.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "vec_id"]].astype(
+        {"query_id": "int64", "rank": "int64", "vec_id": "int64"}
+    )
+
+
+def knn_lsh(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 5,
+    n_planes: int = 8,
+    probe_hamming: int = 4,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Approximate top-k: scan only rows whose hyperplane bucket is
+    within ``probe_hamming`` bits of the query bucket."""
+    qids, qm = _load_queries(sf_dir, n_queries)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    first = ds.take(1)[0]
+    dim = len(first["embedding"])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, n_planes))
+    qbits = (qm @ planes) > 0
+    shifts = np.arange(n_planes)
+    qbuckets = (qbits.astype(np.int64) << shifts).sum(axis=1)
+    ctx = ray.put((qids, qm, planes, qbuckets))
+
+    class ProbeStage:
+        def __init__(self, ref, k, probe):
+            self.qids, self.qm, self.planes, self.qbuckets = ray.get(ref)
+            self.k = k
+            self.probe = probe
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            mn = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+            bits = (mn @ self.planes) > 0
+            buckets = (bits.astype(np.int64) << np.arange(bits.shape[1])).sum(axis=1)
+            ids = df["vec_id"].to_numpy()
+            out = []
+            for qi, qid in enumerate(self.qids):
+                ham = np.bit_count(  # numpy>=2; fallback below
+                    np.bitwise_xor(buckets, self.qbuckets[qi])
+                ) if hasattr(np, "bit_count") else np.array([
+                    bin(x).count("1")
+                    for x in np.bitwise_xor(buckets, self.qbuckets[qi])
+                ])
+                cand = ham <= self.probe
+                if not cand.any():
+                    continue
+                sims = mn[cand] @ self.qm[qi]
+                cids = ids[cand]
+                idx = np.argsort(-sims, kind="stable")[: self.k]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "vec_id": cids[idx], "sim": sims[idx]}
+                    )
+                )
+            if not out:
+                return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+            return pd.concat(out, ignore_index=True)
+
+    partial = ds.map_batches(
+        ProbeStage,
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": ctx, "k": k, "probe": probe_hamming},
+    ).to_pandas()
+    partial = partial.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    top = partial.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "vec_id"]].astype(
+        {"query_id": "int64", "rank": "int64", "vec_id": "int64"}
+    )

@@ -1,0 +1,199 @@
+"""Image content analysis (rebuild of M20–M23,
+advanced_formats.py:215-374) in pure numpy — no OpenCV/sklearn here:
+
+- Laplacian variance (sharpness): 4-neighbor Laplacian kernel, same
+  formula ``min(var/1000, 1)`` as cv2.Laplacian.
+- Canny edge density stand-in: gradient-magnitude threshold fraction
+  (monotone proxy with the same role in the classifier thresholds).
+- KMeans palette: seeded Lloyd iterations in numpy (sklearn fallback in
+  the reference takes first-8; ours is a real clustering, deterministic
+  with random_state=42 semantics).
+
+Formulas/thresholds mirror the reference; emitted as an Arrow struct
+column by ``AnalyzeStage`` (ImageMetadata equivalent,
+advanced_formats.py:20-33).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_gray(px: np.ndarray) -> np.ndarray:
+    if px.ndim == 3:
+        return (
+            0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        ).astype(np.float64)
+    return px.astype(np.float64)
+
+
+def _laplacian_var(gray: np.ndarray) -> float:
+    if gray.shape[0] < 3 or gray.shape[1] < 3:
+        return 0.0
+    lap = (
+        -4 * gray[1:-1, 1:-1]
+        + gray[:-2, 1:-1]
+        + gray[2:, 1:-1]
+        + gray[1:-1, :-2]
+        + gray[1:-1, 2:]
+    )
+    return float(lap.var())
+
+
+def _resize_nn(px: np.ndarray, w: int, h: int) -> np.ndarray:
+    H, W = px.shape[:2]
+    ys = (np.arange(h) * H // h).clip(0, H - 1)
+    xs = (np.arange(w) * W // w).clip(0, W - 1)
+    return px[np.ix_(ys, xs)]
+
+
+def _edge_density(gray: np.ndarray, thresh: float = 50.0) -> float:
+    gx = np.abs(np.diff(gray, axis=1, prepend=gray[:, :1]))
+    gy = np.abs(np.diff(gray, axis=0, prepend=gray[:1, :]))
+    mag = np.hypot(gx, gy)
+    return float((mag > thresh).sum() / gray.size)
+
+
+def quality_score(px: np.ndarray) -> float:
+    """advanced_formats.py:215-252: 0.3·sharpness + 0.25·contrast +
+    0.2·brightness-centering + 0.25·color-diversity, capped 1.0."""
+    gray = _to_gray(px)
+    sharpness = min(_laplacian_var(gray) / 1000.0, 1.0)
+    contrast = float(gray.std() / 128.0)
+    brightness = float(gray.mean() / 255.0)
+    brightness_score = 1.0 - abs(brightness - 0.5) * 2
+    flat = px.reshape(-1, px.shape[-1]) if px.ndim == 3 else px.reshape(-1, 1)
+    unique_colors = len(np.unique(flat, axis=0))
+    max_colors = min(px.shape[0] * px.shape[1], 65536)
+    color_diversity = unique_colors / max_colors
+    q = sharpness * 0.3 + contrast * 0.25 + brightness_score * 0.2 + color_diversity * 0.25
+    return round(min(q, 1.0), 6)
+
+
+def _rgb_to_hex(rgb) -> str:
+    return f"#{int(rgb[0]):02x}{int(rgb[1]):02x}{int(rgb[2]):02x}"
+
+
+def _kmeans(colors: np.ndarray, n_clusters: int, seed: int = 42,
+            iters: int = 10) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    n_clusters = min(n_clusters, len(colors))
+    centers = colors[rng.choice(len(colors), n_clusters, replace=False)].astype(
+        np.float64
+    )
+    for _ in range(iters):
+        d = ((colors[:, None, :].astype(np.float64) - centers[None]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_clusters):
+            m = assign == c
+            if m.any():
+                centers[c] = colors[m].mean(0)
+    return centers.astype(int)
+
+
+def analyze_colors(px: np.ndarray) -> dict:
+    """advanced_formats.py:254-303: 100×100 downsample, top-5 dominant
+    hex + clustered ≤8 palette."""
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=-1)
+    small = _resize_nn(px[..., :3], 100, 100)
+    pixels = small.reshape(-1, 3)
+    unique_colors, counts = np.unique(pixels, axis=0, return_counts=True)
+    order = np.argsort(counts)[::-1]
+    dominant = unique_colors[order]
+    dominant_hex = [_rgb_to_hex(c) for c in dominant[:5]]
+    palette = _kmeans(dominant[:20], 8)
+    return {"dominant": dominant_hex, "palette": [_rgb_to_hex(c) for c in palette]}
+
+
+def classify_content_type(px: np.ndarray, width: int, height: int) -> str:
+    """advanced_formats.py:305-340 threshold tree."""
+    aspect_ratio = width / height if height else 1.0
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=-1)
+    small = _resize_nn(px[..., :3], 50, 50)
+    unique_colors = len(np.unique(small.reshape(-1, 3), axis=0))
+    color_diversity = unique_colors / (50 * 50)
+    gray = _to_gray(small)
+    edge_density = _edge_density(gray)
+    if edge_density > 0.3 and color_diversity < 0.1:
+        return "text"
+    if aspect_ratio > 2.0 or aspect_ratio < 0.5:
+        return "banner"
+    if min(width, height) < 100 and max(width, height) < 200:
+        return "icon"
+    if color_diversity < 0.2 and edge_density > 0.2:
+        return "logo"
+    if edge_density < 0.1 and color_diversity > 0.5:
+        return "photo"
+    return "illustration"
+
+
+def ai_tags(width: int, height: int, mode: str, content_type: str) -> list[str]:
+    """advanced_formats.py:342-374."""
+    tags = [content_type]
+    if width > 1920 or height > 1080:
+        tags.append("high_resolution")
+    elif width < 300 or height < 300:
+        tags.append("low_resolution")
+    else:
+        tags.append("medium_resolution")
+    if width > height * 1.3:
+        tags.append("landscape")
+    elif height > width * 1.3:
+        tags.append("portrait")
+    else:
+        tags.append("square")
+    if mode == "L":
+        tags.append("grayscale")
+    elif mode in ("RGBA", "LA"):
+        tags.append("transparent")
+    else:
+        tags.append("color")
+    return tags
+
+
+METADATA_TYPE = pa.struct(
+    [
+        ("quality_score", pa.float64()),
+        ("content_type", pa.string()),
+        ("dominant_colors", pa.list_(pa.string())),
+        ("color_palette", pa.list_(pa.string())),
+        ("ai_tags", pa.list_(pa.string())),
+    ]
+)
+
+
+class AnalyzeStage:
+    """map_batches stage: accepted-image rows (url[, bytes]) → +metadata
+    struct column (the ImageMetadata equivalent).  Bytes are decoded via
+    imageio.formats.decode_pixels; rows that fail decode get a null."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .formats import decode_pixels, parse_info
+        from .synth import synth_image_bytes
+
+        urls = batch.column("url").to_pylist()
+        have_bytes = "bytes" in batch.column_names
+        blobs = batch.column("bytes").to_pylist() if have_bytes else None
+        metas = []
+        for i, url in enumerate(urls):
+            data = blobs[i] if blobs else synth_image_bytes(url)[0]
+            try:
+                info = parse_info(data, url)
+                px = decode_pixels(data, info, url)
+                ct = classify_content_type(px, info.width, info.height)
+                colors = analyze_colors(px)
+                metas.append(
+                    {
+                        "quality_score": quality_score(px),
+                        "content_type": ct,
+                        "dominant_colors": colors["dominant"],
+                        "color_palette": colors["palette"],
+                        "ai_tags": ai_tags(info.width, info.height, info.mode, ct),
+                    }
+                )
+            except Exception:
+                metas.append(None)
+        return batch.append_column("metadata", pa.array(metas, METADATA_TYPE))

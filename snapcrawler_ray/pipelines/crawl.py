@@ -239,7 +239,6 @@ class CrawlEngine:
             wave,
             allowed_domains=self.allowed_domains,
             min_commons_thumb_px=self.cfg.resolved_thumb_px,
-            concurrency=(1, self.cfg.scale.fetch_concurrency),
             batch_size=self.cfg.scale.extract_batch_size,
         ).select_columns(META_COLS)
         tbl = _collect(ds)

@@ -9,9 +9,11 @@ corpus_buckets`` (sources/corpus.py), so a round's fetch:
 2. ``read_parquet`` of ONLY those bucket directories with
    ``columns=['url','html']`` (column pruning — text/lang/warc_ts never
    leave storage),
-3. ``map_batches(FetchJoin)`` filters each corpus block against the
-   broadcast frontier lookup (``ray.put`` once, read per actor in the
-   constructor — not re-shipped per batch) and attaches depth/seq.
+3. ``map_batches(fetch_extract)`` task pool filters each corpus block
+   against the broadcast frontier lookup (``ray.put`` once; worker
+   processes cache the deserialized dict per wave, not per batch) and
+   runs extraction in the same task, so the html binary never crosses
+   a stage boundary (SURVEY.md §7.5 'Wide binary rows').
 
 At 10^10-URL scale the broadcast side is the per-round *frontier*
 (bounded by politeness budget × hosts), not the corpus; if the frontier
@@ -33,7 +35,6 @@ import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 
 from ..hashing import url_hash64
@@ -58,12 +59,12 @@ def bucket_paths(corpus_dir: str, buckets: list[int]) -> list[str]:
 
 
 def simulate_statuses(urls: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """(final_status, attempts) per found url — deterministic in the url.
+    """(first_attempt_code, attempts) per found url — deterministic.
 
     hash%97==0 → one 503 then 200; hash%101==0 → one 429 then 200;
     otherwise clean 200.  Retries always succeed within the reference's
     3-retry budget so extraction results are unaffected; politeness
-    actors still see the intermediate codes via ``attempt_codes``."""
+    actors still see the intermediate codes."""
     h = url_hash64(urls)
     attempts = np.ones(len(urls), dtype=np.int32)
     first_code = np.full(len(urls), 200, dtype=np.int32)
@@ -75,63 +76,54 @@ def simulate_statuses(urls: list[str]) -> tuple[np.ndarray, np.ndarray]:
     return first_code, attempts
 
 
-class FetchJoin:
-    """map_batches callable over corpus blocks: semi-join vs frontier.
-
-    ``frontier_ref`` is an ObjectRef to {url: (depth, seq)} placed with
-    ``ray.put`` — fetched once per actor in the constructor."""
-
-    def __init__(self, frontier_ref):
-        self.lookup: dict[str, tuple[int, int]] = ray.get(frontier_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        mask = np.fromiter((u in self.lookup for u in urls), dtype=bool, count=len(urls))
-        if not mask.any():
-            return pa.table(
-                {
-                    "url": pa.array([], pa.string()),
-                    "html": pa.array([], pa.binary()),
-                    "depth": pa.array([], pa.int32()),
-                    "seq": pa.array([], pa.int64()),
-                    "status": pa.array([], pa.int32()),
-                    "first_code": pa.array([], pa.int32()),
-                    "attempts": pa.array([], pa.int32()),
-                }
-            )
-        sub = batch.filter(pa.array(mask))
-        kept = [u for u, m in zip(urls, mask) if m]
-        depth = [self.lookup[u][0] for u in kept]
-        seq = [self.lookup[u][1] for u in kept]
-        first_code, attempts = simulate_statuses(kept)
-        return pa.table(
-            {
-                "url": sub.column("url"),
-                "html": sub.column("html"),
-                "depth": pa.array(depth, pa.int32()),
-                "seq": pa.array(seq, pa.int64()),
-                "status": pa.array(np.full(len(kept), 200, dtype=np.int32)),
-                "first_code": pa.array(first_code),
-                "attempts": pa.array(attempts),
-            }
-        )
+_EMPTY_JOIN_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("html", pa.binary()),
+        ("depth", pa.int32()),
+        ("seq", pa.int64()),
+        ("status", pa.int32()),
+        ("first_code", pa.int32()),
+        ("attempts", pa.int32()),
+    ]
+)
 
 
-class FetchExtract(FetchJoin):
-    """Fused fetch-join + extraction stage: the html binary is parsed in
-    the same actor that joined it and never crosses a stage boundary
-    (big binary columns stay inside one map_batches, SURVEY.md §7.5
-    'Wide binary rows')."""
+def join_batch(lookup: dict, batch: pa.Table) -> pa.Table:
+    """Semi-join one corpus block against the frontier lookup."""
+    urls = batch.column("url").to_pylist()
+    mask = np.fromiter((u in lookup for u in urls), dtype=bool, count=len(urls))
+    if not mask.any():
+        return _EMPTY_JOIN_SCHEMA.empty_table()
+    sub = batch.filter(pa.array(mask))
+    kept = [u for u, m in zip(urls, mask) if m]
+    first_code, attempts = simulate_statuses(kept)
+    return pa.table(
+        {
+            "url": sub.column("url"),
+            "html": sub.column("html"),
+            "depth": pa.array([lookup[u][0] for u in kept], pa.int32()),
+            "seq": pa.array([lookup[u][1] for u in kept], pa.int64()),
+            "status": pa.array(np.full(len(kept), 200, dtype=np.int32)),
+            "first_code": pa.array(first_code),
+            "attempts": pa.array(attempts),
+        }
+    )
 
-    def __init__(self, frontier_ref, allowed_domains, min_commons_thumb_px=300):
-        super().__init__(frontier_ref)
-        from .extract_stage import ExtractPages
 
-        self.extract = ExtractPages(allowed_domains, min_commons_thumb_px)
+# Per-worker-process cache of broadcast frontier lookups: tasks on the
+# same worker deserialize the (potentially large) dict once per wave
+# instead of once per batch.
+_LOOKUP_CACHE: dict[str, dict] = {}
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        joined = super().__call__(batch)
-        return self.extract(joined)
+
+def _cached_lookup(ref) -> dict:
+    key = ref.hex()
+    if key not in _LOOKUP_CACHE:
+        if len(_LOOKUP_CACHE) > 4:
+            _LOOKUP_CACHE.clear()
+        _LOOKUP_CACHE[key] = ray.get(ref)
+    return _LOOKUP_CACHE[key]
 
 
 def fetch_extract_wave(
@@ -140,12 +132,12 @@ def fetch_extract_wave(
     wave: list[tuple[str, int, int]],
     allowed_domains: list[str],
     min_commons_thumb_px: int = 300,
-    concurrency=(1, 8),
     batch_size: int = 256,
 ) -> "ray.data.Dataset":
-    """Fetch+extract a wave of (url, depth, seq): pruned bucket read →
-    fused semi-join + extraction actor pool.  Misses are simply absent
-    from the result (the caller diffs sets for miss accounting)."""
+    """Fetch+extract a wave of (url, depth, seq) — see module docstring.
+    Misses are simply absent from the result."""
+    from .extract_stage import ExtractPages
+
     if not wave:
         raise ValueError("empty wave")
     urls = [w[0] for w in wave]
@@ -155,14 +147,11 @@ def fetch_extract_wave(
         return ray.data.from_items([])
     ds = ray.data.read_parquet(paths, columns=["url", "html"])
     frontier_ref = ray.put(lookup)
-    return ds.map_batches(
-        FetchExtract,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={
-            "frontier_ref": frontier_ref,
-            "allowed_domains": allowed_domains,
-            "min_commons_thumb_px": min_commons_thumb_px,
-        },
-    )
+    extractor = ExtractPages(allowed_domains, min_commons_thumb_px)
+
+    def fetch_extract(batch: pa.Table) -> pa.Table:
+        joined = join_batch(_cached_lookup(frontier_ref), batch)
+        return extractor(joined)
+
+    return ds.map_batches(fetch_extract, batch_format="pyarrow",
+                          batch_size=batch_size)

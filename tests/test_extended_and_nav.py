@@ -1,0 +1,165 @@
+"""Extended (spider-superset) extractor, sitemap source, navigation
+scoring, image content analysis."""
+
+import numpy as np
+
+from snapcrawler_ray.html.extended import (
+    extended_extract_from_html,
+    is_image_url_ext,
+    parse_srcset,
+)
+from snapcrawler_ray.html.navigation import (
+    analyze_link,
+    analyze_page,
+    detect_navigation_patterns,
+    prioritized_nav_links,
+)
+from snapcrawler_ray.html.parser import parse_html
+from snapcrawler_ray.imageio.analyze import (
+    ai_tags,
+    analyze_colors,
+    classify_content_type,
+    quality_score,
+)
+from snapcrawler_ray.imageio.formats import gen_pixels
+from snapcrawler_ray.sources.sitemap import (
+    discover_sitemaps,
+    parse_robots_txt,
+    parse_sitemap,
+    sitemap_frontier_rows,
+)
+
+
+def test_parse_srcset():
+    assert parse_srcset("a.jpg 1x, b.jpg 2x") == ["a.jpg", "b.jpg"]
+    assert parse_srcset("x.png 100w,  y.png 200w ,") == ["x.png", "y.png"]
+
+
+def test_extended_extractor_sources():
+    html = """
+    <html><head>
+    <style>.h { background-image: url('/css/bg.png'); }
+           --hero: url('/css/var.jpg'); .u { mask-image: url('/css/mask.webp'); }</style>
+    </head><body>
+    <img src="/plain.jpg"/>
+    <img data-original="/lazy1.png"/>
+    <div data-bg="/lazy2.gif">x</div>
+    <img loading="lazy" src="/lazy3.webp"/>
+    <picture><source srcset="/r1.jpg 1x, /r2.jpg 2x"/><img src="/fallback.png"/></picture>
+    <img srcset="/s1.jpg 320w, /s2.jpg 640w"/>
+    <script>var hero = "/js/h.jpg"; obj.src = '/js/i.png';</script>
+    <script type="application/ld+json">{"image": "/ld/a.jpg",
+      "nested": {"thumbnail": "/ld/t.png"}, "arr": [{"photo": "/ld/p.webp"}]}</script>
+    <div style="background: red url('/inline.jpeg') no-repeat">y</div>
+    </body></html>"""
+    urls = extended_extract_from_html(html, "https://h.example/base/")
+    expect = {
+        "/plain.jpg", "/lazy1.png", "/lazy2.gif", "/lazy3.webp",
+        "/r1.jpg", "/r2.jpg", "/fallback.png", "/s1.jpg", "/s2.jpg",
+        "/css/bg.png", "/css/var.jpg", "/css/mask.webp", "/inline.jpeg",
+        "/js/h.jpg", "/js/i.png", "/ld/a.jpg", "/ld/t.png", "/ld/p.webp",
+    }
+    got = {u.replace("https://h.example", "") for u in urls}
+    assert expect <= got
+    assert urls == sorted(set(urls))
+
+
+def test_extended_is_image_url():
+    assert is_image_url_ext("https://x/a.avif")
+    assert is_image_url_ext("/rel/b.HEIC")
+    assert not is_image_url_ext("https://x/a.pdf")
+    assert not is_image_url_ext("")
+
+
+def test_sitemap_parse_urlset_and_index():
+    urlset = b"""<?xml version="1.0"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>https://h.example/a</loc><priority>0.8</priority>
+           <changefreq>daily</changefreq></url>
+      <url><loc>https://h.example/b</loc></url>
+      <url><loc>https://h.example/c</loc><priority>0.2</priority></url>
+    </urlset>"""
+    entries = parse_sitemap(urlset, "https://h.example/sitemap.xml")
+    assert len(entries) == 3
+    assert entries[0] == {"url": "https://h.example/a", "type": "page",
+                          "priority": 0.8, "changefreq": "daily"}
+    assert entries[1]["priority"] == 0.5
+    rows = sitemap_frontier_rows(entries)
+    assert [r["url"] for r in rows] == ["https://h.example/a", "https://h.example/b"]
+
+    index = b"""<?xml version="1.0"?>
+    <sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <sitemap><loc>https://h.example/sm1.xml</loc></sitemap>
+    </sitemapindex>"""
+    entries = parse_sitemap(index)
+    assert entries == [{"url": "https://h.example/sm1.xml", "type": "sitemap",
+                        "priority": 1.0}]
+
+
+def test_robots_txt_sitemap_lines():
+    txt = "User-agent: *\nDisallow: /admin\nSitemap: https://h.example/sm.xml\n"
+    entries = parse_robots_txt(txt)
+    assert entries[0]["url"] == "https://h.example/sm.xml"
+    # non-XML robots body routed through parse_sitemap fallback
+    assert parse_sitemap(txt, "https://h.example/robots.txt") == entries
+    assert len(discover_sitemaps("https://h.example/")) == 5
+
+
+def test_pagination_detection():
+    html = """<html><body>
+    <div class="pagination"><a href="/page/2">2</a>
+    <a href="?page=3">Next</a><a rel="next" href="/page/4">&gt;</a></div>
+    </body></html>"""
+    root = parse_html(html)
+    pats = detect_navigation_patterns(root, html)
+    assert pats and pats[0].pattern_type == "pagination"
+    assert pats[0].confidence > 0.5
+    # page with no nav
+    none = detect_navigation_patterns(parse_html("<p>hi</p>"), "<p>hi</p>")
+    assert none == []
+
+
+def test_link_relevance_and_prioritized():
+    hi = analyze_link("/gallery/cats", "photo gallery")
+    assert hi["relevance"] == 1.0 and hi["type"] == "gallery"
+    lo = analyze_link("/about", "company")
+    assert lo["relevance"] == 0.0
+    html = ('<a href="/gallery/1">photos</a><a href="/about">about</a>'
+            '<a href="/archive/old">archive pictures</a>')
+    rows = prioritized_nav_links(parse_html(html), "https://h.example/")
+    urls = [r["url"] for r in rows]
+    assert "https://h.example/gallery/1" in urls
+    assert "https://h.example/about" not in urls
+    a = analyze_page(parse_html(html), html)
+    assert a["confidence_score"] > 0
+
+
+def test_quality_and_classification():
+    px = gen_pixels(7, 400, 300, "RGB")
+    q = quality_score(px)
+    assert 0.0 < q <= 1.0
+    colors = analyze_colors(px)
+    assert len(colors["dominant"]) == 5
+    assert all(c.startswith("#") for c in colors["palette"])
+    ct = classify_content_type(px, 400, 300)
+    assert ct in {"text", "banner", "icon", "logo", "photo", "illustration"}
+    assert classify_content_type(px, 3000, 500) == "banner"
+    tiny = gen_pixels(3, 80, 60, "RGB")
+    assert classify_content_type(tiny, 80, 60) == "icon"
+    tags = ai_tags(2500, 1200, "RGB", "photo")
+    assert "high_resolution" in tags and "landscape" in tags and "color" in tags
+    assert "grayscale" in ai_tags(500, 500, "L", "photo")
+
+
+def test_analyze_stage_batch(ray_session):
+    import pyarrow as pa
+
+    from snapcrawler_ray.imageio.analyze import AnalyzeStage
+
+    urls = [f"https://img-cdn0.example/pic/0/{k}.png" for k in range(6)]
+    batch = pa.table({"url": pa.array(urls)})
+    out = AnalyzeStage()(batch)
+    assert "metadata" in out.column_names
+    metas = out.column("metadata").to_pylist()
+    assert all(m is not None for m in metas)
+    assert all(0 <= m["quality_score"] <= 1 for m in metas)
