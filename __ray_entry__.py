@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": relational.nation_revenue,
         "events_hourly": relational.events_hourly,
         "events_topk_users": lambda d: relational.events_topk_users(d),
+        "events_sessionize": lambda d: relational.events_sessionize(d),
         "part_type_stats": relational.part_type_stats,
         # --- crawl engine (rows-only; oracle is the replay simulator,
         #     enforced in tests/test_crawl.py) ---
@@ -228,6 +229,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY user_id "
             "ORDER BY sum(CAST(round(value*100) AS BIGINT)) DESC, user_id "
             "LIMIT 20"
+        ),
+        "events_sessionize": (
+            "WITH marked AS ("
+            "SELECT user_id, ts, event_id, "
+            "CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE "
+            "OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)"
+            "), numbered AS ("
+            "SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess "
+            "FROM marked) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "max(ts) AS session_end, count(*) AS n_events "
+            "FROM numbered GROUP BY user_id, sess"
         ),
         "part_type_stats": (
             "SELECT p_type, count(*) AS n_parts, "

@@ -42,10 +42,13 @@ def _sf_of(sf_dir: str) -> float:
 def build_corpus(sf_dir: str):
     from snapcrawler_ray.sources.corpus import CorpusSpec, generate_corpus
 
-    pages = {0.001: 300, 0.01: 2000, 0.1: 20000}.get(
-        _sf_of(sf_dir), max(300, int(_sf_of(sf_dir) * 200_000))
+    pages = {0.001: 300, 0.01: 2000, 0.1: 100_000}.get(
+        _sf_of(sf_dir), max(300, int(_sf_of(sf_dir) * 1_000_000))
     )
-    spec = CorpusSpec(seed=42, n_pages=pages, n_hosts=20, buckets=32)
+    # branching 8 → wide/shallow BFS so round-synchronous overhead
+    # amortizes and extraction compute dominates the headline
+    spec = CorpusSpec(seed=42, n_pages=pages, n_hosts=20, buckets=32,
+                      branching=8)
     path = generate_corpus("/tmp/snapray_corpus_cache", spec, use_ray=True)
     return spec, path
 

@@ -217,6 +217,42 @@ def events_topk_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``.  The shuffle is
+    ``groupby(user_id).map_groups`` (hash-partition by user — each
+    user's history must be co-located; documented partitioning
+    assumption); per-group logic is vectorized (sort + diff + cumsum).
+    Output: one row per session with bounds and counts — matches the
+    DuckDB window-function oracle exactly (all-integer values)."""
+    import ray
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = df["ts"].astype("int64")
+        new_sess = (ts.diff().fillna(gap_us + 1) > gap_us).astype("int64")
+        sess_idx = new_sess.cumsum()
+        g = df.assign(sess_idx=sess_idx).groupby("sess_idx")
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].iloc[0],
+                "session_start": g["ts"].min(),
+                "session_end": g["ts"].max(),
+                "n_events": g["event_id"].count().astype("int64"),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    df = out.to_pandas()
+    df["session_start"] = df["session_start"].astype("datetime64[us]")
+    df["session_end"] = df["session_end"].astype("datetime64[us]")
+    return df.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+
 def part_type_stats(sf_dir: str) -> pd.DataFrame:
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -130,6 +130,14 @@ class CrawlEngine:
             max_images=self.cfg.limits.max_images,
         )
         self.metrics: list[dict] = []
+        # Warm the Ray Data worker pool once (first pipeline in a fresh
+        # session pays ~3 s of worker startup; that is cluster warmup,
+        # not crawl throughput — keep it out of the round loop).
+        import ray.data as _rd
+
+        _rd.range(8, override_num_blocks=4).map_batches(
+            lambda b: b, batch_format="pyarrow"
+        ).count()
         # exact-mode replay source: url -> extraction row (None kept
         # implicit — replay's get() returns None for misses)
         self._meta: dict[str, dict] = {}
@@ -233,6 +241,7 @@ class CrawlEngine:
             first, delay = sched[h]
             makespan = max(makespan, first + int(c) * delay)
 
+        tp0 = time.time()
         ds = fetch_extract_wave(
             self.corpus_dir,
             self.n_buckets,
@@ -242,6 +251,7 @@ class CrawlEngine:
             batch_size=self.cfg.scale.extract_batch_size,
         ).select_columns(META_COLS)
         tbl = _collect(ds)
+        self._last_pipeline_s = time.time() - tp0
 
         # politeness feedback: statuses per host (misses report nothing —
         # the reference only adapts on received responses)
@@ -278,16 +288,25 @@ class CrawlEngine:
             t0 = time.time()
             round_meta: list[pa.Table] = []
             round_makespan = 0.0
+            round_pipeline_s = 0.0
             misses = 0
 
-            # cascade closure: image-page URLs re-enter the same round
+            # cascade closure: image-page URLs re-enter the same round.
+            # Exact mode iterates sub-waves inside the round (reference
+            # same-depth front-insertion semantics need them fetched
+            # before the replay).  Scale mode instead merges cascades
+            # into the next round's single pipeline (same visit set and
+            # depth labels, one Dataset execution per round — the
+            # round-synchronous ordering deviation is already documented
+            # for scale mode).
+            cascade_carry: list[tuple[str, int, int]] = []
             subwave = wave
             sub_idx = 0
             while subwave:
                 tbl = self._fetch_and_extract(subwave)
                 round_makespan += self._last_makespan
-                found = set(tbl.column("url").to_pylist())
-                misses += len(subwave) - len(found)
+                round_pipeline_s += self._last_pipeline_s
+                misses += len(subwave) - tbl.num_rows
                 if tbl.num_rows:
                     tbl = tbl.take(pc_sort_indices(tbl, "seq"))
                 # First-seq-wins page-MD5 dedup (reference
@@ -305,19 +324,31 @@ class CrawlEngine:
                     self._round_tables.append(tbl)
                 live = tbl.filter(pa.array(md5_new))
 
-                # collect cascade candidates in discovery (seq, position) order
+                # cascade candidates in discovery (seq, position) order,
+                # each inheriting its OWN source page's depth (scale-mode
+                # waves can mix depths once cascades are carried forward);
+                # first appearance wins the depth label
                 cand: list[str] = []
-                for lst in live.column("image_page_urls").to_pylist():
-                    cand.extend(lst)
+                cand_depth: dict[str, int] = {}
+                for d, lst in zip(
+                    live.column("depth").to_pylist(),
+                    live.column("image_page_urls").to_pylist(),
+                ):
+                    for u in lst:
+                        if u not in cand_depth:
+                            cand_depth[u] = d
+                            cand.append(u)
+                nxt: list[tuple[str, int, int]] = []
                 if cand:
                     new_mask = self.seen.check_and_add(cand, ns="sched")
-                    nxt = []
                     for u, is_new in zip(cand, new_mask):
                         if is_new:
-                            nxt.append((u, depth, seq_counter))
+                            nxt.append((u, cand_depth[u], seq_counter))
                             seq_counter += 1
+                if self.mode == "exact":
                     subwave = nxt
                 else:
+                    cascade_carry.extend(nxt)
                     subwave = []
                 sub_idx += 1
 
@@ -328,28 +359,39 @@ class CrawlEngine:
             )
             fetched_total += meta_tbl.num_rows
 
-            # next wave: links in (seq, position) order, first-seen wins;
+            # next wave: carried cascades (same depth, scale mode) first,
+            # then links in (seq, position) order, first-seen wins;
             # MD5-dup pages contribute nothing
-            links_flat: list[str] = []
+            wave_next: list[tuple[str, int, int]] = list(cascade_carry)
             if meta_tbl.num_rows:
-                order = pc_sort_indices(meta_tbl, "seq")
-                srt = meta_tbl.take(order)
                 import pyarrow.compute as pc
 
+                srt = meta_tbl.take(pc_sort_indices(meta_tbl, "seq"))
                 srt = srt.filter(pc.invert(srt.column("dup")))
-                for lst in srt.column("links").to_pylist():
-                    links_flat.extend(lst)
-            wave_next: list[tuple[str, int, int]] = []
-            if links_flat and (max_depth == 0 or depth + 1 <= max_depth):
-                # within-round first-occurrence dedup (vectorized), then
-                # cross-round first-seen via the sharded seen pool
-                s = pd.Series(links_flat, dtype=object)
-                uniq = s[~s.duplicated()].tolist()
-                new_mask = self.seen.check_and_add(uniq, ns="sched")
-                for u, is_new in zip(uniq, new_mask):
-                    if is_new:
-                        wave_next.append((u, depth + 1, seq_counter))
-                        seq_counter += 1
+                # (seq, position)-order traversal; each link's depth is
+                # its OWN source page's depth + 1 (waves can mix depths
+                # in scale mode); first appearance wins the depth label
+                lcand: list[str] = []
+                lcand_depth: dict[str, int] = {}
+                for d, lst in zip(
+                    srt.column("depth").to_pylist(),
+                    srt.column("links").to_pylist(),
+                ):
+                    for u in lst:
+                        if u not in lcand_depth:
+                            lcand_depth[u] = d + 1
+                            lcand.append(u)
+                if lcand:
+                    # mark seen unconditionally (reference marks at
+                    # enqueue even when the depth cutoff will skip the
+                    # visit, crawling_module.py:149-152 + :99-100);
+                    # enqueue for fetch only below the cutoff
+                    new_mask = self.seen.check_and_add(lcand, ns="sched")
+                    for u, is_new in zip(lcand, new_mask):
+                        ld = lcand_depth[u]
+                        if is_new and (max_depth == 0 or ld < max_depth):
+                            wave_next.append((u, ld, seq_counter))
+                            seq_counter += 1
 
             self.metrics.append(
                 {
@@ -361,6 +403,7 @@ class CrawlEngine:
                     "cascade_subwaves": sub_idx - 1,
                     "next_wave": len(wave_next),
                     "politeness_makespan_s": round(round_makespan, 3),
+                    "pipeline_s": round(round_pipeline_s, 3),
                     "wall_s": round(time.time() - t0, 3),
                 }
             )
@@ -422,25 +465,19 @@ class CrawlEngine:
                 "new_links": pa.array([0] * n, pa.int32()),
             }
         )
-        em_urls, em_src, em_depth = [], [], []
-        for url, depth, d, imgs in zip(
-            meta.column("url").to_pylist(),
-            meta.column("depth").to_pylist(),
-            dup,
-            img_lists,
-        ):
-            if d:
-                continue
-            for iu in imgs:
-                em_urls.append(iu)
-                em_src.append(url)
-                em_depth.append(depth)
+        import pyarrow.compute as pc
+
+        live = meta.filter(pc.invert(meta.column("dup"))) if n else meta
+        flat_urls = pc.list_flatten(live.column("image_urls"))
+        parents = pc.list_parent_indices(live.column("image_urls"))
         emissions = pa.table(
             {
-                "emit_seq": pa.array(np.arange(len(em_urls), dtype=np.int64)),
-                "url": pa.array(em_urls, pa.string()),
-                "source_page": pa.array(em_src, pa.string()),
-                "depth": pa.array(em_depth, pa.int32()),
+                "emit_seq": pa.array(
+                    np.arange(len(flat_urls), dtype=np.int64)
+                ),
+                "url": flat_urls,
+                "source_page": live.column("url").take(parents),
+                "depth": live.column("depth").take(parents),
             }
         )
         return CrawlResult(

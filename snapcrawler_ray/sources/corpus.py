@@ -60,6 +60,10 @@ class CorpusSpec:
     n_pages: int = 2000
     n_hosts: int = N_HOSTS
     buckets: int = 32
+    # BFS tree branching factor: children of page i are B·i+1…B·i+B.
+    # Higher values make wider/shallower crawls (fewer rounds — the
+    # bench corpus uses 8 so round-synchronous overhead amortizes).
+    branching: int = 3
 
     def host_page_counts(self) -> np.ndarray:
         w = host_weights(self.n_hosts)
@@ -195,9 +199,10 @@ def _page_html(spec: CorpusSpec, h: int, i: int) -> bytes:
             f'<script>var hero = "{image_file_url(h, 430 + i % 30)}";</script>'
         )
 
-    # Nav links: deterministic tree children (3i+1..3i+3) keep BFS depth
-    # growth, plus random same-host and cross-host extras.
-    for c in (3 * i + 1, 3 * i + 2, 3 * i + 3):
+    # Nav links: deterministic tree children (B·i+1..B·i+B) keep BFS
+    # depth growth, plus random same-host and cross-host extras.
+    B = spec.branching
+    for c in range(B * i + 1, B * i + B + 1):
         if c < pages:
             parts.append(f'<a href="/page/{c}">next {c}</a>')
     for _ in range(rng.randint(0, 3)):
@@ -244,6 +249,9 @@ def build_rows(spec: CorpusSpec, keys: list[tuple[str, int, int, bool]]) -> pa.T
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
+            # precomputed partition/join key: the fetch join reads this
+            # zero-copy instead of re-hashing url strings every round
+            "url_hash": pa.array(url_hash64(urls)),
             "warc_ts": pa.array(tss, pa.timestamp("us")),
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(texts, pa.string()),
@@ -254,7 +262,9 @@ def build_rows(spec: CorpusSpec, keys: list[tuple[str, int, int, bool]]) -> pa.T
 
 def corpus_path(root: str, spec: CorpusSpec) -> str:
     return os.path.join(
-        root, f"corpus_s{spec.seed}_n{spec.n_pages}_h{spec.n_hosts}_b{spec.buckets}"
+        root,
+        f"corpus_s{spec.seed}_n{spec.n_pages}_h{spec.n_hosts}"
+        f"_b{spec.buckets}_br{spec.branching}_v2",
     )
 
 

@@ -89,21 +89,58 @@ _EMPTY_JOIN_SCHEMA = pa.schema(
 )
 
 
-def join_batch(lookup: dict, batch: pa.Table) -> pa.Table:
-    """Semi-join one corpus block against the frontier lookup."""
-    urls = batch.column("url").to_pylist()
-    mask = np.fromiter((u in lookup for u in urls), dtype=bool, count=len(urls))
-    if not mask.any():
+def make_wave_broadcast(wave: list[tuple[str, int, int]]) -> dict:
+    """Array-shaped broadcast of the wave: hash-sorted uint64 keys +
+    parallel url/depth/seq arrays.  numpy arrays come back from the
+    object store zero-copy, so per-worker 'deserialize the frontier'
+    cost is ~0 (a python dict of 10^5 urls was measurably worse at
+    high parallelism)."""
+    urls = np.asarray([w[0] for w in wave], dtype=object)
+    h = url_hash64(urls)
+    order = np.argsort(h, kind="stable")
+    return {
+        "hashes": h[order],
+        "urls": pa.array(urls[order], pa.string()),
+        "depth": np.asarray([w[1] for w in wave], np.int32)[order],
+        "seq": np.asarray([w[2] for w in wave], np.int64)[order],
+    }
+
+
+def join_batch(bc: dict, batch: pa.Table) -> pa.Table:
+    """Semi-join one corpus block against the wave broadcast.
+
+    The corpus carries a precomputed ``url_hash`` column (zero-copy
+    uint64); membership is a searchsorted against the sorted wave
+    hashes, then an Arrow string-equality pass over the hash hits
+    rejects 64-bit collisions (a wave-internal collision could still
+    shadow a url behind another at ~1e-18 odds — accepted)."""
+    hashes = bc["hashes"]
+    hh = batch.column("url_hash").to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(hashes, hh)
+    pos_c = np.clip(pos, 0, len(hashes) - 1)
+    hit = (pos < len(hashes)) & (hashes[pos_c] == hh)
+    if not hit.any():
         return _EMPTY_JOIN_SCHEMA.empty_table()
-    sub = batch.filter(pa.array(mask))
-    kept = [u for u, m in zip(urls, mask) if m]
+    import pyarrow.compute as pc
+
+    hit_idx = np.nonzero(hit)[0]
+    wave_pos = pos_c[hit_idx]
+    sub_urls = batch.column("url").take(pa.array(hit_idx))
+    bc_urls = bc["urls"].take(pa.array(wave_pos))
+    ok = pc.equal(sub_urls, bc_urls).to_numpy(zero_copy_only=False)
+    hit_idx = hit_idx[ok]
+    wave_pos = wave_pos[ok]
+    if len(hit_idx) == 0:
+        return _EMPTY_JOIN_SCHEMA.empty_table()
+    sub = batch.take(pa.array(hit_idx))
+    kept = sub.column("url").to_pylist()
     first_code, attempts = simulate_statuses(kept)
     return pa.table(
         {
             "url": sub.column("url"),
             "html": sub.column("html"),
-            "depth": pa.array([lookup[u][0] for u in kept], pa.int32()),
-            "seq": pa.array([lookup[u][1] for u in kept], pa.int64()),
+            "depth": pa.array(bc["depth"][wave_pos]),
+            "seq": pa.array(bc["seq"][wave_pos]),
             "status": pa.array(np.full(len(kept), 200, dtype=np.int32)),
             "first_code": pa.array(first_code),
             "attempts": pa.array(attempts),
@@ -111,9 +148,8 @@ def join_batch(lookup: dict, batch: pa.Table) -> pa.Table:
     )
 
 
-# Per-worker-process cache of broadcast frontier lookups: tasks on the
-# same worker deserialize the (potentially large) dict once per wave
-# instead of once per batch.
+# Per-worker-process cache of broadcast wave arrays: fetched once per
+# wave per worker (and zero-copy for the numpy members anyway).
 _LOOKUP_CACHE: dict[str, dict] = {}
 
 
@@ -141,12 +177,11 @@ def fetch_extract_wave(
     if not wave:
         raise ValueError("empty wave")
     urls = [w[0] for w in wave]
-    lookup = {u: (d, s) for u, d, s in wave}
     paths = bucket_paths(corpus_dir, touched_buckets(urls, n_buckets))
     if not paths:
         return ray.data.from_items([])
-    ds = ray.data.read_parquet(paths, columns=["url", "html"])
-    frontier_ref = ray.put(lookup)
+    ds = ray.data.read_parquet(paths, columns=["url", "url_hash", "html"])
+    frontier_ref = ray.put(make_wave_broadcast(wave))
     extractor = ExtractPages(allowed_domains, min_commons_thumb_px)
 
     def fetch_extract(batch: pa.Table) -> pa.Table:
