@@ -123,12 +123,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprints": text.fingerprints,
         "docs_simhash": dedup.simhashes,
         "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
+        "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
         # --- embeddings ---
         "emb_knn": lambda d: similarity.knn_bruteforce(d, k=10, n_queries=5),
         "emb_knn_lsh": lambda d: similarity.knn_lsh(d, k=10, n_queries=5),
         "emb_near_dup": lambda d: dedup.embedding_near_dup_pairs(d),
         # --- relational / events (SQL-oracled) ---
         "q1_pricing": relational.q1_pricing,
+        "q5_region_supplier": lambda d: relational.q5_region_supplier_revenue(d),
         "q3_top_orders": lambda d: relational.q3_top_orders(d),
         "nation_revenue": relational.nation_revenue,
         "events_hourly": relational.events_hourly,
@@ -185,6 +187,19 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY q.query_id "
             "ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id"
             ") AS rank FROM embeddings e CROSS JOIN q) WHERE rank <= 10"
+        ),
+        "q5_region_supplier": (
+            "SELECT n_name, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)))/10000.0 AS revenue "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey "
+            "GROUP BY n_name"
         ),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, "

@@ -62,6 +62,12 @@ class ScaleConfig:
     bloom_bits_per_key: int = 12     # ~1e-3 fpp
     bloom_capacity: int = 1_000_000  # per shard
     corpus_buckets: int = 32         # url-hash partition count of the corpus
+    # 'pool': resident fetch+extract actor pool (stateful fetch stage,
+    #         one RPC per actor per round — the cluster design path);
+    # 'scan': per-round Dataset pipeline re-reading touched buckets
+    #         (streaming fallback; useful when fetch state can't be
+    #         resident, e.g. corpus >> cluster memory)
+    fetch_mode: str = "pool"
     extract_batch_size: int = 256
     image_batch_size: int = 64
     fetch_concurrency: int = 8

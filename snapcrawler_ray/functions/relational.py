@@ -162,6 +162,69 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
     return agg[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
 
 
+def q5_region_supplier_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
+    """TPC-H Q5-shaped: revenue per nation within one region where the
+    supplier and the customer share the nation (local supply).  All
+    three dimension sides (region→nation, customer, supplier) broadcast
+    via ``ray.put``; the only row-level shuffle is the orders⋈lineitem
+    hash join."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nat = nation.merge(
+        reg[reg["r_name"] == region], how="inner",
+        left_on="n_regionkey", right_on="r_regionkey",
+    )[["n_nationkey", "n_name"]]
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.merge(
+        nat, how="inner", left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "c_nationkey"]]
+    cust_ref = ray.put(cust.rename(columns={"c_custkey": "o_custkey"}))
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp.merge(
+        nat, how="inner", left_on="s_nationkey", right_on="n_nationkey"
+    )[["s_suppkey", "s_nationkey", "n_name"]]
+    supp_ref = ray.put(supp.rename(columns={"s_suppkey": "l_suppkey"}))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        BroadcastFilterJoin,
+        batch_format="pandas",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": cust_ref, "key": "o_custkey"},
+    )
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        BroadcastFilterJoin,
+        batch_format="pandas",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": supp_ref, "key": "l_suppkey"},
+    )
+    joined = line.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_nationkey"] == df["s_nationkey"]]
+        return pd.DataFrame(
+            {"n_name": df["n_name"], "rev_u": _revenue_units(df)}
+        ).groupby("n_name", as_index=False).sum()
+
+    agg = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                             "revenue": pd.Series([], dtype=float)})
+    agg = agg.groupby("n_name", as_index=False).sum()
+    agg["revenue"] = agg["rev_u"] / 10000.0
+    return agg[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
+
+
 def events_hourly(sf_dir: str) -> pd.DataFrame:
     """Hourly windowed aggregate per event type."""
 

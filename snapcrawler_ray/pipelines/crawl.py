@@ -39,7 +39,7 @@ import json
 import os
 import pickle
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -51,7 +51,6 @@ from ..hashing import url_hash64
 from ..state.limits import LimitsActor
 from ..state.politeness import PolitenessPool
 from ..state.seen import SeenFilterPool
-from ..stages.fetch import fetch_extract_wave
 from ..urlnorm import hosts_of
 from .replay import CrawlTrace, replay_crawl
 
@@ -62,13 +61,92 @@ META_COLS = [
 
 
 @dataclass
+class Wave:
+    """A frontier wave as parallel arrays: urls are an Arrow string
+    array, hashes their precomputed url_hash64s, depths/seqs numpy.
+
+    The driver touches every frontier URL once per round; keeping the
+    wave columnar AND hash-addressed (Arrow buffers cross the wire
+    zero-copy; dedup/routing/seen-membership all operate on uint64
+    hashes) keeps the driver's per-round work out of the serial
+    bottleneck — a python loop or per-string pickling over the wave
+    would dominate the round beyond ~16 CPUs (Amdahl)."""
+
+    urls: pa.Array
+    depths: np.ndarray
+    seqs: np.ndarray
+    hashes: np.ndarray
+
+    def __len__(self) -> int:
+        return len(self.urls)
+
+    @staticmethod
+    def empty() -> "Wave":
+        return Wave(
+            pa.array([], pa.string()), np.empty(0, np.int32),
+            np.empty(0, np.int64), np.empty(0, np.uint64),
+        )
+
+    @staticmethod
+    def concat(waves: list["Wave"]) -> "Wave":
+        waves = [w for w in waves if len(w)]
+        if not waves:
+            return Wave.empty()
+        return Wave(
+            pa.concat_arrays(
+                [w.urls.combine_chunks() if isinstance(w.urls, pa.ChunkedArray)
+                 else w.urls for w in waves]
+            ),
+            np.concatenate([w.depths for w in waves]),
+            np.concatenate([w.seqs for w in waves]),
+            np.concatenate([w.hashes for w in waves]),
+        )
+
+
 class CrawlResult:
-    visits: pa.Table
-    emissions: pa.Table
-    seen_urls: list[str]
-    metrics: list[dict] = field(default_factory=list)
-    trace: CrawlTrace | None = None
-    out_dir: str | None = None
+    """Crawl outputs.  ``visits`` / ``emissions`` / ``seen_urls`` are
+    built lazily in scale mode (the meta tables live in the object
+    store as refs; materializing them is only paid when a caller needs
+    the actual tables — counts are always cheap)."""
+
+    def __init__(self, visits=None, emissions=None, seen_urls=None,
+                 metrics=None, trace=None, out_dir=None,
+                 lazy_builder=None, num_visits=None, num_emissions=None):
+        self._visits = visits
+        self._emissions = emissions
+        self._seen_urls = seen_urls
+        self.metrics = metrics or []
+        self.trace = trace
+        self.out_dir = out_dir
+        self._builder = lazy_builder
+        self.num_visits = (
+            num_visits if num_visits is not None
+            else (visits.num_rows if visits is not None else 0)
+        )
+        self.num_emissions = (
+            num_emissions if num_emissions is not None
+            else (emissions.num_rows if emissions is not None else 0)
+        )
+
+    def _ensure(self) -> None:
+        if self._builder is not None:
+            self._visits, self._emissions, self._seen_urls = self._builder()
+            self._builder = None
+
+    @property
+    def visits(self) -> pa.Table:
+        self._ensure()
+        return self._visits
+
+    @property
+    def emissions(self) -> pa.Table:
+        self._ensure()
+        return self._emissions
+
+    @property
+    def seen_urls(self) -> list[str]:
+        self._ensure()
+        return self._seen_urls
 
 
 def _visits_table(trace: CrawlTrace) -> pa.Table:
@@ -130,38 +208,53 @@ class CrawlEngine:
             max_images=self.cfg.limits.max_images,
         )
         self.metrics: list[dict] = []
-        # Warm the Ray Data worker pool once (first pipeline in a fresh
-        # session pays ~3 s of worker startup; that is cluster warmup,
-        # not crawl throughput — keep it out of the round loop).
-        import ray.data as _rd
+        from ..stages.fetch import FetchPool
 
-        _rd.range(8, override_num_blocks=4).map_batches(
-            lambda b: b, batch_format="pyarrow"
-        ).count()
+        self.pool = FetchPool(
+            self.corpus_dir, self.n_buckets, self.allowed_domains,
+            self.cfg.resolved_thumb_px,
+        )
+        # Block until the pool's corpus partitions are resident —
+        # actor spawn + partition load is cluster provisioning (the
+        # HTTP-session / connection-pool analogue), not per-round
+        # crawl work.
+        self.pool.wait_ready()
         # exact-mode replay source: url -> extraction row (None kept
         # implicit — replay's get() returns None for misses)
         self._meta: dict[str, dict] = {}
-        # scale-mode fallback when no checkpoint_dir is configured
-        self._round_tables: list[pa.Table] = []
 
     # ---------------- checkpointing ----------------
 
     def _ckpt_round_dir(self, r: int) -> str:
         return os.path.join(self.checkpoint_dir, f"round={r}")
 
-    def _write_checkpoint(self, r: int, wave_next: list[tuple[str, int, int]],
-                          meta_tbl: pa.Table, seq_counter: int) -> None:
+    def _write_checkpoint(self, r: int, wave_next: "Wave",
+                          meta_refs: list, seq_counter: int) -> None:
         if not self.checkpoint_dir:
             return
         d = self._ckpt_round_dir(r)
         os.makedirs(d, exist_ok=True)
-        pq.write_table(meta_tbl, os.path.join(d, "extract.parquet"))
+        # extraction metadata never routes through the driver: in scale
+        # mode each fetch actor writes its own partition part file
+        # (per-partition lineage); in exact mode a remote task
+        # concatenates the round's refs
+        import ray
+
+        if self.mode == "exact":
+            ray.get(
+                _write_meta_parquet.remote(
+                    os.path.join(d, "extract.parquet"), *meta_refs
+                )
+            )
+        else:
+            self.pool.write_round_checkpoint(d)
         pq.write_table(
             pa.table(
                 {
-                    "url": pa.array([w[0] for w in wave_next], pa.string()),
-                    "depth": pa.array([w[1] for w in wave_next], pa.int32()),
-                    "seq": pa.array([w[2] for w in wave_next], pa.int64()),
+                    "url": wave_next.urls,
+                    "depth": pa.array(wave_next.depths, pa.int32()),
+                    "seq": pa.array(wave_next.seqs, pa.int64()),
+                    "url_hash": pa.array(wave_next.hashes, pa.uint64()),
                 }
             ),
             os.path.join(d, "wave_next.parquet"),
@@ -184,7 +277,7 @@ class CrawlEngine:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(d, "manifest.json"))  # atomic commit
 
-    def _load_checkpoint(self) -> tuple[int, list[tuple[str, int, int]], int] | None:
+    def _load_checkpoint(self) -> tuple[int, "Wave", int] | None:
         """Returns (next_round, wave, seq_counter) from the last complete
         round, restoring seen/politeness state and extraction metadata."""
         if not self.checkpoint_dir or not os.path.isdir(self.checkpoint_dir):
@@ -209,16 +302,16 @@ class CrawlEngine:
             self.politeness.load_all(pickle.load(f))
         self.metrics = manifest["metrics"]
         # reload extraction metadata of all complete rounds (exact mode)
-        for r in sorted(rounds):
-            t = pq.read_table(os.path.join(self._ckpt_round_dir(r), "extract.parquet"))
-            self._absorb_meta(t)
+        if self.mode == "exact":
+            for r in sorted(rounds):
+                for t in _read_ckpt_tables(self._ckpt_round_dir(r)):
+                    self._absorb_meta(t)
         wv = pq.read_table(os.path.join(d, "wave_next.parquet"))
-        wave = list(
-            zip(
-                wv.column("url").to_pylist(),
-                wv.column("depth").to_pylist(),
-                wv.column("seq").to_pylist(),
-            )
+        wave = Wave(
+            wv.column("url").combine_chunks(),
+            wv.column("depth").to_numpy(zero_copy_only=False).astype(np.int32),
+            wv.column("seq").to_numpy(zero_copy_only=False).astype(np.int64),
+            wv.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64),
         )
         return last + 1, wave, manifest["seq_counter"]
 
@@ -228,40 +321,67 @@ class CrawlEngine:
 
     # ---------------- round execution ----------------
 
-    def _fetch_and_extract(self, wave: list[tuple[str, int, int]]) -> pa.Table:
-        """One sub-wave: politeness → pruned fetch join → extraction."""
-        urls = [w[0] for w in wave]
-        hosts = hosts_of(urls)
-        hs = pd.Series(hosts).value_counts()
+    def _fetch_and_extract(self, wave: "Wave") -> dict:
+        """One sub-wave: politeness schedule → lookup fan-out → MD5
+        first-seq-wins dedup → extract fan-out.  Returns a summary dict;
+        the extraction meta tables stay in the object store as refs."""
+        tp0 = time.time()
+        ids, looks = self.pool.lookup(wave)
+        # politeness schedule: host counts aggregated on the fetch
+        # actors over their FULL slices (misses are scheduled requests
+        # too).  Fetching is virtual-time simulated, so scheduling
+        # after the lookup round-trip changes no state transitions.
+        host_counts: dict[str, int] = {}
+        for l in looks:
+            for h2, c in l["host_counts"].items():
+                host_counts[h2] = host_counts.get(h2, 0) + c
         sched = self.politeness.schedule_hosts(
-            hs.index.tolist(), [int(c) for c in hs.values]
+            list(host_counts.keys()), list(host_counts.values())
         )
         makespan = 0.0
-        for h, c in hs.items():
-            first, delay = sched[h]
-            makespan = max(makespan, first + int(c) * delay)
+        for h2, c in host_counts.items():
+            first, delay = sched[h2]
+            makespan = max(makespan, first + c * delay)
+        if looks:
+            seqs = np.concatenate([l["seqs"] for l in looks])
+            md5h = np.concatenate([l["md5h"] for l in looks])
+        else:
+            seqs = np.empty(0, np.int64)
+            md5h = np.empty(0, np.uint64)
+        # First-seq-wins page-MD5 dedup (reference
+        # crawling_module.py:227-234): losers are not extracted in scale
+        # mode and contribute no images/links/cascades.
+        order = np.argsort(seqs, kind="stable")
+        new_mask = self.seen.check_and_add(md5h[order], ns="md5")
+        dup_seqs = seqs[order][~new_mask]
 
-        tp0 = time.time()
-        ds = fetch_extract_wave(
-            self.corpus_dir,
-            self.n_buckets,
-            wave,
-            allowed_domains=self.allowed_domains,
-            min_commons_thumb_px=self.cfg.resolved_thumb_px,
-            batch_size=self.cfg.scale.extract_batch_size,
-        ).select_columns(META_COLS)
-        tbl = _collect(ds)
+        # politeness feedback: statuses per host, merged in actor order
+        # (misses report nothing — the reference only adapts on
+        # received responses)
+        merged: dict[str, list[np.ndarray]] = {}
+        for l in looks:
+            for h2, codes in l["host_codes"].items():
+                merged.setdefault(h2, []).append(codes)
+        if merged:
+            self.politeness.report_hosts(
+                list(merged.keys()),
+                [np.concatenate(v) for v in merged.values()],
+            )
+
+        sums, refs = self.pool.extract(
+            ids, dup_seqs, extract_dups=(self.mode == "exact")
+        )
         self._last_pipeline_s = time.time() - tp0
-
-        # politeness feedback: statuses per host (misses report nothing —
-        # the reference only adapts on received responses)
-        if tbl.num_rows:
-            fdf = tbl.select(["url", "first_code"]).to_pandas()
-            fdf["host"] = hosts_of(fdf["url"].to_numpy(object))
-            g = fdf.groupby("host")["first_code"].apply(lambda s: s.to_numpy())
-            self.politeness.report_hosts(g.index.tolist(), g.tolist())
         self._last_makespan = float(makespan)
-        return tbl
+        return {
+            "refs": refs,
+            "found": int(len(seqs)),
+            "n_rows": int(sum(s2["n_rows"] for s2 in sums)),
+            "n_live": int(sum(s2["n_live"] for s2 in sums)),
+            "n_images": int(sum(s2["n_images"] for s2 in sums)),
+            "casc": _merge_candidates([s2["casc"] for s2 in sums]),
+            "links": [s2["links"] for s2 in sums],
+        }
 
     def run(self, resume: bool = False) -> CrawlResult:
         max_depth = self.cfg.limits.max_depth
@@ -272,23 +392,25 @@ class CrawlEngine:
             start_round, wave, seq_counter = ck
         else:
             start_round = 0
-            seq_counter = 0
-            wave = []
-            for u in self.seeds:
-                wave.append((u, 0, seq_counter))
-                seq_counter += 1
-            self.seen.add([w[0] for w in wave], ns="sched")
+            seq_counter = len(self.seeds)
+            wave = Wave(
+                pa.array(self.seeds, pa.string()),
+                np.zeros(len(self.seeds), np.int32),
+                np.arange(len(self.seeds), dtype=np.int64),
+                url_hash64(np.asarray(self.seeds, dtype=object)),
+            )
+            self.seen.add(wave.hashes, ns="sched")
 
         fetched_total = sum(m.get("fetched", 0) for m in self.metrics)
         r = start_round
-        while wave:
-            depth = wave[0][1]
+        while len(wave):
+            depth = int(wave.depths[0])
             if max_depth > 0 and depth >= max_depth:
                 break
             t0 = time.time()
-            round_meta: list[pa.Table] = []
             round_makespan = 0.0
             round_pipeline_s = 0.0
+            round_images = 0
             misses = 0
 
             # cascade closure: image-page URLs re-enter the same round.
@@ -299,106 +421,85 @@ class CrawlEngine:
             # depth labels, one Dataset execution per round — the
             # round-synchronous ordering deviation is already documented
             # for scale mode).
-            cascade_carry: list[tuple[str, int, int]] = []
+            cascade_carry: list[Wave] = []
+            link_parts: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+            round_refs: list = []
+            round_rows = 0
             subwave = wave
             sub_idx = 0
-            while subwave:
-                tbl = self._fetch_and_extract(subwave)
+            while len(subwave):
+                fr = self._fetch_and_extract(subwave)
                 round_makespan += self._last_makespan
                 round_pipeline_s += self._last_pipeline_s
-                misses += len(subwave) - tbl.num_rows
-                if tbl.num_rows:
-                    tbl = tbl.take(pc_sort_indices(tbl, "seq"))
-                # First-seq-wins page-MD5 dedup (reference
-                # crawling_module.py:227-234): losers contribute no
-                # images/links/cascades.  Identical bytes ⇒ identical
-                # extraction, so winner choice never changes the link set.
-                md5_new = self.seen.check_and_add(
-                    tbl.column("content_md5").to_pylist(), ns="md5"
-                )
-                tbl = tbl.append_column("dup", pa.array(~md5_new, pa.bool_()))
-                round_meta.append(tbl)
+                misses += len(subwave) - fr["found"]
+                round_rows += fr["n_rows"]
+                round_images += fr["n_images"]
                 if self.mode == "exact":
-                    self._absorb_meta(tbl)
-                else:
-                    self._round_tables.append(tbl)
-                live = tbl.filter(pa.array(md5_new))
+                    round_refs.extend(fr["refs"])
+                link_parts.extend(fr["links"])
+                if self.mode == "exact":
+                    import ray
 
-                # cascade candidates in discovery (seq, position) order,
-                # each inheriting its OWN source page's depth (scale-mode
-                # waves can mix depths once cascades are carried forward);
-                # first appearance wins the depth label
-                cand: list[str] = []
-                cand_depth: dict[str, int] = {}
-                for d, lst in zip(
-                    live.column("depth").to_pylist(),
-                    live.column("image_page_urls").to_pylist(),
-                ):
-                    for u in lst:
-                        if u not in cand_depth:
-                            cand_depth[u] = d
-                            cand.append(u)
-                nxt: list[tuple[str, int, int]] = []
-                if cand:
-                    new_mask = self.seen.check_and_add(cand, ns="sched")
-                    for u, is_new in zip(cand, new_mask):
-                        if is_new:
-                            nxt.append((u, cand_depth[u], seq_counter))
-                            seq_counter += 1
+                    for t in ray.get(fr["refs"]):
+                        self._absorb_meta(t)
+
+                # cascade candidates, already first-appearance-deduped
+                # in global (seq, position) discovery order, each
+                # inheriting its OWN source page's depth
+                cand, cand_depth, _k, cand_h = fr["casc"]
+                nxt = Wave.empty()
+                if len(cand):
+                    new_mask = self.seen.check_and_add(cand_h, ns="sched")
+                    sel = np.nonzero(new_mask)[0]
+                    nxt = Wave(
+                        cand.take(pa.array(sel)),
+                        cand_depth[sel].astype(np.int32),
+                        seq_counter + np.arange(len(sel), dtype=np.int64),
+                        cand_h[sel],
+                    )
+                    seq_counter += len(sel)
                 if self.mode == "exact":
                     subwave = nxt
                 else:
-                    cascade_carry.extend(nxt)
-                    subwave = []
+                    cascade_carry.append(nxt)
+                    subwave = Wave.empty()
                 sub_idx += 1
 
-            meta_tbl = (
-                pa.concat_tables(round_meta)
-                if round_meta
-                else pa.Table.from_pylist([], schema=_meta_schema())
-            )
-            fetched_total += meta_tbl.num_rows
+            fetched_total += round_rows
 
-            # next wave: carried cascades (same depth, scale mode) first,
-            # then links in (seq, position) order, first-seen wins;
-            # MD5-dup pages contribute nothing
-            wave_next: list[tuple[str, int, int]] = list(cascade_carry)
-            if meta_tbl.num_rows:
-                import pyarrow.compute as pc
-
-                srt = meta_tbl.take(pc_sort_indices(meta_tbl, "seq"))
-                srt = srt.filter(pc.invert(srt.column("dup")))
-                # (seq, position)-order traversal; each link's depth is
-                # its OWN source page's depth + 1 (waves can mix depths
-                # in scale mode); first appearance wins the depth label
-                lcand: list[str] = []
-                lcand_depth: dict[str, int] = {}
-                for d, lst in zip(
-                    srt.column("depth").to_pylist(),
-                    srt.column("links").to_pylist(),
-                ):
-                    for u in lst:
-                        if u not in lcand_depth:
-                            lcand_depth[u] = d + 1
-                            lcand.append(u)
-                if lcand:
-                    # mark seen unconditionally (reference marks at
-                    # enqueue even when the depth cutoff will skip the
-                    # visit, crawling_module.py:149-152 + :99-100);
-                    # enqueue for fetch only below the cutoff
-                    new_mask = self.seen.check_and_add(lcand, ns="sched")
-                    for u, is_new in zip(lcand, new_mask):
-                        ld = lcand_depth[u]
-                        if is_new and (max_depth == 0 or ld < max_depth):
-                            wave_next.append((u, ld, seq_counter))
-                            seq_counter += 1
+            # next wave: carried cascades (same depth, scale mode)
+            # first, then links in global (seq, position) discovery
+            # order, first-seen wins; MD5-dup pages contribute nothing
+            parts: list[Wave] = list(cascade_carry)
+            lcand, lcand_depth, _k, lcand_h = _merge_candidates(link_parts)
+            if len(lcand):
+                # mark seen unconditionally (reference marks at enqueue
+                # even when the depth cutoff will skip the visit,
+                # crawling_module.py:149-152 + :99-100); enqueue for
+                # fetch only below the cutoff
+                new_mask = self.seen.check_and_add(lcand_h, ns="sched")
+                keep = new_mask
+                if max_depth > 0:
+                    keep = new_mask & (lcand_depth < max_depth)
+                sel = np.nonzero(keep)[0]
+                parts.append(
+                    Wave(
+                        lcand.take(pa.array(sel)),
+                        lcand_depth[sel].astype(np.int32),
+                        seq_counter + np.arange(len(sel), dtype=np.int64),
+                        lcand_h[sel],
+                    )
+                )
+                seq_counter += len(sel)
+            wave_next = Wave.concat(parts)
 
             self.metrics.append(
                 {
                     "round": r,
                     "depth": depth,
                     "wave": len(wave),
-                    "fetched": meta_tbl.num_rows,
+                    "fetched": round_rows,
+                    "images": round_images,
                     "misses": misses,
                     "cascade_subwaves": sub_idx - 1,
                     "next_wave": len(wave_next),
@@ -407,7 +508,7 @@ class CrawlEngine:
                     "wall_s": round(time.time() - t0, 3),
                 }
             )
-            self._write_checkpoint(r, wave_next, meta_tbl, seq_counter)
+            self._write_checkpoint(r, wave_next, round_refs, seq_counter)
             wave = wave_next
             r += 1
             if max_requests > 0 and fetched_total >= max_requests:
@@ -419,6 +520,10 @@ class CrawlEngine:
 
     def _finalize(self) -> CrawlResult:
         if self.mode == "exact":
+            # crawl over — free the fetch pool's CPU slots so pipelines
+            # composed after run() (image filtering) aren't starved
+            self.pool.shutdown()
+            self.pool = None
             trace = replay_crawl(
                 self.seeds,
                 self._meta.get,
@@ -433,61 +538,88 @@ class CrawlEngine:
                 trace=trace,
             )
         # scale mode: deterministic round-synchronous order — ascending
-        # enqueue seq (rounds are disjoint seq ranges by construction)
-        tables = []
-        if self.checkpoint_dir and os.path.isdir(self.checkpoint_dir):
-            for name in sorted(os.listdir(self.checkpoint_dir)):
-                p = os.path.join(self.checkpoint_dir, name, "extract.parquet")
-                if os.path.exists(p):
-                    tables.append(pq.read_table(p))
-        if not tables and self._round_tables:
-            tables = self._round_tables
-        meta = pa.concat_tables(tables) if tables else pa.Table.from_pylist(
-            [], schema=_meta_schema())
-        order = pc_sort_indices(meta, "seq")
-        meta = meta.take(order)
-        n = meta.num_rows
-        dup = meta.column("dup").to_pylist() if n else []
-        img_lists = meta.column("image_urls").to_pylist() if n else []
-        visits = pa.table(
-            {
-                "seq": pa.array(np.arange(n, dtype=np.int64)),
-                "url": meta.column("url"),
-                "depth": meta.column("depth"),
-                "cascade": pa.array([False] * n, pa.bool_()),
-                "status": pa.array(
-                    ["dup" if d else "ok" for d in dup], pa.string()
-                ),
-                "n_images": pa.array(
-                    [0 if d else len(x) for d, x in zip(dup, img_lists)],
-                    pa.int32(),
-                ),
-                "new_links": pa.array([0] * n, pa.int32()),
-            }
+        # enqueue seq (rounds are disjoint seq ranges by construction).
+        # Output tables are built lazily: counts come from round
+        # summaries; the meta tables stay in the object store (or the
+        # checkpoint dir) until a caller asks for the actual rows.
+        refs = (
+            self.pool.dump_meta_refs() if not self.checkpoint_dir else []
         )
-        import pyarrow.compute as pc
+        # The crawl is over: release the fetch pool's CPU slots so
+        # downstream pipelines (image filtering, queries) composed
+        # after run() aren't starved.  The dumped meta objects are
+        # owned by the driver and outlive the actors.
+        self.pool.shutdown()
+        self.pool = None
+        ckpt_dir = self.checkpoint_dir
+        num_visits = int(sum(m.get("fetched", 0) for m in self.metrics))
+        num_emissions = int(sum(m.get("images", 0) for m in self.metrics))
 
-        live = meta.filter(pc.invert(meta.column("dup"))) if n else meta
-        flat_urls = pc.list_flatten(live.column("image_urls"))
-        parents = pc.list_parent_indices(live.column("image_urls"))
-        emissions = pa.table(
-            {
-                "emit_seq": pa.array(
-                    np.arange(len(flat_urls), dtype=np.int64)
-                ),
-                "url": flat_urls,
-                "source_page": live.column("url").take(parents),
-                "depth": live.column("depth").take(parents),
-            }
-        )
+        def build():
+            import pyarrow.compute as pc
+            import ray
+
+            tables = []
+            if ckpt_dir and os.path.isdir(ckpt_dir):
+                for name in sorted(os.listdir(ckpt_dir)):
+                    tables.extend(
+                        _read_ckpt_tables(os.path.join(ckpt_dir, name))
+                    )
+            if not tables and refs:
+                tables = [t for t in ray.get(refs) if t.num_rows]
+            meta = (
+                pa.concat_tables(tables)
+                if tables
+                else _meta_schema().empty_table()
+            )
+            meta = meta.take(pc_sort_indices(meta, "seq"))
+            n = meta.num_rows
+            dup_col = meta.column("dup")
+            visits = pa.table(
+                {
+                    "seq": pa.array(np.arange(n, dtype=np.int64)),
+                    "url": meta.column("url"),
+                    "depth": meta.column("depth"),
+                    "cascade": pa.array(np.zeros(n, dtype=bool)),
+                    "status": pc.if_else(
+                        dup_col, pa.scalar("dup"), pa.scalar("ok")
+                    ),
+                    "n_images": pc.if_else(
+                        dup_col,
+                        pa.scalar(0, pa.int32()),
+                        pc.cast(
+                            pc.list_value_length(meta.column("image_urls")),
+                            pa.int32(),
+                        ),
+                    ),
+                    "new_links": pa.array(np.zeros(n, dtype=np.int32)),
+                }
+            )
+            live = meta.filter(pc.invert(dup_col)) if n else meta
+            flat_urls = pc.list_flatten(live.column("image_urls"))
+            parents = pc.list_parent_indices(live.column("image_urls"))
+            emissions = pa.table(
+                {
+                    "emit_seq": pa.array(
+                        np.arange(len(flat_urls), dtype=np.int64)
+                    ),
+                    "url": flat_urls,
+                    "source_page": live.column("url").take(parents),
+                    "depth": live.column("depth").take(parents),
+                }
+            )
+            return visits, emissions, meta.column("url").to_pylist()
+
         return CrawlResult(
-            visits=visits,
-            emissions=emissions,
-            seen_urls=meta.column("url").to_pylist(),
             metrics=self.metrics,
+            lazy_builder=build,
+            num_visits=num_visits,
+            num_emissions=num_emissions,
         )
 
     def shutdown(self) -> None:
+        if self.pool is not None:
+            self.pool.shutdown()
         self.seen.shutdown()
         self.politeness.shutdown()
         import ray
@@ -522,14 +654,68 @@ def pc_sort_indices(tbl: pa.Table, col: str) -> pa.Array:
     return pc.sort_indices(tbl, sort_keys=[(col, "ascending")])
 
 
-def _collect(ds) -> pa.Table:
-    """Materialize a (small, metadata-only) Dataset to one Arrow table."""
-    batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
-    batches = [
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in batches
-    ]
-    batches = [b for b in batches if b.num_rows]
-    if not batches:
-        return pa.Table.from_pylist([], schema=_base_schema())
-    return pa.concat_tables(batches).cast(_base_schema())
+
+
+def _read_ckpt_tables(round_dir: str) -> list[pa.Table]:
+    """Read a round checkpoint dir: either a single ``extract.parquet``
+    (exact mode) or per-partition ``part-NNNN.parquet`` files."""
+    out = []
+    single = os.path.join(round_dir, "extract.parquet")
+    if os.path.exists(single):
+        out.append(pq.read_table(single))
+        return out
+    if os.path.isdir(round_dir):
+        for f in sorted(os.listdir(round_dir)):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(round_dir, f))
+                if t.num_rows:
+                    out.append(t)
+    return out
+
+
+def _merge_candidates(
+    parts: list[tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]]
+) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Merge per-partition candidate quadruples (urls, depths, keys,
+    url_hash64s) into global first-appearance order: sort by discovery
+    key (= seq * 2**20 + position), then first-wins dedup by url hash.
+    Urls stay Arrow and dedup runs on uint64 hashes — the driver never
+    materializes candidate python strings (a 64-bit collision merging
+    two distinct urls is the same accepted risk as the fetch join's
+    hash addressing)."""
+    parts = [p for p in parts if len(p[0])]
+    if not parts:
+        return (
+            pa.array([], pa.string()), np.empty(0, np.int32),
+            np.empty(0, np.int64), np.empty(0, np.uint64),
+        )
+    urls = pa.concat_arrays(
+        [p[0].combine_chunks() if isinstance(p[0], pa.ChunkedArray)
+         else p[0] for p in parts]
+    )
+    depths = np.concatenate([p[1] for p in parts])
+    keys = np.concatenate([p[2] for p in parts])
+    hashes = np.concatenate([p[3] for p in parts])
+    order = np.argsort(keys, kind="stable")
+    depths, keys, hashes = depths[order], keys[order], hashes[order]
+    first = ~pd.Series(hashes).duplicated().to_numpy()
+    sel = order[first]
+    return (
+        urls.take(pa.array(sel)), depths[first], keys[first],
+        hashes[first],
+    )
+
+
+import ray as _ray
+
+
+@_ray.remote(num_cpus=0)
+def _write_meta_parquet(path: str, *tables: pa.Table) -> int:
+    """Checkpoint writer task: concatenates the round's meta tables and
+    writes them without routing the data through the driver."""
+    tables = [t for t in tables if t.num_rows]
+    meta = (
+        pa.concat_tables(tables) if tables else _meta_schema().empty_table()
+    )
+    pq.write_table(meta, path)
+    return meta.num_rows

@@ -89,20 +89,19 @@ _EMPTY_JOIN_SCHEMA = pa.schema(
 )
 
 
-def make_wave_broadcast(wave: list[tuple[str, int, int]]) -> dict:
-    """Array-shaped broadcast of the wave: hash-sorted uint64 keys +
-    parallel url/depth/seq arrays.  numpy arrays come back from the
-    object store zero-copy, so per-worker 'deserialize the frontier'
-    cost is ~0 (a python dict of 10^5 urls was measurably worse at
-    high parallelism)."""
-    urls = np.asarray([w[0] for w in wave], dtype=object)
-    h = url_hash64(urls)
+def make_wave_broadcast(wave) -> dict:
+    """Array-shaped broadcast of a pipelines.crawl.Wave: hash-sorted
+    uint64 keys + parallel url/depth/seq arrays.  numpy arrays come back
+    from the object store zero-copy, so per-worker 'deserialize the
+    frontier' cost is ~0 (a python dict of 10^5 urls was measurably
+    worse at high parallelism)."""
+    h = url_hash64(wave.urls)
     order = np.argsort(h, kind="stable")
     return {
         "hashes": h[order],
-        "urls": pa.array(urls[order], pa.string()),
-        "depth": np.asarray([w[1] for w in wave], np.int32)[order],
-        "seq": np.asarray([w[2] for w in wave], np.int64)[order],
+        "urls": pa.array(wave.urls[order], pa.string()),
+        "depth": np.asarray(wave.depths, np.int32)[order],
+        "seq": np.asarray(wave.seqs, np.int64)[order],
     }
 
 
@@ -162,6 +161,444 @@ def _cached_lookup(ref) -> dict:
     return _LOOKUP_CACHE[key]
 
 
+@ray.remote(num_cpus=1)
+class FetchExtractShard:
+    """One resident fetch worker owning a set of corpus buckets.
+
+    This is the rebuild of the reference's stateful fetch session (T1,
+    crawling_module.py:42-78): in a real crawl each actor holds HTTP
+    sessions and performs network GETs; in this corpus-backed sandbox it
+    instead holds its url-hash partition of the corpus resident
+    (url_hash-sorted Arrow table, loaded once in ``__init__``) and
+    serves batched fetch+extract RPCs.  The html binary never leaves
+    the actor and the extraction metadata tables are returned as object
+    refs the driver passes around WITHOUT deserializing — the driver's
+    per-round traffic is O(frontier candidates), never O(corpus) or
+    O(link mentions).
+
+    Round protocol (two phases so MD5-dup pages are never extracted,
+    matching the reference's skip, crawling_module.py:227-234):
+
+    1. ``lookup(token, ...)``: join the wave slice against the resident
+       partition, compute content MD5s, stash the joined block; return
+       a small summary (seqs found, md5 hash64s, per-host status codes).
+    2. driver runs first-seq-wins MD5 dedup via the seen pool;
+    3. ``extract(token, dup_seqs, extract_dups)``: extract the live
+       rows (dups too when ``extract_dups`` — exact-mode replay needs
+       per-url extraction), pre-deduplicate next-wave candidates
+       locally in (seq, position) discovery order, and return
+       (summary, meta_table) — callers keep the table as a ref."""
+
+    def __init__(self, paths: list[str], allowed_domains: list[str],
+                 min_commons_thumb_px: int):
+        import pyarrow.parquet as pq
+
+        from .extract_stage import ExtractPages
+
+        cols = ["url", "url_hash", "html"]
+        if paths:
+            t = pa.concat_tables(
+                [pq.read_table(p, columns=cols) for p in paths]
+            ).combine_chunks()
+        else:
+            t = pa.schema(
+                [("url", pa.string()), ("url_hash", pa.uint64()),
+                 ("html", pa.binary())]
+            ).empty_table()
+        h = t.column("url_hash").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        self.tbl = t.take(pa.array(order)) if len(order) else t
+        self.hashes = self.tbl.column("url_hash").to_numpy(
+            zero_copy_only=False
+        )
+        self.extractor = ExtractPages(allowed_domains, min_commons_thumb_px)
+        self._pending: dict[str, tuple[pa.Table, list[str]]] = {}
+        # per-round extraction meta accumulated locally (scale mode):
+        # serialized off this actor only for checkpoints / final dump
+        self._rounds: list[pa.Table] = []
+        self._written = 0  # rounds already checkpointed
+
+    def ready(self) -> int:
+        return self.tbl.num_rows
+
+    def lookup(self, token: str, urls, hashes: np.ndarray,
+               depths: np.ndarray, seqs: np.ndarray) -> dict:
+        """Phase 1: join + MD5.  ``urls`` is an Arrow string array
+        (zero-copy on both hops).  Returns {n_found, seqs, md5h,
+        host_counts (full slice — politeness schedules misses too),
+        host_codes (found only), t_busy}; misses are simply absent."""
+        import hashlib
+        import time as _time
+
+        _t0 = _time.time()
+
+        from ..hashing import url_hash64 as _h64
+        from ..urlnorm import hosts_of
+
+        urls_np = np.asarray(urls.to_pylist(), dtype=object)
+        all_hosts = hosts_of(urls_np)
+        hosts_u, hosts_c = np.unique(all_hosts, return_counts=True)
+        host_counts = {
+            str(h): int(c) for h, c in zip(hosts_u, hosts_c) if h
+        }
+        pos = np.searchsorted(self.hashes, hashes)
+        pos_c = np.clip(pos, 0, max(len(self.hashes) - 1, 0))
+        hit = (
+            (pos < len(self.hashes)) & (self.hashes[pos_c] == hashes)
+            if len(self.hashes)
+            else np.zeros(len(hashes), dtype=bool)
+        )
+        hit_idx = np.nonzero(hit)[0]
+        if len(hit_idx):
+            import pyarrow.compute as pc
+
+            sub = self.tbl.take(pa.array(pos_c[hit_idx]))
+            ok = pc.equal(
+                sub.column("url"), pa.array(urls_np[hit_idx], pa.string())
+            ).to_numpy(zero_copy_only=False)
+            hit_idx = hit_idx[ok]
+        if len(hit_idx) == 0:
+            self._pending[token] = (None, [])
+            return {"n_found": 0, "seqs": np.empty(0, np.int64),
+                    "md5h": np.empty(0, np.uint64),
+                    "host_counts": host_counts, "host_codes": {},
+                    "t_busy": _time.time() - _t0}
+        sub = self.tbl.take(pa.array(pos_c[hit_idx]))
+        kept = sub.column("url").to_pylist()
+        first_code, attempts = simulate_statuses(kept)
+        md5s = [
+            hashlib.md5(h).hexdigest() if h is not None else ""
+            for h in sub.column("html").to_pylist()
+        ]
+        joined = pa.table(
+            {
+                "url": sub.column("url"),
+                "html": sub.column("html"),
+                "depth": pa.array(depths[hit_idx]),
+                "seq": pa.array(seqs[hit_idx]),
+                "status": pa.array(
+                    np.full(len(kept), 200, dtype=np.int32)
+                ),
+                "first_code": pa.array(first_code),
+                "attempts": pa.array(attempts),
+                "content_md5": pa.array(md5s, pa.string()),
+            }
+        )
+        self._pending[token] = (joined, md5s)
+        hosts = hosts_of(np.asarray(kept, dtype=object))
+        host_codes: dict[str, np.ndarray] = {}
+        for hname in pd_unique(hosts):
+            host_codes[hname] = first_code[hosts == hname]
+        return {
+            "n_found": len(kept),
+            "seqs": seqs[hit_idx],
+            "md5h": _h64(np.asarray(md5s, dtype=object)),
+            "host_counts": host_counts,
+            "host_codes": host_codes,
+            "t_busy": _time.time() - _t0,
+        }
+
+    def _do_extract(self, token: str, dup_seqs: np.ndarray,
+                    extract_dups: bool) -> tuple[dict, pa.Table]:
+        """Phase 2: extraction + local candidate pre-dedup.
+
+        Candidate keys are ``seq * 2**20 + position`` — sorting by key
+        reproduces the global (seq, position) discovery order."""
+        import time as _time
+
+        _t0 = _time.time()
+        joined, _md5s = self._pending.pop(token)
+        if joined is None or joined.num_rows == 0:
+            return (
+                {"n_rows": 0, "n_live": 0, "n_images": 0,
+                 "casc": _empty_cand(), "links": _empty_cand(),
+                 "t_busy": 0.0, "t_extract": 0.0},
+                EXTRACT_META_WITH_DUP_SCHEMA.empty_table(),
+            )
+        seqs = joined.column("seq").to_numpy(zero_copy_only=False)
+        dup = np.isin(seqs, dup_seqs)
+        ext_mask = np.ones(len(dup), dtype=bool) if extract_dups else ~dup
+        ext_in = joined.filter(pa.array(ext_mask))
+        _te0 = _time.time()
+        meta_ext = self.extractor(ext_in)
+        _t_extract = _time.time() - _te0
+        parts = [meta_ext.append_column(
+            "dup", pa.array(dup[ext_mask], pa.bool_())
+        )]
+        if not extract_dups and dup.any():
+            stub_src = joined.filter(pa.array(dup)).drop_columns(["html"])
+            n_stub = stub_src.num_rows
+            empty_list = pa.array(
+                [[]] * n_stub, pa.list_(pa.string())
+            )
+            stub = stub_src.append_column(
+                "text", pa.array([""] * n_stub, pa.string())
+            )
+            for c in ("image_urls", "image_page_urls", "links"):
+                stub = stub.append_column(c, empty_list)
+            stub = stub.append_column(
+                "dup", pa.array(np.ones(n_stub, dtype=bool))
+            )
+            parts.append(stub.select(parts[0].column_names))
+        meta = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+        live = meta.filter(
+            pa.array(~meta.column("dup").to_numpy(zero_copy_only=False))
+        )
+        import pyarrow.compute as pc
+
+        n_images = int(
+            pc.sum(pc.list_value_length(live.column("image_urls"))).as_py()
+            or 0
+        )
+        summary = {
+            "n_rows": meta.num_rows,
+            "n_live": live.num_rows,
+            "n_images": n_images,
+            "casc": _local_candidates(live, "image_page_urls", 0),
+            "links": _local_candidates(live, "links", 1),
+            "t_busy": _time.time() - _t0,
+            "t_extract": _t_extract,
+        }
+        return summary, meta.select(
+            [f.name for f in EXTRACT_META_WITH_DUP_SCHEMA]
+        )
+
+    def extract_with_meta(self, token: str, dup_seqs: np.ndarray,
+                          extract_dups: bool) -> tuple[dict, pa.Table]:
+        """Exact-mode phase 2: meta table returned to the caller (the
+        replay needs per-url extraction on the driver)."""
+        return self._do_extract(token, dup_seqs, extract_dups)
+
+    def extract_local(self, token: str, dup_seqs: np.ndarray) -> dict:
+        """Scale-mode phase 2: the meta table stays resident on this
+        actor (slimmed — candidate link lists are already folded into
+        the summary, so only output-relevant columns are kept); one
+        summary dict crosses the wire per round."""
+        summary, meta = self._do_extract(token, dup_seqs, False)
+        self._rounds.append(meta.select(SCALE_META_COLS))
+        return summary
+
+    def write_round_checkpoint(self, dir_path: str, part: int) -> int:
+        """Write this partition's LAST round of extraction meta as its
+        own parquet part file (per-partition checkpoint lineage)."""
+        import pyarrow.parquet as pq
+
+        pending = self._rounds[self._written:]
+        t = (
+            pa.concat_tables(pending)
+            if pending
+            else pa.schema(
+                [
+                    EXTRACT_META_WITH_DUP_SCHEMA.field(n)
+                    for n in SCALE_META_COLS
+                ]
+            ).empty_table()
+        )
+        self._written = len(self._rounds)
+        tmp = os.path.join(dir_path, f".part-{part:04d}.parquet.tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(dir_path, f"part-{part:04d}.parquet"))
+        return t.num_rows
+
+    def dump_meta(self) -> pa.Table:
+        """All rounds' meta for this partition (final output build)."""
+        if not self._rounds:
+            return pa.schema(
+                [
+                    EXTRACT_META_WITH_DUP_SCHEMA.field(n)
+                    for n in SCALE_META_COLS
+                ]
+            ).empty_table()
+        return pa.concat_tables(self._rounds)
+
+
+def pd_unique(arr: np.ndarray) -> np.ndarray:
+    import pandas as pd
+
+    return pd.unique(arr)
+
+
+def _empty_cand() -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    return (
+        pa.array([], pa.string()), np.empty(0, np.int32),
+        np.empty(0, np.int64), np.empty(0, np.uint64),
+    )
+
+
+def _local_candidates(
+    live: pa.Table, list_col: str, depth_offset: int
+) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """(urls: Arrow string array, depths, keys, url_hash64s) of this
+    partition's candidates, first-appearance deduped locally, key =
+    seq * 2**20 + position-in-page (global discovery order when merged
+    and key-sorted).  Urls stay Arrow and hashes are precomputed here
+    so the driver never touches candidate python strings."""
+    import pyarrow.compute as pc
+
+    lists = live.column(list_col)
+    flat = pc.list_flatten(lists)
+    if len(flat) == 0:
+        return _empty_cand()
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    seqs = live.column("seq").to_numpy(zero_copy_only=False)[parents]
+    depths = (
+        live.column("depth").to_numpy(zero_copy_only=False)[parents]
+        + depth_offset
+    )
+    # position within each page's list
+    starts = np.nonzero(np.diff(parents, prepend=-1))[0]
+    pos = np.arange(len(parents)) - starts[
+        np.searchsorted(starts, np.arange(len(parents)), side="right") - 1
+    ]
+    keys = seqs * np.int64(1 << 20) + pos
+    # rows are in (seq, position) order already within this partition:
+    # dictionary_encode keeps first appearance
+    enc = flat.combine_chunks().dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    _, first_pos = np.unique(idx, return_index=True)
+    from ..hashing import url_hash64 as _h64
+
+    uniq = enc.dictionary
+    return (
+        uniq,
+        depths[first_pos].astype(np.int32),
+        keys[first_pos],
+        _h64(uniq.to_numpy(zero_copy_only=False)),
+    )
+
+
+EXTRACT_META_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("depth", pa.int32()),
+        ("seq", pa.int64()),
+        ("status", pa.int32()),
+        ("first_code", pa.int32()),
+        ("attempts", pa.int32()),
+        ("content_md5", pa.string()),
+        ("image_urls", pa.list_(pa.string())),
+        ("image_page_urls", pa.list_(pa.string())),
+        ("links", pa.list_(pa.string())),
+    ]
+)
+
+EXTRACT_META_WITH_DUP_SCHEMA = EXTRACT_META_SCHEMA.append(
+    pa.field("dup", pa.bool_())
+)
+
+# Scale-mode resident meta keeps only output-relevant columns (the
+# candidate lists are folded into round summaries; links never need to
+# be materialized again)
+SCALE_META_COLS = [
+    "url", "depth", "seq", "status", "first_code", "attempts",
+    "content_md5", "image_urls", "dup",
+]
+
+
+class FetchPool:
+    """Driver-side handle: resident fetch+extract actor pool.
+
+    Buckets are assigned ``bucket % pool_size``; a wave is routed by
+    ``url_hash % n_buckets % pool_size`` — one lookup RPC + one extract
+    RPC per actor per (sub)round.  Meta tables come back as object refs
+    the driver never deserializes; the driver-side merge work is
+    O(unique candidates), all numpy/Arrow."""
+
+    def __init__(self, corpus_dir: str, n_buckets: int,
+                 allowed_domains: list[str], min_commons_thumb_px: int,
+                 pool_size: int | None = None):
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        if pool_size is None:
+            # one actor per CPU: actors hold whole num_cpus=1 slots so
+            # the measured parallelism level is honest (fractional
+            # actors would timeshare more physical cores than the
+            # ray.init budget and fake the scaling signal)
+            pool_size = max(1, min(n_buckets, cpus))
+        self.n_buckets = n_buckets
+        self.pool_size = pool_size
+        self.actors = []
+        for a in range(pool_size):
+            buckets = [b for b in range(n_buckets) if b % pool_size == a]
+            self.actors.append(
+                FetchExtractShard.remote(
+                    bucket_paths(corpus_dir, buckets), allowed_domains,
+                    min_commons_thumb_px,
+                )
+            )
+        self._token_ctr = 0
+
+    def wait_ready(self) -> int:
+        return int(sum(ray.get([a.ready.remote() for a in self.actors])))
+
+    def lookup(self, wave) -> tuple[list[int], list[dict]]:
+        """Phase 1 fan-out.  ``wave.urls`` is an Arrow string array and
+        ``wave.hashes`` its precomputed url_hash64s — slicing and
+        routing never materialize python strings on the driver.
+        Returns (participating actor ids, summaries, in actor order)."""
+        self._token_ctr += 1
+        self._token = f"t{self._token_ctr}"
+        urls, depths, seqs = wave.urls, wave.depths, wave.seqs
+        h = wave.hashes
+        actor_of = (
+            (h % np.uint64(self.n_buckets)).astype(np.int64) % self.pool_size
+        )
+        refs, ids = [], []
+        for a in range(self.pool_size):
+            idx = np.nonzero(actor_of == a)[0]
+            if len(idx):
+                pidx = pa.array(idx)
+                refs.append(
+                    self.actors[a].lookup.remote(
+                        self._token, urls.take(pidx), h[idx], depths[idx],
+                        seqs[idx],
+                    )
+                )
+                ids.append(a)
+        return ids, ray.get(refs)
+
+    def extract(self, ids: list[int], dup_seqs: np.ndarray,
+                extract_dups: bool) -> tuple[list[dict], list]:
+        """Phase 2 fan-out to the same actors.
+
+        Exact mode (``extract_dups``): meta tables are returned as
+        object refs the driver can absorb for the replay.  Scale mode:
+        meta stays resident on the actors — only summaries cross."""
+        if extract_dups:
+            pairs = [
+                self.actors[a].extract_with_meta.options(
+                    num_returns=2
+                ).remote(self._token, dup_seqs, True)
+                for a in ids
+            ]
+            summaries = ray.get([p[0] for p in pairs])
+            return summaries, [p[1] for p in pairs]
+        refs = [
+            self.actors[a].extract_local.remote(self._token, dup_seqs)
+            for a in ids
+        ]
+        return ray.get(refs), []
+
+    def write_round_checkpoint(self, dir_path: str) -> None:
+        ray.get(
+            [
+                a.write_round_checkpoint.remote(dir_path, i)
+                for i, a in enumerate(self.actors)
+            ]
+        )
+
+    def dump_meta_refs(self) -> list:
+        """Kick off per-actor meta dumps; returns refs (objects outlive
+        the actors once the tasks complete)."""
+        refs = [a.dump_meta.remote() for a in self.actors]
+        ray.wait(refs, num_returns=len(refs), fetch_local=False)
+        return refs
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
 def fetch_extract_wave(
     corpus_dir: str,
     n_buckets: int,
@@ -174,10 +611,9 @@ def fetch_extract_wave(
     Misses are simply absent from the result."""
     from .extract_stage import ExtractPages
 
-    if not wave:
+    if not len(wave):
         raise ValueError("empty wave")
-    urls = [w[0] for w in wave]
-    paths = bucket_paths(corpus_dir, touched_buckets(urls, n_buckets))
+    paths = bucket_paths(corpus_dir, touched_buckets(wave.urls, n_buckets))
     if not paths:
         return ray.data.from_items([])
     ds = ray.data.read_parquet(paths, columns=["url", "url_hash", "html"])

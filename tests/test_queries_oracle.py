@@ -72,7 +72,8 @@ def test_all_query_names_have_callables(contract):
         "docs_lang_filter", "docs_token_counts", "docs_quality",
         "docs_exact_dedup", "docs_dedup_per_source", "docs_source_stats",
         "emb_knn", "q1_pricing", "q3_top_orders", "nation_revenue",
-        "events_hourly", "events_topk_users", "part_type_stats",
+        "q5_region_supplier", "events_hourly", "events_topk_users",
+        "events_sessionize", "part_type_stats",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
@@ -90,7 +91,8 @@ def test_sql_oracle_match(contract, con, name):
 @pytest.mark.parametrize(
     "name",
     ["docs_lang_id", "docs_fingerprints", "docs_simhash",
-     "docs_minhash_pairs", "emb_knn_lsh", "emb_near_dup"],
+     "docs_minhash_pairs", "docs_ngram_jaccard", "emb_knn_lsh",
+     "emb_near_dup"],
 )
 def test_rows_only_queries_run(contract, name):
     qs, _ = contract
@@ -117,6 +119,39 @@ def test_emb_knn_lsh_recall_vs_bruteforce(contract):
     # isotropic random embeddings are LSH's worst case (no cluster
     # structure); defaults are tuned to ~0.8 recall at ~2/3 scan fraction
     assert recall_num / recall_den >= 0.6, "LSH recall collapsed"
+
+
+def test_ngram_jaccard_matches_bruteforce(contract):
+    """Distributed inverted-index jaccard == brute-force all-pairs
+    jaccard on the small table (exactness check for the pruning)."""
+    from snapcrawler_ray.functions.dedup import _shingle_hashes
+
+    qs, _ = contract
+    got = _to_pandas(qs["docs_ngram_jaccard"](SF_DIR))
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+    sh = {
+        r.doc_id: set(_shingle_hashes(r.text or "", 3).tolist())
+        for r in docs.itertuples()
+    }
+    ids = sorted(sh)
+    want = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            inter = len(sh[a] & sh[b])
+            if not inter:
+                continue
+            jac = inter / len(sh[a] | sh[b])
+            if jac >= 0.6:
+                want.append((a, b, round(jac, 4)))
+    want_df = pd.DataFrame(want, columns=["doc_a", "doc_b", "jaccard"])
+    assert len(got) == len(want_df)
+    if len(got):
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want_df, check_dtype=False,
+            check_exact=False, rtol=0, atol=1e-4,
+        )
 
 
 def test_crawl_queries_run(contract):
