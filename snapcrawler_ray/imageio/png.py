@@ -53,7 +53,7 @@ def encode_png(pixels: np.ndarray, dpi: tuple[int, int] | None = None) -> bytes:
         ppm_x = int(round(dpi[0] / _METER_PER_INCH))
         ppm_y = int(round(dpi[1] / _METER_PER_INCH))
         out.append(_chunk(b"pHYs", struct.pack(">IIB", ppm_x, ppm_y, 1)))
-    out.append(_chunk(b"IDAT", zlib.compress(stream, 6)))
+    out.append(_chunk(b"IDAT", zlib.compress(stream, 1)))
     out.append(_chunk(b"IEND", b""))
     return b"".join(out)
 

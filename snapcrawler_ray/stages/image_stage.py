@@ -25,6 +25,9 @@ class ImageFetchFilter:
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.filter_batch(batch)
+
+    def filter_batch(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         reasons, fmts, ws, hs, modes, aspects, phashes, regions = (
             [], [], [], [], [], [], [], [],
