@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_topk_users": lambda d: relational.events_topk_users(d),
         "events_sessionize": lambda d: relational.events_sessionize(d),
+        "events_rolling": lambda d: relational.events_rolling_window(d),
         "part_type_stats": relational.part_type_stats,
         # --- crawl engine (rows-only; oracle is the replay simulator,
         #     enforced in tests/test_crawl.py) ---
@@ -259,6 +260,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, min(ts) AS session_start, "
             "max(ts) AS session_end, count(*) AS n_events "
             "FROM numbered GROUP BY user_id, sess"
+        ),
+        "events_rolling": (
+            "SELECT user_id, event_id, "
+            "sum(CAST(round(value*100) AS BIGINT)) OVER w / 100.0 AS w_sum, "
+            "count(*) OVER w AS w_n "
+            "FROM events WINDOW w AS ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
         ),
         "part_type_stats": (
             "SELECT p_type, count(*) AS n_parts, "

@@ -76,34 +76,41 @@ def dedup_count_per_source(sf_dir: str) -> pd.DataFrame:
 # ------------------------------------------------------------- MinHash
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """uint64 hash per word k-shingle, fully vectorized: hash the token
+    array once (pandas SipHash), then combine each k-window with a
+    polynomial roll — no per-shingle string building or digesting."""
+    import pandas as pd
+
     toks = _WS.split(text.strip()) if text.strip() else []
     if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else [""]
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = np.frombuffer(
-            hashlib.md5(s.encode("utf-8")).digest()[:8], dtype=np.uint64
-        )[0]
+        base = [" ".join(toks)] if toks else [""]
+        return pd.util.hash_array(np.asarray(base, dtype=object))
+    th = pd.util.hash_array(np.asarray(toks, dtype=object))
+    n = len(toks) - k + 1
+    out = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            out = out * np.uint64(0x100000001B3) + th[j : j + n]
     return out
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, 2**63, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.randint(0, 2**63, size=num_perm, dtype=np.uint64)
     return a, b
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    sh = _shingle_hashes(text).astype(np.object_)  # python ints: exact mod-p math
-    vals = np.array([int(x) for x in sh], dtype=object)
-    sig = np.empty(len(a), dtype=np.uint64)
-    for i in range(len(a)):
-        hv = (int(a[i]) * vals + int(b[i])) % _MERSENNE
-        sig[i] = np.uint64(min(hv))
-    return sig
+    """Vectorized minhash: h_i(x) = (a_i·x + b_i) mod 2^64 via native
+    uint64 wraparound (a_i odd ⇒ the map is a bijection on Z_2^64; the
+    multiply-shift family is a standard universal-enough choice and
+    ~1000× faster than exact mod-p math in python ints).  One (n_shingles
+    × n_perm) outer product, min along shingles."""
+    sh = _shingle_hashes(text)  # uint64
+    with np.errstate(over="ignore"):
+        hv = sh[:, None] * a[None, :] + b[None, :]
+    return hv.min(axis=0)
 
 
 class MinHashStage:
@@ -211,16 +218,18 @@ def ngram_jaccard_pairs(
     max_df: int = 200,
 ) -> pd.DataFrame:
     """Exact n-gram (word k-shingle) Jaccard near-dup pairs via a
-    distributed inverted index: explode (doc, shingle-hash) → groupby
-    shingle (the shuffle is on uint64 hashes, never text) → per-group
-    candidate pairs → co-occurrence count aggregation →
-    jaccard = co / (|A| + |B| − co) ≥ threshold.
+    distributed inverted index: explode (doc, shingle-hash) → hash-
+    partition by shingle (the shuffle key is uint64, never text) → per-
+    partition self-merge on shingle (C-speed pandas join, no per-group
+    python) → co-occurrence counts → jaccard = co / (|A| + |B| − co)
+    ≥ threshold.
 
     Shingles appearing in more than ``max_df`` docs are skipped when
     pairing (standard frequent-shingle pruning; such shingles can only
     *lower* a pair's jaccard below what its rarer shingles establish —
-    near-dup pairs at sane thresholds are unaffected, and skipped
-    counts are reported via log)."""
+    near-dup pairs at sane thresholds are unaffected).  Singleton
+    shingles (most of them) never reach the merge."""
+    n_parts = 64
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
@@ -231,36 +240,48 @@ def ngram_jaccard_pairs(
             hs = np.unique(_shingle_hashes(t, k))
             out_doc.extend([doc_id] * len(hs))
             out_sh.extend(hs.tolist())
+        sh = np.asarray(out_sh, np.uint64)
         return pd.DataFrame(
-            {"doc_id": out_doc, "shingle": np.asarray(out_sh, np.uint64)}
+            {
+                "doc_id": out_doc,
+                "shingle": sh,
+                "part": (sh % np.uint64(n_parts)).astype(np.int64),
+            }
         )
 
     exploded = docs.map_batches(explode, batch_format="pandas")
 
-    # per-doc distinct-shingle counts (broadcast to the verify step)
+    # per-doc distinct-shingle counts (for the jaccard denominator)
     sizes = (
         exploded.groupby("doc_id").count().to_pandas()
         .rename(columns={"count()": "n_shingles"})
         .set_index("doc_id")["n_shingles"]
     )
 
-    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(df["doc_id"].to_numpy())
-        if len(ids) < 2 or len(ids) > max_df:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a_idx], "doc_b": ids[b_idx]})
+    def part_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["shingle"].value_counts()
+        keep = vc[(vc >= 2) & (vc <= max_df)].index
+        d = df[df["shingle"].isin(keep)][["doc_id", "shingle"]]
+        if d.empty:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "co": []})
+        m = d.merge(d, on="shingle")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        co = (
+            m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+            .size()
+            .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b",
+                             "size": "co"})
+        )
+        return co
 
     co = (
-        exploded.groupby("shingle")
-        .map_groups(pairs_in_group, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .count()
+        exploded.groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
         .to_pandas()
-        .rename(columns={"count()": "co"})
     )
     if co.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    co = co.groupby(["doc_a", "doc_b"], as_index=False)["co"].sum()
     sa = sizes.reindex(co["doc_a"]).to_numpy()
     sb = sizes.reindex(co["doc_b"]).to_numpy()
     jac = co["co"].to_numpy() / (sa + sb - co["co"].to_numpy())

@@ -316,6 +316,40 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     return df.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
 
+def events_rolling_window(sf_dir: str, window: int = 5) -> pd.DataFrame:
+    """Per-user rolling-window aggregate (last ``window`` events by
+    (ts, event_id)): windowed sum of value + window row count.  The
+    shuffle is ``groupby(user_id).map_groups`` (each user's ordered
+    history co-located — documented partitioning assumption); the
+    window itself is an exact int64 sliding cumsum, so values match
+    the DuckDB window-function oracle bit-for-bit."""
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        c = _cents(df["value"]).to_numpy()
+        cs = np.concatenate([[0], np.cumsum(c)])
+        n = len(c)
+        lo = np.maximum(0, np.arange(1, n + 1) - window)
+        w_sum_c = cs[1:] - cs[lo]
+        w_n = np.arange(1, n + 1) - lo
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "event_id": df["event_id"],
+                "w_sum": w_sum_c / 100.0,
+                "w_n": w_n.astype("int64"),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+    return (
+        out.to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+
+
 def part_type_stats(sf_dir: str) -> pd.DataFrame:
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

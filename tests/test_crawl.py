@@ -169,3 +169,38 @@ def test_resume_identical_output(small_corpus, tmp_path):
     assert resumed.visits.to_pylist() == full.visits.to_pylist()
     assert resumed.emissions.to_pylist() == full.emissions.to_pylist()
     assert resumed.seen_urls == full.seen_urls
+
+
+def test_scale_mode_resume_identical(small_corpus, tmp_path):
+    """Scale mode: kill after round 1, resume from the per-partition
+    actor-written checkpoints, identical outputs."""
+    spec, path = small_corpus
+    seeds = seeds_for(spec, 4)
+    cfg = CrawlConfig(start_urls=tuple(seeds), limits=CrawlLimits(max_depth=3))
+    ck1 = str(tmp_path / "sck_full")
+    eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets, mode="scale",
+                      checkpoint_dir=ck1)
+    try:
+        full = eng.run()
+        full_visits = full.visits.to_pylist()
+        full_emissions = full.emissions.to_pylist()
+    finally:
+        eng.shutdown()
+
+    ck2 = str(tmp_path / "sck_partial")
+    os.makedirs(ck2)
+    import shutil
+
+    for r in (0, 1):
+        src = os.path.join(ck1, f"round={r}")
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(ck2, f"round={r}"))
+
+    eng2 = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets, mode="scale",
+                       checkpoint_dir=ck2)
+    try:
+        resumed = eng2.run(resume=True)
+        assert resumed.visits.to_pylist() == full_visits
+        assert resumed.emissions.to_pylist() == full_emissions
+    finally:
+        eng2.shutdown()

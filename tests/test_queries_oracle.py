@@ -73,7 +73,7 @@ def test_all_query_names_have_callables(contract):
         "docs_exact_dedup", "docs_dedup_per_source", "docs_source_stats",
         "emb_knn", "q1_pricing", "q3_top_orders", "nation_revenue",
         "q5_region_supplier", "events_hourly", "events_topk_users",
-        "events_sessionize", "part_type_stats",
+        "events_sessionize", "events_rolling", "part_type_stats",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
