@@ -63,9 +63,11 @@ def dedup_count_per_source(sf_dir: str) -> pd.DataFrame:
         ]
         return pd.DataFrame({"source": df["source"], "content_md5": h})
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["source", "text"]
-    ).map_batches(partial, batch_format="pandas")
+    from .io import read_table
+
+    ds = read_table(sf_dir, "documents", ["source", "text"]).map_batches(
+        partial, batch_format="pandas"
+    )
     df = ds.to_pandas()
     out = df.groupby("source").agg(
         n_docs=("content_md5", "size"), n_unique=("content_md5", "nunique")
@@ -149,9 +151,9 @@ def minhash_lsh_pairs(
     bucket (the shuffle: tiny band-hash keys, not text) → candidate
     pairs → exact-Jaccard verify on the candidates only."""
     rows_per_band = num_perm // bands
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    from .io import read_table
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
     sigs = docs.map_batches(
         MinHashStage,
         batch_format="pandas",
@@ -167,25 +169,37 @@ def minhash_lsh_pairs(
                 chunk = s[band * rows_per_band : (band + 1) * rows_per_band]
                 key = hashlib.md5(
                     band.to_bytes(2, "big") + chunk.tobytes()
-                ).hexdigest()
+                ).digest()[:8]
                 out_doc.append(doc_id)
-                out_key.append(key)
-        return pd.DataFrame({"doc_id": out_doc, "bucket": out_key})
+                out_key.append(np.frombuffer(key, dtype=np.uint64)[0])
+        bk = np.asarray(out_key, dtype=np.uint64)
+        return pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "bucket": bk,
+                "part": (bk % np.uint64(64)).astype(np.int64),
+            }
+        )
 
     buckets = sigs.map_batches(to_bands, batch_format="pandas")
 
-    def pairs_in_group(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(df["doc_id"].tolist()))
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out})
+    def part_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # most band buckets are singletons: prune them before the
+        # C-speed self-merge (no per-bucket python)
+        vc = df["bucket"].value_counts()
+        keep = vc[vc >= 2].index
+        d = df[df["bucket"].isin(keep)][["doc_id", "bucket"]]
+        if d.empty:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        m = d.merge(d, on="bucket")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return m.rename(
+            columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"}
+        )[["doc_a", "doc_b"]].drop_duplicates()
 
     cand = (
-        buckets.groupby("bucket")
-        .map_groups(pairs_in_group, batch_format="pandas")
+        buckets.groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()
     )
@@ -229,10 +243,10 @@ def ngram_jaccard_pairs(
     *lower* a pair's jaccard below what its rarer shingles establish —
     near-dup pairs at sane thresholds are unaffected).  Singleton
     shingles (most of them) never reach the merge."""
+    from .io import read_table
+
     n_parts = 64
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         out_doc, out_sh = [], []
@@ -322,9 +336,11 @@ def simhashes(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(f, batch_format="pandas")
+    from .io import read_table
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
 
 
 # ----------------------------------------------- embedding near-dup
@@ -335,8 +351,10 @@ def embedding_near_dup_pairs(
     """(vec_a < vec_b, cosine ≥ threshold) via hyperplane-LSH buckets +
     exact verify inside each bucket.  The bucket groupby is the only
     shuffle; pair verification is a small numpy matmul per bucket."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    from .io import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"],
+                    blocks=16)
 
     first = ds.take(1)[0]
     dim = len(first["embedding"])

@@ -21,7 +21,9 @@ import ray
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from .io import read_table
+
+    return read_table(sf_dir, table, columns)
 
 
 def _cents(s: pd.Series) -> pd.Series:
@@ -72,16 +74,33 @@ def q1_pricing(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
+_BC_CACHE: dict[str, pd.DataFrame] = {}
+
+
+def _bc_get(ref) -> pd.DataFrame:
+    """Worker-process cache for a broadcast DataFrame (``ray.put`` once;
+    each worker deserializes it once, not per batch)."""
+    key = ref.hex()
+    if key not in _BC_CACHE:
+        if len(_BC_CACHE) > 8:
+            _BC_CACHE.clear()
+        _BC_CACHE[key] = ray.get(ref)
+    return _BC_CACHE[key]
+
+
 class BroadcastFilterJoin:
-    """map_batches actor: inner-join a fact batch against a broadcast
-    dimension DataFrame (``ray.put`` once, fetched per actor)."""
+    """Broadcast inner-join stage: used as a plain ``map_batches``
+    function (task pool — an actor pool here would add a second
+    minimum-resource operator and can deadlock tiny clusters when
+    combined with a hash join; the broadcast side is fetched from the
+    object store once per worker process via ``_bc_cache``)."""
 
     def __init__(self, ref, key: str):
-        self.lookup: pd.DataFrame = ray.get(ref)
+        self.ref = ref
         self.key = key
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        return df.merge(self.lookup, how="inner", on=self.key)
+        return df.merge(_bc_get(self.ref), how="inner", on=self.key)
 
 
 def _revenue_units(df: pd.DataFrame) -> pd.Series:
@@ -97,10 +116,8 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.Dat
     cust_ref = ray.put(cust.rename(columns={"c_custkey": "o_custkey"}))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        BroadcastFilterJoin,
+        BroadcastFilterJoin(cust_ref, "o_custkey"),
         batch_format="pandas",
-        concurrency=(1, 4),
-        fn_constructor_kwargs={"ref": cust_ref, "key": "o_custkey"},
     )
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     joined = line.join(
@@ -137,10 +154,8 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
     cust_ref = ray.put(cust.rename(columns={"c_custkey": "o_custkey"}))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        BroadcastFilterJoin,
+        BroadcastFilterJoin(cust_ref, "o_custkey"),
         batch_format="pandas",
-        concurrency=(1, 4),
-        fn_constructor_kwargs={"ref": cust_ref, "key": "o_custkey"},
     )
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     joined = line.join(
@@ -188,19 +203,15 @@ def q5_region_supplier_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFram
     supp_ref = ray.put(supp.rename(columns={"s_suppkey": "l_suppkey"}))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        BroadcastFilterJoin,
+        BroadcastFilterJoin(cust_ref, "o_custkey"),
         batch_format="pandas",
-        concurrency=(1, 4),
-        fn_constructor_kwargs={"ref": cust_ref, "key": "o_custkey"},
     )
     line = _read(
         sf_dir, "lineitem",
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(
-        BroadcastFilterJoin,
+        BroadcastFilterJoin(supp_ref, "l_suppkey"),
         batch_format="pandas",
-        concurrency=(1, 4),
-        fn_constructor_kwargs={"ref": supp_ref, "key": "l_suppkey"},
     )
     joined = line.join(
         orders,

@@ -67,9 +67,10 @@ class TopKStage:
 def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFrame:
     """query_id, rank (1-based), vec_id — exact cosine top-k."""
     q_ref = ray.put(_load_queries(sf_dir, n_queries))
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    from .io import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"],
+                    blocks=16)
     partial = ds.map_batches(
         TopKStage,
         batch_format="pandas",
@@ -100,9 +101,10 @@ def knn_lsh(
     """Approximate top-k: scan only rows whose hyperplane bucket is
     within ``probe_hamming`` bits of the query bucket."""
     qids, qm = _load_queries(sf_dir, n_queries)
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    from .io import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"],
+                    blocks=16)
     first = ds.take(1)[0]
     dim = len(first["embedding"])
     rng = np.random.RandomState(seed)

@@ -34,7 +34,9 @@ _LANG_PROFILES = {
 
 
 def _docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from .io import read_table
+
+    return read_table(sf_dir, "documents", columns)
 
 
 def token_counts(sf_dir: str) -> "ray.data.Dataset":
@@ -131,9 +133,10 @@ def lang_filter(sf_dir: str, lang: str = "en") -> "ray.data.Dataset":
     import pyarrow.compute as pc
     import pyarrow as pa
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "lang", "source", "n_chars"],
+    from .io import read_table
+
+    ds = read_table(
+        sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]
     )
     return ds.map_batches(
         lambda b: b.filter(pc.equal(b.column("lang"), lang)),
