@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from functools import lru_cache
 from urllib.parse import urljoin, urlparse
 
 from .parser import Node, parse_html
@@ -38,12 +39,15 @@ _IMAGE_PAGE_PATTERNS = (
 )
 
 
+@lru_cache(maxsize=131072)
 def is_valid_image_url(url: str, min_commons_thumb_px: int | None = None) -> bool:
     """Does ``url`` point at an image file (Wikimedia special rules)?
 
     ``min_commons_thumb_px`` is the already-resolved threshold
     (reference fallback chain crawling.min_commons_thumb_px →
     images.min_side_size → 300, crawling_module.py:386-401).
+    Pure in its arguments — worker-local memoized (image URLs repeat
+    heavily across pages).
     """
     url_lower = url.lower()
     parsed = urlparse(url)
@@ -79,7 +83,12 @@ def is_valid_image_url(url: str, min_commons_thumb_px: int | None = None) -> boo
 
 def is_image_page_url(url: str, base_url: str) -> bool:
     """Is ``url`` an image *page* (to cascade-crawl at the same depth)?"""
-    if "commons.wikimedia.org" in base_url:
+    return _is_image_page(url, "commons.wikimedia.org" in base_url)
+
+
+@lru_cache(maxsize=131072)
+def _is_image_page(url: str, commons_base: bool) -> bool:
+    if commons_base:
         return "/wiki/File:" in url or "/wiki/Category:" in url
     low = url.lower()
     return any(p in low for p in _IMAGE_PAGE_PATTERNS)
@@ -149,10 +158,16 @@ def extract_links(root: Node, base_url: str, allowed_domains: list[str]) -> list
         href = a_tag.get("href")
         if href:
             absolute = urljoin(base_url, href)
-            parsed = urlparse(absolute)
-            if parsed.netloc in allowed and parsed.scheme in ("http", "https"):
+            netloc, scheme = _netloc_scheme(absolute)
+            if netloc in allowed and scheme in ("http", "https"):
                 links.append(absolute)
     return links
+
+
+@lru_cache(maxsize=131072)
+def _netloc_scheme(url: str) -> tuple[str, str]:
+    p = urlparse(url)
+    return p.netloc, p.scheme
 
 
 def extract_text(root: Node) -> str:
@@ -176,7 +191,12 @@ def page_md5(html: bytes | str) -> str:
     """MD5 of the decoded page text (crawling_module.py:228 hashes
     ``response.text`` — the *decoded* body re-encoded as UTF-8)."""
     if isinstance(html, (bytes, bytearray, memoryview)):
-        html = bytes(html).decode("utf-8", errors="replace")
+        b = bytes(html)
+        if b.isascii():
+            # decode('utf-8', 'replace') → encode('utf-8') is the
+            # identity on ASCII bytes — hash them directly
+            return hashlib.md5(b).hexdigest()
+        html = b.decode("utf-8", errors="replace")
     return hashlib.md5(html.encode("utf-8")).hexdigest()
 
 
