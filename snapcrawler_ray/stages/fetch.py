@@ -95,11 +95,14 @@ def make_wave_broadcast(wave) -> dict:
     from the object store zero-copy, so per-worker 'deserialize the
     frontier' cost is ~0 (a python dict of 10^5 urls was measurably
     worse at high parallelism)."""
-    h = url_hash64(wave.urls)
+    h = np.asarray(wave.hashes)
     order = np.argsort(h, kind="stable")
+    urls = wave.urls
+    if not isinstance(urls, pa.Array):
+        urls = pa.array(urls, pa.string())
     return {
         "hashes": h[order],
-        "urls": pa.array(wave.urls[order], pa.string()),
+        "urls": urls.take(pa.array(order)),
         "depth": np.asarray(wave.depths, np.int32)[order],
         "seq": np.asarray(wave.seqs, np.int64)[order],
     }
@@ -613,7 +616,11 @@ def fetch_extract_wave(
 
     if not len(wave):
         raise ValueError("empty wave")
-    paths = bucket_paths(corpus_dir, touched_buckets(wave.urls, n_buckets))
+    buckets = sorted(
+        set((np.asarray(wave.hashes) % np.uint64(n_buckets))
+            .astype(int).tolist())
+    )
+    paths = bucket_paths(corpus_dir, buckets)
     if not paths:
         return ray.data.from_items([])
     ds = ray.data.read_parquet(paths, columns=["url", "url_hash", "html"])

@@ -204,3 +204,40 @@ def test_scale_mode_resume_identical(small_corpus, tmp_path):
         assert resumed.emissions.to_pylist() == full_emissions
     finally:
         eng2.shutdown()
+
+
+def test_streaming_scan_fetch_matches_pool(small_corpus):
+    """The Dataset-native scan fetch (fallback for corpora too big to
+    hold resident) returns the same extraction rows as the pool path."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from snapcrawler_ray.hashing import url_hash64
+    from snapcrawler_ray.pipelines.crawl import Wave
+    from snapcrawler_ray.stages.fetch import fetch_extract_wave
+
+    spec, path = small_corpus
+    # take a handful of real corpus urls + one miss
+    t = None
+    for name in sorted(os.listdir(path)):
+        if name.startswith("bucket="):
+            t = pq.read_table(os.path.join(path, name, "part-0.parquet"),
+                              columns=["url"])
+            break
+    urls = t.column("url").to_pylist()[:5] + ["https://nowhere.example/x"]
+    wave = Wave(
+        pa.array(urls, pa.string()),
+        np.zeros(len(urls), np.int32),
+        np.arange(len(urls), dtype=np.int64),
+        url_hash64(np.asarray(urls, dtype=object)),
+    )
+    ds = fetch_extract_wave(
+        path, spec.buckets, wave,
+        allowed_domains=sorted({h for h in hosts_of(urls) if h}),
+        min_commons_thumb_px=400,
+    )
+    rows = {r["url"]: r for r in ds.take_all()}
+    assert set(rows) == set(urls[:5])  # miss absent
+    for u in urls[:5]:
+        assert rows[u]["content_md5"]
