@@ -154,6 +154,39 @@ def test_ngram_jaccard_matches_bruteforce(contract):
         )
 
 
+def test_emb_near_dup_finds_planted_pairs(ray_session, tmp_path):
+    """The driver's embeddings are isotropic-random (max pairwise
+    cosine ~0.5), so near-dup output is legitimately empty there; this
+    plants true near-duplicates and checks they — and only they — are
+    found."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from snapcrawler_ray.functions.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(200, 64))
+    # plant: 201 = 0 + tiny noise, 202 = 17 exactly, 203 = 42 + noise
+    planted = np.vstack([
+        base,
+        base[0] + 0.01 * rng.normal(size=64),
+        base[17],
+        base[42] + 0.02 * rng.normal(size=64),
+    ])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(planted)), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in planted],
+                              pa.list_(pa.float64())),
+    })
+    d = tmp_path / "sf_fake"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    pairs = embedding_near_dup_pairs(str(d), threshold=0.95)
+    got = {(int(a), int(b)) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
+    assert got == {(0, 200), (17, 201), (42, 202)}
+
+
 def test_crawl_queries_run(contract):
     qs, _ = contract
     visits = _to_pandas(qs["crawl_visits"](SF_DIR))
