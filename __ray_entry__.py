@@ -110,6 +110,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res, _ = _run_crawl(sf_dir)
         return pd.DataFrame({"url": res.seen_urls})
 
+    def crawl_depth_histogram(sf_dir: str):
+        # A3: urls-per-depth histogram (reference image_spider.py:649-652)
+        import pandas as pd
+
+        res, _ = _run_crawl(sf_dir)
+        v = res.visits.to_pandas()
+        out = v.groupby("depth", as_index=False).agg(n_visits=("url", "size"))
+        return out.sort_values("depth").reset_index(drop=True)
+
     return {
         # --- documents: text ops (SQL-oracled) ---
         "docs_lang_filter": lambda d: text.lang_filter(d, "en"),
@@ -144,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_emissions": crawl_emissions,
         "crawl_image_verdicts": crawl_image_verdicts,
         "crawl_seen_set": crawl_seen_set,
+        "crawl_depth_histogram": crawl_depth_histogram,
     }
 
 

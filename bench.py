@@ -7,8 +7,10 @@ times for the operator suite over the testdata tables.
 
     python bench.py                 # full run at $RAY_GRAFT_CPUS (default 32)
     python bench.py --headline-only # crawl headline only
-    python bench.py --scaling       # same job at num_cpus=8 and 32 in fresh
-                                    # processes → throughputs + efficiency
+    python bench.py --scaling       # same job at two parallelism levels in
+                                    # fresh interleaved processes (primary
+                                    # N→4N pair 4→16 CPUs; 8→32 reported
+                                    # alongside) → throughputs + efficiency
 
 Corpus generation is cached under /tmp and excluded from timings.
 """
