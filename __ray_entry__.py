@@ -187,7 +187,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY source"
         ),
         "docs_source_stats": (
-            "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars "
+            # CAST: duckdb's sum() yields HUGEINT (→float64 in pandas);
+            # the engine emits int64 — the driver hashes values by dtype
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY source"
         ),
         "emb_knn": (

@@ -54,7 +54,12 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
 
 def dedup_count_per_source(sf_dir: str) -> pd.DataFrame:
     """source, n_docs, n_unique (distinct text hashes) — the per-source
-    dedup-rate view."""
+    dedup-rate view.
+
+    Fully distributed: groupby (source, md5) collapses duplicates with
+    the only O(corpus) shuffle keyed on small hash strings; the second
+    groupby runs over one row per *distinct* (source, text) — nothing
+    O(corpus) ever reaches the driver (the final table is O(sources))."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         h = [
@@ -68,10 +73,22 @@ def dedup_count_per_source(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", ["source", "text"]).map_batches(
         partial, batch_format="pandas"
     )
-    df = ds.to_pandas()
-    out = df.groupby("source").agg(
-        n_docs=("content_md5", "size"), n_unique=("content_md5", "nunique")
-    ).reset_index()
+    per_hash = ds.groupby(["source", "content_md5"]).count()
+    per_source = (
+        per_hash.map_batches(
+            lambda df: pd.DataFrame(
+                {"source": df["source"], "n_docs": df["count()"], "one": 1}
+            ),
+            batch_format="pandas",
+        )
+        .groupby("source")
+        .sum(["n_docs", "one"])
+    )
+    out = per_source.to_pandas().rename(
+        columns={"sum(n_docs)": "n_docs", "sum(one)": "n_unique"}
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_unique"] = out["n_unique"].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
 
 
@@ -197,32 +214,57 @@ def minhash_lsh_pairs(
             columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"}
         )[["doc_a", "doc_b"]].drop_duplicates()
 
+    # distinct candidate pairs, still distributed (same pair can emerge
+    # from bands landing in different partitions)
     cand = (
         buckets.groupby("part")
         .map_groups(part_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .map_batches(
+            lambda df: df[["doc_a", "doc_b"]], batch_format="pandas"
+        )
+        .materialize()
     )
-    if cand.empty:
+    if cand.count() == 0:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
 
-    # verify candidates against exact jaccard (texts fetched once)
-    texts = (
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
-        .to_pandas()
-        .set_index("doc_id")["text"]
+    # exact-Jaccard verify WITHOUT materializing the corpus on the
+    # driver: hash-join each pair side against the documents table (the
+    # shuffle ships candidate keys + only the candidate docs' texts),
+    # then a vectorized-per-pair shingle comparison.
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    j1 = cand.join(
+        docs, join_type="inner", num_partitions=8,
+        on=("doc_a",), right_on=("doc_id",),
+    ).map_batches(
+        lambda df: df.rename(columns={"text": "text_a"})[
+            ["doc_a", "doc_b", "text_a"]
+        ],
+        batch_format="pandas",
+    ).materialize()
+    j2 = j1.join(
+        docs, join_type="inner", num_partitions=8,
+        on=("doc_b",), right_on=("doc_id",),
     )
-    jac = [
-        jaccard(texts.get(a, ""), texts.get(b, ""))
-        for a, b in zip(cand["doc_a"], cand["doc_b"])
-    ]
-    cand = cand.assign(jaccard=np.round(jac, 4))
-    out = cand[cand["jaccard"] >= threshold].sort_values(
-        ["doc_a", "doc_b"]
-    ).reset_index(drop=True)
-    return out
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        jac = np.round(
+            [
+                jaccard(a or "", b or "")
+                for a, b in zip(df["text_a"], df["text"])
+            ],
+            4,
+        )
+        out = pd.DataFrame(
+            {"doc_a": df["doc_a"], "doc_b": df["doc_b"], "jaccard": jac}
+        )
+        return out[out["jaccard"] >= threshold]
+
+    out = j2.map_batches(verify, batch_format="pandas").to_pandas()
+    return (
+        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
 
 
 def ngram_jaccard_pairs(
@@ -249,61 +291,76 @@ def ngram_jaccard_pairs(
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_sh = [], []
+        out_doc, out_sh, out_n = [], [], []
         for doc_id, t in zip(df["doc_id"], df["text"].fillna("")):
             hs = np.unique(_shingle_hashes(t, k))
             out_doc.extend([doc_id] * len(hs))
             out_sh.extend(hs.tolist())
+            # per-doc distinct-shingle count rides along on every row so
+            # the jaccard denominator never needs a driver-side lookup
+            out_n.extend([len(hs)] * len(hs))
         sh = np.asarray(out_sh, np.uint64)
         return pd.DataFrame(
             {
                 "doc_id": out_doc,
                 "shingle": sh,
+                "n_sh": np.asarray(out_n, np.int64),
                 "part": (sh % np.uint64(n_parts)).astype(np.int64),
             }
         )
 
     exploded = docs.map_batches(explode, batch_format="pandas")
 
-    # per-doc distinct-shingle counts (for the jaccard denominator)
-    sizes = (
-        exploded.groupby("doc_id").count().to_pandas()
-        .rename(columns={"count()": "n_shingles"})
-        .set_index("doc_id")["n_shingles"]
-    )
-
     def part_pairs(df: pd.DataFrame) -> pd.DataFrame:
         vc = df["shingle"].value_counts()
         keep = vc[(vc >= 2) & (vc <= max_df)].index
-        d = df[df["shingle"].isin(keep)][["doc_id", "shingle"]]
+        d = df[df["shingle"].isin(keep)][["doc_id", "shingle", "n_sh"]]
         if d.empty:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "co": []})
+            return pd.DataFrame(
+                {"doc_a": [], "doc_b": [], "co": [], "sa": [], "sb": []}
+            )
         m = d.merge(d, on="shingle")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         co = (
             m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
-            .size()
-            .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b",
-                             "size": "co"})
+            .agg(co=("shingle", "size"), sa=("n_sh_x", "first"),
+                 sb=("n_sh_y", "first"))
+            .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
         )
         return co
+
+    from ray.data.aggregate import Max, Sum
 
     co = (
         exploded.groupby("part")
         .map_groups(part_pairs, batch_format="pandas")
-        .to_pandas()
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("co"), Max("sa"), Max("sb"))
     )
-    if co.empty:
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["sum(co)"].to_numpy(np.float64)
+        jac = c / (
+            df["max(sa)"].to_numpy(np.float64)
+            + df["max(sb)"].to_numpy(np.float64)
+            - c
+        )
+        out = pd.DataFrame(
+            {
+                "doc_a": df["doc_a"],
+                "doc_b": df["doc_b"],
+                "jaccard": np.round(jac, 4),
+            }
+        )
+        return out[out["jaccard"] >= threshold]
+
+    # only the above-threshold pairs (the query's actual result) reach
+    # the driver
+    out = co.map_batches(finish, batch_format="pandas").to_pandas()
+    if out.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    co = co.groupby(["doc_a", "doc_b"], as_index=False)["co"].sum()
-    sa = sizes.reindex(co["doc_a"]).to_numpy()
-    sb = sizes.reindex(co["doc_b"]).to_numpy()
-    jac = co["co"].to_numpy() / (sa + sb - co["co"].to_numpy())
-    out = co.assign(jaccard=np.round(jac, 4))[jac >= threshold]
     return (
-        out[["doc_a", "doc_b", "jaccard"]]
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
+        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
 
 

@@ -1,37 +1,29 @@
 """Shared column-pruned table reader for the operator suite.
 
 The driver's testdata parquet files hold a single row group each, and
-Ray Data's parquet reader splits at row-group granularity — so a naive
-``read_parquet`` yields ONE block and every downstream ``map_batches``
-stage runs on one worker.  ``read_table`` repartitions right after the
-read so stages fan out.  (At production scale inputs arrive as many
-files / row groups and the repartition becomes a no-op knob.)
+Ray Data's parquet reader splits read *tasks* at row-group granularity —
+so a naive ``read_parquet`` yields ONE block and every downstream
+``map_batches`` stage runs on one worker.  ``read_table`` passes
+``override_num_blocks`` so the read output is split into N blocks
+(Ray's dynamic block splitting slices the decoded table after the scan)
+and stages fan out.  The row count that sizes the split comes from the
+Parquet footer metadata — no data is scanned to decide the block count,
+and the table is read exactly once, lazily.  (At production scale
+inputs arrive as many files / row groups and the override becomes a
+no-op knob.)
 """
 
 from __future__ import annotations
 
+import pyarrow.parquet as pq
 import ray
 
 
 def read_table(sf_dir: str, name: str, columns: list[str],
                blocks: int = 32) -> "ray.data.Dataset":
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/{name}.parquet", columns=columns
-    )
-    n = ds.count()
+    path = f"{sf_dir}/{name}.parquet"
+    n = pq.read_metadata(path).num_rows  # footer only — no scan
     n_blocks = max(1, min(blocks, n // 2000 + 1))
-    if n_blocks > 1:
-        # materialize the repartition as its own (cheap, column-pruned)
-        # job: keeping an AllToAll operator inside a pipeline that also
-        # runs actor pools and an 8-partition join deadlocks on a
-        # 4-CPU cluster (operators' minimum resource demands exceed the
-        # budget); from a MaterializedDataset the downstream pipeline
-        # starts with ready blocks
-        ds = (
-            ray.data.read_parquet(
-                f"{sf_dir}/{name}.parquet", columns=columns
-            )
-            .repartition(n_blocks)
-            .materialize()
-        )
-    return ds
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=n_blocks
+    )

@@ -74,57 +74,85 @@ def quality_scores(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def _token_lists(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_tokens object-array, per-row token counts).  Empty/blank
+    text contributes one '' token (kept: downstream hashers treat the
+    empty doc deterministically)."""
+    import itertools
+
+    toks = texts.fillna("").str.strip().str.split(_WS)
+    lens = toks.map(len).to_numpy(np.int64)
+    flat = np.asarray(
+        list(itertools.chain.from_iterable(toks)), dtype=object
+    )
+    return flat, lens
+
+
 def lang_id(sf_dir: str) -> "ray.data.Dataset":
     """doc_id, lang_pred — stopword-profile heuristic language ID.
 
-    Scores each language by stopword-hit fraction; ties and no-hits
-    fall back to 'en'.  Deterministic pure function of the text (not
-    SQL-expressible → rows-only driver check)."""
+    Scores each language by stopword-hit fraction over the document's
+    distinct lowercase tokens; the alphabetically-first language with
+    the (strictly positive) max score wins, else 'en'.  Fully
+    vectorized: one exploded (doc, token) frame per batch, one
+    ``isin`` + groupby-size per language — no per-row python.
+    Deterministic pure function of the text (not SQL-expressible →
+    rows-only driver check)."""
 
-    profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+    langs = [k for k in sorted(_LANG_PROFILES) if _LANG_PROFILES[k]]
+    profiles = [frozenset(_LANG_PROFILES[k]) for k in langs]
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for text in df["text"].fillna(""):
-            words = set(_WS.split(text.strip().lower())) if text.strip() else set()
-            best, best_score = "en", 0.0
-            for lang in sorted(profiles):
-                prof = profiles[lang]
-                if not prof:
-                    continue
-                score = len(words & prof) / len(prof)
-                if score > best_score:
-                    best, best_score = lang, score
-            preds.append(best)
+        n = len(df)
+        flat, lens = _token_lists(df["text"].str.lower())
+        ex = pd.DataFrame(
+            {"i": np.repeat(np.arange(n), lens), "tok": flat}
+        ).drop_duplicates()
+        scores = np.zeros((n, len(langs)))
+        for j, prof in enumerate(profiles):
+            hits = ex[ex["tok"].isin(prof)].groupby("i").size()
+            scores[hits.index.to_numpy(), j] = hits.to_numpy() / len(prof)
+        best = np.argmax(scores, axis=1)  # first (alphabetical) max
+        preds = np.where(
+            scores.max(axis=1) > 0, np.asarray(langs, object)[best], "en"
+        )
         return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": preds})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
 def fingerprints(sf_dir: str) -> "ray.data.Dataset":
-    """doc_id, fingerprint — 64-bit rolling polynomial hash over tokens
-    (document fingerprint; rows-only check)."""
+    """doc_id, fingerprint — 64-bit rolling polynomial hash over token
+    hashes (document fingerprint; rows-only check).
+
+    fp = OFFSET·B^n + Σ th_i·B^(n-1-i)  (mod 2^64) — the closed form of
+    ``h = h·B + th_i``, so the whole batch vectorizes: one
+    ``pd.util.hash_array`` over the flattened tokens, a power lookup
+    per position, and a segmented ``np.add.reduceat``."""
     B = np.uint64(1099511628211)
+    OFFSET = np.uint64(14695981039346656037)
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        fps = np.zeros(len(df), dtype=np.uint64)
-        for i, text in enumerate(df["text"].fillna("")):
-            h = np.uint64(14695981039346656037)
-            with np.errstate(over="ignore"):
-                for tok in _WS.split(text.strip()):
-                    th = np.uint64(abs(hash(tok)) if False else _fnv(tok))
-                    h = h * B + th
-            fps[i] = h
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"doc_id": df["doc_id"],
+                                 "fingerprint": np.empty(0, np.uint64)})
+        flat, lens = _token_lists(df["text"])
+        th = pd.util.hash_array(flat)  # uint64, C-speed
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos_in_doc = np.arange(len(flat)) - np.repeat(starts, lens)
+        exp = np.repeat(lens, lens) - 1 - pos_in_doc
+        pw = np.empty(int(lens.max()) + 1, dtype=np.uint64)
+        pw[0] = 1
+        with np.errstate(over="ignore"):
+            for k in range(1, len(pw)):
+                pw[k] = pw[k - 1] * B
+            terms = th * pw[exp]
+            sums = np.add.reduceat(terms, starts)
+            fps = OFFSET * pw[lens] + sums
         return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": fps})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
-
-
-def _fnv(s: str) -> np.uint64:
-    h = 14695981039346656037
-    for b in s.encode("utf-8"):
-        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-    return np.uint64(h)
 
 
 def lang_filter(sf_dir: str, lang: str = "en") -> "ray.data.Dataset":
