@@ -338,6 +338,10 @@ class CrawlEngine:
         sched = self.politeness.schedule_hosts(
             list(host_counts.keys()), list(host_counts.values())
         )
+        # heavy-hitter salting telemetry: sub-batch sizes are bounded by
+        # cfg.politeness.heavy_hitter_threshold, the visit set and the
+        # per-host virtual timeline are unchanged (state/politeness.py)
+        salt = self.politeness.last_salt
         makespan = 0.0
         for h2, c in host_counts.items():
             first, delay = sched[h2]
@@ -373,6 +377,14 @@ class CrawlEngine:
         )
         self._last_pipeline_s = time.time() - tp0
         self._last_makespan = float(makespan)
+        self._last_salt = {
+            "salted_hosts": len(salt),
+            "max_host_batch": max(
+                [max(v) for v in salt.values()]
+                + [c for h2, c in host_counts.items() if h2 not in salt]
+                + [0]
+            ),
+        }
         return {
             "refs": refs,
             "found": int(len(seqs)),
@@ -412,6 +424,8 @@ class CrawlEngine:
             round_pipeline_s = 0.0
             round_images = 0
             misses = 0
+            round_salted = 0
+            round_max_batch = 0
 
             # cascade closure: image-page URLs re-enter the same round.
             # Exact mode iterates sub-waves inside the round (reference
@@ -431,6 +445,10 @@ class CrawlEngine:
                 fr = self._fetch_and_extract(subwave)
                 round_makespan += self._last_makespan
                 round_pipeline_s += self._last_pipeline_s
+                round_salted += self._last_salt["salted_hosts"]
+                round_max_batch = max(
+                    round_max_batch, self._last_salt["max_host_batch"]
+                )
                 misses += len(subwave) - fr["found"]
                 round_rows += fr["n_rows"]
                 round_images += fr["n_images"]
@@ -503,6 +521,8 @@ class CrawlEngine:
                     "misses": misses,
                     "cascade_subwaves": sub_idx - 1,
                     "next_wave": len(wave_next),
+                    "salted_hosts": round_salted,
+                    "max_host_batch": round_max_batch,
                     "politeness_makespan_s": round(round_makespan, 3),
                     "pipeline_s": round(round_pipeline_s, 3),
                     "wall_s": round(time.time() - t0, 3),

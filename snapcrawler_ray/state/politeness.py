@@ -13,9 +13,11 @@ sleeps: ``schedule`` assigns *virtual* fetch timestamps spaced by the
 current per-host delay (recorded into metrics as the politeness-bound
 makespan), and ``report`` adapts delays from the statuses the fetch
 stage observed.  Heavy-hitter hosts (more than
-``heavy_hitter_threshold`` URLs in one round) are salted into
-``host#k`` splits by the caller for shuffle-balance, but the budget is
-still enforced by the single host owner (SURVEY.md §7.5).
+``heavy_hitter_threshold`` URLs in one round) are salted by
+``salt_heavy_hosts`` into bounded sub-batches inside
+``schedule_hosts``; the budget is still enforced by the single host
+owner, which schedules the sub-batches consecutively on the host's one
+virtual timeline (SURVEY.md §7.5).
 """
 
 from __future__ import annotations
@@ -86,16 +88,58 @@ class PolitenessShard:
         self.state = pickle.loads(blob)
 
 
+def salt_heavy_hosts(
+    hosts: list[str], counts: list[int], threshold: int
+) -> tuple[list[str], list[int], dict[str, list[int]]]:
+    """Split any host presenting more than ``threshold`` URLs in one
+    round into consecutive sub-batches of at most ``threshold``
+    (SURVEY.md §4 skew row: a 30%-of-the-corpus host must not serialize
+    a round behind one dispatch unit).  Returns the salted (hosts,
+    counts) lists — the same host repeated per sub-batch — plus
+    {host: [sub-batch sizes]} for the hosts that were split.  The salted
+    entries all route to the host's single owner shard, which schedules
+    them back-to-back on the host's one virtual timeline: the budget
+    and the final next-free timestamp are identical to the unsalted
+    call, only the dispatch granularity changes."""
+    out_h: list[str] = []
+    out_c: list[int] = []
+    salted: dict[str, list[int]] = {}
+    for h, c in zip(hosts, counts):
+        if threshold > 0 and c > threshold:
+            chunks = [threshold] * (c // threshold)
+            if c % threshold:
+                chunks.append(c % threshold)
+            salted[h] = chunks
+            out_h.extend([h] * len(chunks))
+            out_c.extend(chunks)
+        else:
+            out_h.append(h)
+            out_c.append(c)
+    return out_h, out_c, salted
+
+
 class PolitenessPool:
     def __init__(self, cfg: PolitenessConfig, n_shards: int = 4):
         self.cfg = cfg
         self.n_shards = n_shards
         self.shards = [PolitenessShard.remote(cfg) for _ in range(n_shards)]
+        # {host: [sub-batch sizes]} from the most recent schedule_hosts
+        # call (only hosts that exceeded the heavy-hitter threshold)
+        self.last_salt: dict[str, list[int]] = {}
 
     def schedule_hosts(self, hosts: list[str], counts: list[int]) -> dict[str, tuple[float, float]]:
-        """-> {host: (first_virtual_ts, per_url_delay)}"""
+        """-> {host: (first_virtual_ts, per_url_delay)}
+
+        Heavy hitters are salted into ≤-threshold sub-batches first;
+        sub-batches keep routing by the *base* host name, so the single
+        owner shard schedules them consecutively and the per-host
+        timeline/budget is exactly the unsalted one."""
         if not hosts:
+            self.last_salt = {}
             return {}
+        hosts, counts, self.last_salt = salt_heavy_hosts(
+            hosts, counts, self.cfg.heavy_hitter_threshold
+        )
         shard_of = host_shard(hosts, self.n_shards)
         refs, keys = [], []
         for s in range(self.n_shards):
@@ -107,7 +151,8 @@ class PolitenessPool:
         out: dict[str, tuple[float, float]] = {}
         for hs, res in zip(keys, ray.get(refs)):
             for h, f, d in zip(hs, res["first_ts"], res["delay"]):
-                out[h] = (f, d)
+                if h not in out:  # first sub-batch owns the host's start
+                    out[h] = (f, d)
         return out
 
     def report_hosts(self, hosts: list[str], statuses: list[np.ndarray]) -> None:

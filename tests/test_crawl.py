@@ -241,3 +241,71 @@ def test_streaming_scan_fetch_matches_pool(small_corpus):
     assert set(rows) == set(urls[:5])  # miss absent
     for u in urls[:5]:
         assert rows[u]["content_md5"]
+
+
+# ---------------- heavy-hitter salting (T5/T6 skew) ----------------
+
+
+def test_salt_heavy_hosts_bounds_and_conservation():
+    from snapcrawler_ray.state.politeness import salt_heavy_hosts
+
+    hosts, counts, salted = salt_heavy_hosts(
+        ["big.example", "small.example"], [2000, 100], threshold=512
+    )
+    assert salted == {"big.example": [512, 512, 512, 464]}
+    assert max(counts) <= 512
+    assert sum(c for h, c in zip(hosts, counts) if h == "big.example") == 2000
+    assert ("small.example", 100) in zip(hosts, counts)
+
+
+def test_salted_schedule_same_virtual_timeline(ray_session):
+    """Salting changes dispatch granularity only: the owner shard's
+    per-host delay/next-free state after a salted schedule equals the
+    unsalted one, and the host's first slot is unchanged."""
+    from snapcrawler_ray.config import PolitenessConfig
+    from snapcrawler_ray.state.politeness import PolitenessPool
+
+    cfg_salt = PolitenessConfig(heavy_hitter_threshold=128)
+    cfg_plain = PolitenessConfig(heavy_hitter_threshold=1 << 30)
+    a = PolitenessPool(cfg_salt, n_shards=2)
+    b = PolitenessPool(cfg_plain, n_shards=2)
+    try:
+        sa = a.schedule_hosts(["big.example", "tiny.example"], [1000, 3])
+        sb = b.schedule_hosts(["big.example", "tiny.example"], [1000, 3])
+        assert sa == sb
+        assert a.last_salt == {"big.example": [128] * 7 + [104]}
+        assert b.last_salt == {}
+        assert a.snapshot() == b.snapshot()
+    finally:
+        a.shutdown()
+        b.shutdown()
+
+
+def test_crawl_salting_bounded_batches_unchanged_visits(small_corpus):
+    """The corpus plants a ~30% heavy host; with a low threshold the
+    engine reports bounded per-batch host counts and the visit set is
+    identical to the unsalted crawl."""
+    from snapcrawler_ray.config import PolitenessConfig
+
+    spec, path = small_corpus
+    seeds = seeds_for(spec, 4)
+    threshold = 16
+
+    def run(thr):
+        cfg = CrawlConfig(
+            start_urls=tuple(seeds),
+            limits=CrawlLimits(max_depth=3),
+            politeness=PolitenessConfig(heavy_hitter_threshold=thr),
+        )
+        eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets, mode="exact")
+        try:
+            res = eng.run()
+        finally:
+            eng.shutdown()
+        return res
+
+    salted = run(threshold)
+    plain = run(1 << 30)
+    assert sum(m["salted_hosts"] for m in salted.metrics) > 0
+    assert all(m["max_host_batch"] <= threshold for m in salted.metrics)
+    assert salted.visits.to_pylist() == plain.visits.to_pylist()
