@@ -39,6 +39,14 @@ def _corpus_for(sf_dir: str):
 
 
 _CRAWL_CACHE: dict[str, Any] = {}
+# Crawl outputs are also written here as Parquet so the crawl aggregate
+# queries get real DuckDB oracles (SQL over the same base table the
+# engine produced; the driver runs them at sf0.01).
+_ORACLE_DIR = "/tmp/snapray_oracle"
+
+
+def _oracle_tbl_dir(sf_dir: str) -> str:
+    return os.path.join(_ORACLE_DIR, os.path.basename(sf_dir.rstrip("/")))
 
 
 def _run_crawl(sf_dir: str):
@@ -64,6 +72,12 @@ def _run_crawl(sf_dir: str):
         res = eng.run()
     finally:
         eng.shutdown()
+    import pyarrow.parquet as pq
+
+    d = _oracle_tbl_dir(sf_dir)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(res.visits, os.path.join(d, "visits.parquet"))
+    pq.write_table(res.emissions, os.path.join(d, "emissions.parquet"))
     _CRAWL_CACHE[key] = (res, cfg)
     return res, cfg
 
@@ -110,14 +124,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res, _ = _run_crawl(sf_dir)
         return pd.DataFrame({"url": res.seen_urls})
 
+    def _visits_ds(sf_dir: str):
+        import ray
+
+        res, _ = _run_crawl(sf_dir)
+        n_blocks = max(1, min(16, res.visits.num_rows // 2000 + 1))
+        return ray.data.from_arrow(res.visits).repartition(n_blocks)
+
     def crawl_depth_histogram(sf_dir: str):
         # A3: urls-per-depth histogram (reference image_spider.py:649-652)
         import pandas as pd
 
-        res, _ = _run_crawl(sf_dir)
-        v = res.visits.to_pandas()
-        out = v.groupby("depth", as_index=False).agg(n_visits=("url", "size"))
+        out = (
+            _visits_ds(sf_dir)
+            .map_batches(
+                lambda df: df.groupby("depth", as_index=False).agg(
+                    n_visits=("url", "size")
+                ),
+                batch_format="pandas",
+            )
+            .to_pandas()
+            .groupby("depth", as_index=False)["n_visits"].sum()
+        )
+        out["n_visits"] = out["n_visits"].astype("int64")
         return out.sort_values("depth").reset_index(drop=True)
+
+    def crawl_status_counts(sf_dir: str):
+        # A1/A2 running+final stats view: visits per fetch status
+        import pandas as pd
+
+        out = (
+            _visits_ds(sf_dir)
+            .map_batches(
+                lambda df: df.groupby("status", as_index=False).agg(
+                    n=("url", "size"), total_images=("n_images", "sum")
+                ),
+                batch_format="pandas",
+            )
+            .to_pandas()
+            .groupby("status", as_index=False)
+            .sum()
+        )
+        out["n"] = out["n"].astype("int64")
+        out["total_images"] = out["total_images"].astype("int64")
+        return out.sort_values("status").reset_index(drop=True)
+
+    def crawl_host_visits(sf_dir: str):
+        # per-host visit counts (politeness / skew observability)
+        import pandas as pd
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            host = df["url"].str.extract(r"^https?://([^/]+)", expand=False)
+            return (
+                pd.DataFrame({"host": host})
+                .groupby("host", as_index=False)
+                .agg(n_visits=("host", "size"))
+            )
+
+        out = (
+            _visits_ds(sf_dir)
+            .map_batches(partial, batch_format="pandas")
+            .to_pandas()
+            .groupby("host", as_index=False)["n_visits"].sum()
+        )
+        out["n_visits"] = out["n_visits"].astype("int64")
+        return out.sort_values("host").reset_index(drop=True)
+
+    # ---- library-operator pipelines (SURVEY §2 M5-M11/M17-M23, media) ----
+    from snapcrawler_ray.functions import webops
+
+    def docs_extended_images(sf_dir: str):
+        _, path = _corpus_for(sf_dir)
+        return webops.extended_images(path)
+
+    def docs_api_harvest(sf_dir: str):
+        spec, _ = _corpus_for(sf_dir)
+        return webops.api_harvest(spec)
+
+    def crawl_sitemap_frontier(sf_dir: str):
+        spec, _ = _corpus_for(sf_dir)
+        return webops.sitemap_frontier(spec)
+
+    def crawl_nav_scores(sf_dir: str):
+        _, path = _corpus_for(sf_dir)
+        return webops.nav_scores(path)
+
+    def images_analysis(sf_dir: str):
+        res, cfg = _run_crawl(sf_dir)
+        return webops.images_analysis(res.emissions, cfg.images)
+
+    def media_features(sf_dir: str):
+        return webops.media_features()
 
     return {
         # --- documents: text ops (SQL-oracled) ---
@@ -153,7 +250,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_emissions": crawl_emissions,
         "crawl_image_verdicts": crawl_image_verdicts,
         "crawl_seen_set": crawl_seen_set,
+        # crawl aggregates (SQL-oracled over the engine's written
+        # visits.parquet — the aggregation itself is what's checked)
         "crawl_depth_histogram": crawl_depth_histogram,
+        "crawl_status_counts": crawl_status_counts,
+        "crawl_host_visits": crawl_host_visits,
+        # --- library-operator pipelines (rows-only) ---
+        "docs_extended_images": docs_extended_images,
+        "docs_api_harvest": docs_api_harvest,
+        "crawl_sitemap_frontier": crawl_sitemap_frontier,
+        "crawl_nav_scores": crawl_nav_scores,
+        "images_analysis": images_analysis,
+        "media_features": media_features,
     }
 
 
@@ -162,7 +270,26 @@ def oracle_sql() -> dict[str, str]:
         r"CASE WHEN trim(text) = '' THEN 0 "
         r"ELSE length(regexp_split_to_array(trim(text), '\s+')) END"
     )
+    # Crawl aggregates: the engine writes its visits table to Parquet
+    # (one authoritative base per sf; the driver runs at sf0.01) and the
+    # oracle re-derives each aggregate in SQL over that base — the
+    # distributed aggregation is what gets checked; visit-set parity
+    # itself is enforced by the replay oracle in tests/test_crawl.py.
+    visits_pq = f"read_parquet('{_oracle_tbl_dir('sf0.01')}/visits.parquet')"
     return {
+        "crawl_depth_histogram": (
+            f"SELECT depth, count(*) AS n_visits FROM {visits_pq} "
+            "GROUP BY depth"
+        ),
+        "crawl_status_counts": (
+            "SELECT status, count(*) AS n, "
+            "CAST(sum(n_images) AS BIGINT) AS total_images "
+            f"FROM {visits_pq} GROUP BY status"
+        ),
+        "crawl_host_visits": (
+            "SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+            f"count(*) AS n_visits FROM {visits_pq} GROUP BY 1"
+        ),
         "docs_lang_filter": (
             "SELECT doc_id, lang, source, n_chars FROM documents "
             "WHERE lang = 'en'"

@@ -1,0 +1,337 @@
+"""Driver-visible pipelines for the web-operator library modules.
+
+SURVEY.md §2 operators that previously existed only as library code —
+the spider-superset extractor (M5–M10, reference image_spider.py:165-235),
+AJAX/JSON harvest (M11, middlewares.py:160-257), sitemap source (S6/M17,
+navigation_module.py:147-225), navigation scoring (M18/M19,
+navigation_module.py:29-144,228-354), the content analyzer (M20–M23,
+advanced_formats.py:215-374) and the multimodal media stages — each get
+a deterministic Ray-Data pipeline here so the driver's CORRECTNESS
+check sees them.  Inputs are the synthetic corpus (html pages) or
+deterministic payload tables synthesized from the corpus spec; every
+function is a pure function of (spec, sf) and returns stable rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _read_corpus(corpus_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    # bucket=N/part-0.parquet layout; one file per bucket keeps the read
+    # parallel without an override
+    return ray.data.read_parquet(corpus_dir, columns=columns)
+
+
+# ------------------------------------------------- M5–M10: extended extract
+
+def extended_images(corpus_dir: str) -> "ray.data.Dataset":
+    """(page_url, image_url) — one row per spider-superset-extracted
+    image, sorted-unique per page (engine canonicalization §2.8)."""
+    from ..html.extended import extended_extract_from_html
+
+    def f(batch: pa.Table) -> pa.Table:
+        src, img = [], []
+        for u, h in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            for iu in extended_extract_from_html(h, u):
+                src.append(u)
+                img.append(iu)
+        return pa.table(
+            {
+                "page_url": pa.array(src, pa.string()),
+                "image_url": pa.array(img, pa.string()),
+            }
+        )
+
+    return _read_corpus(corpus_dir, ["url", "html"]).map_batches(
+        f, batch_format="pyarrow", batch_size=128
+    )
+
+
+# ------------------------------------------------------- M11: API harvest
+
+def synth_api_payloads(spec) -> pa.Table:
+    """Deterministic API-response table: per host one JSON payload
+    (recursive-walk path), one JSON list payload, and one non-JSON body
+    (regex fallback path).  Pure function of the corpus spec."""
+    from ..sources.corpus import host_name, image_file_url
+
+    urls, bodies = [], []
+    for h in range(spec.n_hosts):
+        base = f"https://{host_name(h)}/api"
+        urls.append(f"{base}/item.json")
+        bodies.append(
+            (
+                '{"title": "x", "image": "%s", "nested": {"thumbnail": "%s",'
+                ' "items": [{"photo": "%s"}, {"photo": "not-an-image"}]}}'
+                % (
+                    image_file_url(h, 500),
+                    image_file_url(h, 501, "png"),
+                    image_file_url(h, 502, "webp"),
+                )
+            ).encode()
+        )
+        urls.append(f"{base}/feed.json")
+        bodies.append(
+            (
+                '[{"picture": "%s"}, {"picture": "%s"}]'
+                % (image_file_url(h, 510), image_file_url(h, 511, "gif"))
+            ).encode()
+        )
+        urls.append(f"{base}/fragment.html")
+        bodies.append(
+            (
+                "<div>not json %s and %s?w=640 end</div>"
+                % (image_file_url(h, 520), image_file_url(h, 521, "jpeg"))
+            ).encode()
+        )
+    return pa.table(
+        {"url": pa.array(urls, pa.string()), "body": pa.array(bodies, pa.binary())}
+    )
+
+
+def api_harvest(spec) -> "ray.data.Dataset":
+    """(source_url, image_url) rows harvested from API payloads."""
+    from .jsonx import api_payload_flat_map
+
+    t = synth_api_payloads(spec)
+    n_blocks = max(1, min(8, t.num_rows // 8 + 1))
+    return ray.data.from_arrow(t).repartition(n_blocks).map_batches(
+        api_payload_flat_map, batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------- S6/M17: sitemap source
+
+def synth_sitemap_payloads(spec) -> pa.Table:
+    """Per host: a urlset sitemap (priorities cycling 0.0–0.9 so the
+    >0.3 enqueue filter bites), a sitemapindex, and a robots.txt with a
+    Sitemap: line.  Deterministic function of the spec."""
+    from ..sources.corpus import host_name, page_url
+
+    urls, bodies = [], []
+    for h in range(spec.n_hosts):
+        host = host_name(h)
+        n = min(int(spec.host_page_counts()[h]), 40)
+        entries = []
+        for i in range(n):
+            pr = ((i * 7 + h) % 10) / 10.0
+            cf = ["daily", "weekly", "monthly"][i % 3]
+            entries.append(
+                f"<url><loc>{page_url(h, i)}</loc>"
+                f"<priority>{pr:.1f}</priority>"
+                f"<changefreq>{cf}</changefreq></url>"
+            )
+        urls.append(f"https://{host}/sitemap.xml")
+        bodies.append(
+            (
+                '<?xml version="1.0"?><urlset '
+                'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                + "".join(entries)
+                + "</urlset>"
+            ).encode()
+        )
+        urls.append(f"https://{host}/sitemap_index.xml")
+        bodies.append(
+            (
+                '<?xml version="1.0"?><sitemapindex '
+                'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                f"<sitemap><loc>https://{host}/sitemap.xml</loc></sitemap>"
+                "</sitemapindex>"
+            ).encode()
+        )
+        urls.append(f"https://{host}/robots.txt")
+        bodies.append(
+            f"User-agent: *\nSitemap: https://{host}/sitemap.xml\n".encode()
+        )
+    return pa.table(
+        {"url": pa.array(urls, pa.string()), "body": pa.array(bodies, pa.binary())}
+    )
+
+
+def sitemap_frontier(spec, min_priority: float = 0.3) -> "ray.data.Dataset":
+    """Frontier rows (url, priority) from every sitemap/robots payload:
+    parse → priority filter (reference filters > 0.3 at enqueue,
+    navigation_module.py:563).  Sitemap-index/robots rows surface as
+    (sitemap_url, 1.0) 'sitemap' kind rows so the probe chain is
+    visible too."""
+    from ..sources.sitemap import parse_sitemap
+
+    def f(batch: pa.Table) -> pa.Table:
+        src, url, kind, prio = [], [], [], []
+        for u, b in zip(
+            batch.column("url").to_pylist(), batch.column("body").to_pylist()
+        ):
+            for e in parse_sitemap(b, u):
+                if e["type"] == "page" and e["priority"] <= min_priority:
+                    continue
+                src.append(u)
+                url.append(e["url"])
+                kind.append(e["type"])
+                prio.append(float(e["priority"]))
+        return pa.table(
+            {
+                "source_url": pa.array(src, pa.string()),
+                "url": pa.array(url, pa.string()),
+                "kind": pa.array(kind, pa.string()),
+                "priority": pa.array(prio, pa.float64()),
+            }
+        )
+
+    t = synth_sitemap_payloads(spec)
+    n_blocks = max(1, min(8, t.num_rows // 8 + 1))
+    return ray.data.from_arrow(t).repartition(n_blocks).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------- M18/M19: navigation scoring
+
+def nav_scores(corpus_dir: str) -> "ray.data.Dataset":
+    """Per-page navigation analysis: relevant-link/container counts,
+    detected patterns (type:confidence joined ';'), page confidence."""
+    from ..html.navigation import analyze_page
+    from ..html.parser import parse_html
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = {
+            "url": [], "n_nav_links": [], "n_containers": [],
+            "patterns": [], "confidence_score": [],
+        }
+        for u, h, txt in zip(
+            batch.column("url").to_pylist(),
+            batch.column("html").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            a = analyze_page(parse_html(h), txt or "")
+            out["url"].append(u)
+            out["n_nav_links"].append(len(a["navigation_links"]))
+            out["n_containers"].append(len(a["image_containers"]))
+            out["patterns"].append(
+                ";".join(f"{t}:{c}" for t, c in a["patterns"])
+            )
+            out["confidence_score"].append(a["confidence_score"])
+        return pa.table(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "n_nav_links": pa.array(out["n_nav_links"], pa.int32()),
+                "n_containers": pa.array(out["n_containers"], pa.int32()),
+                "patterns": pa.array(out["patterns"], pa.string()),
+                "confidence_score": pa.array(
+                    out["confidence_score"], pa.float64()
+                ),
+            }
+        )
+
+    return _read_corpus(corpus_dir, ["url", "html", "text"]).map_batches(
+        f, batch_format="pyarrow", batch_size=128
+    )
+
+
+# --------------------------------------------- M20–M23: analyzer pipeline
+
+def images_analysis(emissions: pa.Table, images_cfg) -> pd.DataFrame:
+    """Accepted images → AnalyzeStage (via the §2.11 step registry) →
+    flat metadata columns.  Returns a pandas frame sorted by emit_seq."""
+    from ..pipelines.images import run_image_pipeline
+    from ..steps import run_chain
+
+    meta = run_image_pipeline(emissions, images_cfg)
+    import pyarrow.compute as pc
+
+    accepted = meta.map_batches(
+        lambda b: b.filter(pc.equal(b.column("reason"), "")).select(
+            ["emit_seq", "url"]
+        ),
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
+    analyzed = run_chain(accepted, [("analyze", {})])
+
+    def flatten(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["metadata"]
+        return pd.DataFrame(
+            {
+                "emit_seq": df["emit_seq"],
+                "url": df["url"],
+                "quality_score": [
+                    x["quality_score"] if x else np.nan for x in m
+                ],
+                "content_type": [
+                    x["content_type"] if x else "" for x in m
+                ],
+                "dominant_colors": [
+                    ",".join(x["dominant_colors"]) if x else "" for x in m
+                ],
+                "color_palette": [
+                    ",".join(x["color_palette"]) if x else "" for x in m
+                ],
+                "ai_tags": [",".join(x["ai_tags"]) if x else "" for x in m],
+            }
+        )
+
+    out = analyzed.map_batches(flatten, batch_format="pandas").to_pandas()
+    return out.sort_values("emit_seq").reset_index(drop=True)
+
+
+# ------------------------------------------------- multimodal media table
+
+def synth_media_table(n_rows: int = 120) -> pa.Table:
+    """Deterministic media table: PNG images (real decode path), fake
+    audio/video containers (documented codec boundary), plus an
+    undecodable payload every 13th row (dead-letter path)."""
+    from .. import multimodal as mm
+    from ..imageio.png import encode_png
+
+    ids, kinds, payloads, mimes = [], [], [], []
+    for i in range(n_rows):
+        kind = ("image", "audio", "video")[i % 3]
+        if i % 13 == 12:
+            payload = b"CORRUPT" + bytes([i % 256]) * 16
+            mime = "application/octet-stream"
+        elif kind == "image":
+            rng = np.random.RandomState(1000 + i)
+            w, h = 24 + (i % 5) * 8, 16 + (i % 7) * 8
+            px = (
+                np.add.outer(np.arange(h) * 3, np.arange(w) * 5) + i
+            ).astype(np.uint8)
+            px = np.stack([px, px[::-1], rng.randint(0, 255, (h, w))], -1).astype(
+                np.uint8
+            )
+            payload = encode_png(px)
+            mime = "image/png"
+        elif kind == "audio":
+            payload = mm.make_fake_audio(i, n_samples=4000)
+            mime = "audio/x-fake"
+        else:
+            payload = mm.make_fake_video(i, n_frames=6)
+            mime = "video/x-fake"
+        ids.append(i)
+        kinds.append(kind)
+        payloads.append(payload)
+        mimes.append(mime)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(mimes, pa.string()),
+        }
+    )
+
+
+def media_features(n_rows: int = 120) -> pd.DataFrame:
+    """Media table → feature rows (thumb dropped: scalar features only
+    reach the driver), sorted by media_id."""
+    from ..multimodal import media_feature_pipeline
+
+    ds = media_feature_pipeline(synth_media_table(n_rows))
+    out = ds.map_batches(
+        lambda b: b.drop_columns(["thumb"]), batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)

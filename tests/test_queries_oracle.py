@@ -88,11 +88,26 @@ def test_sql_oracle_match(contract, con, name):
                                   check_exact=False, rtol=0, atol=1e-9)
 
 
+def test_crawl_aggregate_sql_oracles(contract, con):
+    """The crawl aggregates are SQL-oracled over the visits parquet the
+    engine writes; the driver runs at sf0.01 — here we rewrite the
+    oracle path to this test's sf0.001 base."""
+    qs, oracles = contract
+    for name in ["crawl_depth_histogram", "crawl_status_counts",
+                 "crawl_host_visits"]:
+        ray_df = _canon(_to_pandas(qs[name](SF_DIR)))  # writes the base
+        sql = oracles[name].replace("sf0.01", "sf0.001")
+        sql_df = _canon(con.sql(sql).df())
+        assert list(ray_df.columns) == list(sql_df.columns), name
+        pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False)
+
+
 @pytest.mark.parametrize(
     "name",
     ["docs_lang_id", "docs_fingerprints", "docs_simhash",
      "docs_minhash_pairs", "docs_ngram_jaccard", "emb_knn_lsh",
-     "emb_near_dup"],
+     "emb_near_dup", "docs_extended_images", "docs_api_harvest",
+     "crawl_sitemap_frontier", "crawl_nav_scores", "media_features"],
 )
 def test_rows_only_queries_run(contract, name):
     qs, _ = contract
@@ -185,6 +200,41 @@ def test_emb_near_dup_finds_planted_pairs(ray_session, tmp_path):
     pairs = embedding_near_dup_pairs(str(d), threshold=0.95)
     got = {(int(a), int(b)) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
     assert got == {(0, 200), (17, 201), (42, 202)}
+
+
+def test_images_analysis_query(contract):
+    """M20–M23 analyzer over accepted images: every accepted row gets a
+    metadata struct with a valid content type and 3 tag slots."""
+    qs, _ = contract
+    df = _to_pandas(qs["images_analysis"](SF_DIR))
+    assert len(df) > 10
+    assert {"quality_score", "content_type", "ai_tags"} <= set(df.columns)
+    valid = {"text", "banner", "icon", "logo", "photo", "illustration"}
+    assert set(df["content_type"].unique()) <= valid
+    assert (df["quality_score"].dropna() <= 1.0).all()
+    assert df["ai_tags"].str.count(",").min() >= 2  # type+resolution+orient
+
+
+def test_media_features_dead_letter_rows(contract):
+    """Corrupted payloads surface as ok=False dead-letter rows, fake
+    audio/video decode through the documented codec boundary."""
+    qs, _ = contract
+    df = _to_pandas(qs["media_features"](SF_DIR))
+    assert (~df["ok"]).sum() > 0
+    bad = df[~df["ok"]]
+    assert bad["error"].str.len().min() > 0
+    good = df[df["ok"]]
+    assert set(good["kind"].unique()) == {"image", "audio", "video"}
+    aud = good[good["kind"] == "audio"]
+    assert (aud["feature_a"] > 0).all()  # duration_s
+
+
+def test_sitemap_frontier_priority_filter(contract):
+    qs, _ = contract
+    df = _to_pandas(qs["crawl_sitemap_frontier"](SF_DIR))
+    pages = df[df["kind"] == "page"]
+    assert len(pages) > 0 and (pages["priority"] > 0.3).all()
+    assert (df["kind"] == "sitemap").sum() > 0  # index + robots rows
 
 
 def test_crawl_queries_run(contract):
