@@ -117,6 +117,17 @@ def _analyze_step(**params):
                   concurrency=params.get("concurrency", (1, 4)))
 
 
+@register_step("optimize")
+def _optimize_step(**params):
+    """M24 AI optimization (advanced_formats.py:416-512) — registered
+    but not in any default chain, mirroring the reference's
+    ai_optimization.enabled=false default."""
+    from .imageio.optimize import OptimizeStage
+
+    return FnStep("optimize", OptimizeStage, is_class=True,
+                  fn_kwargs=params, batch_size=32, concurrency=(1, 4))
+
+
 @register_step("media_features")
 def _media_step(**params):
     from .multimodal import MediaFeatureStage

@@ -153,3 +153,60 @@ def test_events_sessionize_matches_duckdb(ray_session):
         want2[["user_id", "n_events"]].astype("int64"),
     )
     assert (got2["session_start"].to_numpy() == want2["session_start"].to_numpy()).all()
+
+
+# ---------------------- M24 optimization step ----------------------
+
+
+def test_optimize_kernels():
+    import numpy as np
+
+    from snapcrawler_ray.imageio.optimize import (
+        choose_optimal_format, enhance_contrast, save_parameters,
+        smart_crop, unsharp_mask,
+    )
+
+    # smart crop drops all-zero borders (Image.getbbox semantics)
+    px = np.zeros((10, 12, 3), np.uint8)
+    px[2:7, 3:9] = 200
+    assert smart_crop(px).shape == (5, 6, 3)
+    # flat image: unsharp threshold leaves it untouched
+    flat = np.full((8, 8), 100, np.uint8)
+    assert (unsharp_mask(flat) == flat).all()
+    # contrast blends against the mean: mid-gray fixed point
+    assert (enhance_contrast(flat, 1.1) == flat).all()
+    # format decision tree (avif unsupported -> webp)
+    assert choose_optimal_format("photo", False) == "webp"
+    assert choose_optimal_format("logo", True) == "png"
+    assert choose_optimal_format("text", False) == "png"
+    assert choose_optimal_format("unknown", False) == "webp"
+    assert save_parameters("jpeg", "photo") == {"quality": 85, "optimize": True}
+    assert save_parameters("webp", "photo") == {"quality": 80, "method": 6}
+    assert save_parameters("jpeg", "logo")["quality"] == 95
+
+
+def test_optimize_step_runs(ray_session):
+    """Registered 'optimize' step over synthetic accepted rows: every
+    decodable image gets a target format + parseable save params."""
+    import json
+
+    import pyarrow as pa
+    import ray
+
+    from snapcrawler_ray.sources.corpus import image_file_url
+    from snapcrawler_ray.steps import registered_steps, run_chain
+
+    assert "optimize" in registered_steps()
+    urls = [image_file_url(0, 1000 + k, "png") for k in range(12)]
+    ds = ray.data.from_arrow(
+        pa.table({"url": pa.array(urls, pa.string())})
+    ).repartition(4)
+    out = run_chain(ds, [("optimize", {"max_size": 64})]).to_pandas()
+    assert len(out) == 12
+    ok = out[out["optimized"]]
+    assert len(ok) > 0
+    assert set(ok["target_format"].unique()) <= {"png", "webp"}
+    for p in ok["save_params"]:
+        assert isinstance(json.loads(p), dict)
+    assert (ok["out_width"] <= 64).all() and (ok["out_height"] <= 64).all()
+    assert ok["bytes"].map(lambda b: b[:8] == b"\x89PNG\r\n\x1a\n").all()
