@@ -94,9 +94,11 @@ def run_queries(sf_dir: str) -> dict:
 
     qs = entrymod.queries()
     bench_set = [
-        "q1_pricing", "q3_top_orders", "nation_revenue", "events_hourly",
-        "events_topk_users", "docs_token_counts", "docs_exact_dedup",
-        "docs_minhash_pairs", "docs_simhash", "emb_knn", "emb_near_dup",
+        "q1_pricing", "q3_top_orders", "q5_region_supplier",
+        "nation_revenue", "events_hourly", "events_topk_users",
+        "events_sessionize", "events_rolling", "docs_token_counts",
+        "docs_exact_dedup", "docs_minhash_pairs", "docs_simhash",
+        "emb_knn", "emb_near_dup", "docs_extended_images",
     ]
     out = {}
     for name in bench_set:
@@ -176,6 +178,37 @@ def main() -> None:
 
     headline = run_headline(sf_dir)
     queries = {} if args.headline_only else run_queries(sf_dir)
+    ray.shutdown()
+
+    # Per-round scaling visibility (BENCH_r{N} must carry both pairs —
+    # VERDICT r1 item 10): one single-leg pass per level in fresh
+    # processes.  Noisier than the 2-pass ABAB `--scaling` run that
+    # feeds BASELINE.md, but enough to spot regressions round-to-round.
+    scaling = None
+    if not args.headline_only and os.environ.get(
+        "SNAPRAY_SKIP_SCALING", ""
+    ) != "1":
+        thr = {}
+        for cpus in (4, 16, 8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                       SNAPRAY_BENCH_REPS="1")
+            proc = subprocess.run(
+                [sys.executable, __file__, "--headline-only"],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            lines = [l for l in proc.stdout.strip().splitlines()
+                     if l.startswith("{")]
+            if lines:
+                thr[cpus] = json.loads(lines[-1])["headline"]["urls_per_sec"]
+        if {4, 16, 8, 32} <= set(thr):
+            scaling = {
+                "throughput_urls_per_sec": {f"cpus{c}": thr[c] for c in thr},
+                "efficiency_4_16": round((thr[16] / thr[4]) / 4.0, 3),
+                "efficiency_8_32": round((thr[32] / thr[8]) / 4.0, 3),
+                "hardware_percore_ceiling_8_32": 0.79,
+                "note": "single-leg pass; BASELINE.md carries the "
+                        "2-pass interleaved measurement",
+            }
 
     print(json.dumps({
         "metric": "crawl wall time (frontier fetch-schedule-dedup end-to-end)",
@@ -183,10 +216,10 @@ def main() -> None:
         "unit": "sec",
         "headline": headline,
         "queries": queries,
+        "scaling": scaling,
         "sf": _sf_of(sf_dir),
         "num_cpus": num_cpus,
     }))
-    ray.shutdown()
 
 
 if __name__ == "__main__":

@@ -366,31 +366,52 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------- SimHash
 
+def _simhash_batch(texts: pd.Series) -> np.ndarray:
+    """Vectorized 64-bit SimHash for a whole batch: one
+    ``pd.util.hash_array`` over the flattened tokens, bit-unpack to a
+    (n_tokens, 64) ±1 matrix, segment-sum per doc with
+    ``np.add.reduceat``, sign → packed uint64.  Empty docs hash to 0."""
+    import itertools
+
+    t = texts.fillna("").str.strip()
+    toks = t.str.split(_WS)
+    toks = toks.where(t != "", other=None).map(
+        lambda x: x if isinstance(x, list) else []
+    )
+    lens = toks.map(len).to_numpy(np.int64)
+    n = len(lens)
+    out = np.zeros(n, dtype=np.uint64)
+    nonempty = lens > 0
+    if not nonempty.any():
+        return out
+    flat = np.asarray(
+        list(itertools.chain.from_iterable(toks)), dtype=object
+    )
+    th = pd.util.hash_array(flat)  # uint64 per token
+    # (n_tokens, 64) bit matrix → ±1 contributions
+    bits = np.unpackbits(
+        th.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1
+    ).astype(np.int32)
+    contrib = 2 * bits - 1
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    acc = np.add.reduceat(contrib, starts[nonempty], axis=0)
+    packed = np.packbits((acc > 0).astype(np.uint8), axis=1)
+    vals = packed.astype(np.uint64) @ (
+        np.uint64(1) << (np.arange(7, -1, -1, dtype=np.uint64) * np.uint64(8))
+    )
+    out[nonempty] = vals
+    return out
+
+
 def simhash64(text: str) -> int:
-    toks = _WS.split(text.strip()) if text.strip() else []
-    if not toks:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in toks:
-        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-        bits = np.unpackbits(
-            np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
-        ).astype(np.int64)
-        acc += 2 * bits - 1
-    out = np.packbits((acc > 0).astype(np.uint8))
-    return int.from_bytes(out.tobytes(), "big")
+    """Single-doc convenience wrapper over the batch kernel."""
+    return int(_simhash_batch(pd.Series([text]))[0])
 
 
 def simhashes(sf_dir: str) -> "ray.data.Dataset":
     def f(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "simhash": np.array(
-                    [simhash64(t) for t in df["text"].fillna("")],
-                    dtype=np.uint64,
-                ),
-            }
+            {"doc_id": df["doc_id"], "simhash": _simhash_batch(df["text"])}
         )
 
     from .io import read_table

@@ -163,3 +163,43 @@ def test_analyze_stage_batch(ray_session):
     metas = out.column("metadata").to_pylist()
     assert all(m is not None for m in metas)
     assert all(0 <= m["quality_score"] <= 1 for m in metas)
+
+
+# -------------------- A5 compact stats formatter --------------------
+
+
+def test_compact_stats_line_and_url_short():
+    from snapcrawler_ray.logfmt import (
+        CompactStatsFormatter, format_process_status, format_url_short,
+        stats_from_run,
+    )
+
+    f = CompactStatsFormatter()
+    f.update_stats(pages_found=12, images_found=40, images_failed=7,
+                   images_downloaded=33, images_saved=26,
+                   folder_size_mb=1.25)
+    line = f.format_compact_line()
+    assert line == ("Pages: 12 | Found: 40 | Rejected: 7 | "
+                    "Downloaded: 33 | Saved: 26 | Folder: 1.2MB | "
+                    "Errors: none")
+    f.update_stats(has_errors=True, error_code=429)
+    assert line.rsplit("|", 1)[0] in f.format_compact_line()
+    assert "Errors: 429" in f.format_compact_line()
+
+    # reference truncation rules: last-5 of name + ext
+    assert format_url_short("https://example.com/image123.jpg") == "ge123.jpg"
+    assert format_url_short("https://example.com/ab.png") == "ab.png"
+    assert format_url_short("https://example.com/dir/") in ("e.com", "dir")
+    assert format_url_short("") == "???"
+    assert format_process_status("watermark_fail", "x.jpg") == "[WATERMARK] x.jpg"
+    assert format_process_status("unknown_thing") == "[UNKNOWN_THING]"
+
+    # derived from engine metrics + verdict histogram
+    s = stats_from_run(
+        [{"fetched": 5, "images": 9}, {"fetched": 3, "images": 2}],
+        {"": 6, "size": 2, "dup": 3},
+        bytes_written=2_097_152,
+    )
+    assert (s.pages_found, s.images_found) == (8, 11)
+    assert (s.images_saved, s.images_failed, s.images_downloaded) == (6, 5, 11)
+    assert s.folder_size_mb == 2.0

@@ -152,3 +152,49 @@ def test_synth_determinism_and_coverage():
             verdicts[u] = filter_image(u, data, CFG)["reason"]
     reasons = set(verdicts.values())
     assert "" in reasons and "size" in reasons and "aspect" in reasons
+
+
+def test_codec_boundary_raises_for_foreign_jpeg():
+    """The documented codec boundary: a real (non-seed-stub) JPEG parses
+    header info fine but pixel decode raises NotImplementedError —
+    real deployments plug libjpeg/libwebp at exactly this seam."""
+    import struct
+
+    import pytest
+
+    from snapcrawler_ray.imageio.formats import decode_pixels, parse_info
+
+    # minimal foreign JPEG: SOI + APP0/JFIF + SOF0 (40x30) + EOI
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 30, 40, 3)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + b"\x00\x01\x00\x01\x00\x00"
+        + sof
+        + b"\xff\xd9"
+    )
+    info = parse_info(jpeg, "https://other.example/x.jpg")
+    assert (info.format, info.width, info.height) == ("jpeg", 40, 30)
+    assert info.seed is None
+    with pytest.raises(NotImplementedError):
+        decode_pixels(jpeg, info)
+
+
+def test_media_stage_dead_letters_foreign_audio():
+    """MediaFeatureStage turns the NotImplementedError boundary into a
+    dead-letter row instead of poisoning the batch."""
+    import pyarrow as pa
+
+    from snapcrawler_ray.multimodal import MediaFeatureStage
+
+    batch = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "kind": pa.array(["audio"], pa.string()),
+            "payload": pa.array([b"RIFF....WAVEfmt not-our-fake"], pa.binary()),
+            "mime": pa.array(["audio/wav"], pa.string()),
+        }
+    )
+    out = MediaFeatureStage()(batch)
+    assert out.column("ok").to_pylist() == [False]
+    assert "codec_unavailable" in out.column("error").to_pylist()[0]
