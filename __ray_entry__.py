@@ -230,10 +230,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": dedup.simhashes,
         "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
         "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
+        # --- composite training-data prep (SQL-oracled end-to-end) ---
+        "docs_clean_corpus": lambda d: dedup.clean_corpus_keep(d),
         # --- embeddings ---
         "emb_knn": lambda d: similarity.knn_bruteforce(d, k=10, n_queries=5),
         "emb_knn_lsh": lambda d: similarity.knn_lsh(d, k=10, n_queries=5),
+        "emb_knn_ivf": lambda d: similarity.knn_ivf(d, k=10, n_queries=5),
         "emb_near_dup": lambda d: dedup.embedding_near_dup_pairs(d),
+        "emb_dedup_keep": lambda d: dedup.embedding_dedup_keep(d),
         # --- relational / events (SQL-oracled) ---
         "q1_pricing": relational.q1_pricing,
         "q5_region_supplier": lambda d: relational.q5_region_supplier_revenue(d),
@@ -319,6 +323,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY source"
+        ),
+        "docs_clean_corpus": (
+            "WITH scored AS ("
+            "SELECT doc_id, md5(text) AS content_md5, "
+            "round(0.5 * least(1.0, n_chars / 1000.0) + "
+            f"0.5 * least(1.0, ({n_tokens}) / 200.0), 4) AS quality "
+            "FROM documents WHERE lang = 'en') "
+            "SELECT min(doc_id) AS doc_id, content_md5, "
+            "count(*) AS n_dups FROM scored "
+            "WHERE quality >= 0.3 GROUP BY content_md5"
         ),
         "emb_knn": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "

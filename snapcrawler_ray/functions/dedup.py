@@ -421,6 +421,99 @@ def simhashes(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# -------------------------------------------------- corpus cleansing
+
+def clean_corpus_keep(
+    sf_dir: str, lang: str = "en", min_quality: float = 0.3
+) -> "ray.data.Dataset":
+    """The composite training-data prep pipeline: language filter →
+    quality filter → exact dedup, returning the keep-list
+    (doc_id = min per content hash, content_md5, n_dups).
+
+    One streaming pass computes md5+quality per batch and filters;
+    the only shuffle is the final groupby on the md5 key.  Fully
+    SQL-expressible → oracled end-to-end (quality formula shared with
+    ``text.quality_scores``)."""
+    import re as _re
+
+    ws = _re.compile(r"\s+")
+
+    def score_filter(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["lang"] == lang]
+        if df.empty:
+            return pd.DataFrame({"doc_id": [], "content_md5": []})
+        t = df["text"].fillna("").str.strip()
+        n_tokens = t.str.split(ws).map(len).where(t != "", 0).astype("float64")
+        q = (
+            0.5 * np.minimum(1.0, df["n_chars"].astype("float64") / 1000.0)
+            + 0.5 * np.minimum(1.0, n_tokens / 200.0)
+        ).round(4)
+        keep = df[q >= min_quality]
+        return pd.DataFrame(
+            {
+                "doc_id": keep["doc_id"],
+                "content_md5": [
+                    hashlib.md5(x.encode("utf-8")).hexdigest()
+                    for x in keep["text"].fillna("")
+                ],
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    from .io import read_table
+
+    ds = read_table(
+        sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"]
+    ).map_batches(score_filter, batch_format="pandas")
+    agg = ds.groupby("content_md5").aggregate(Min("doc_id"), Count())
+    return agg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["min(doc_id)"].astype("int64"),
+                "content_md5": df["content_md5"],
+                "n_dups": df["count()"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def embedding_dedup_keep(
+    sf_dir: str, threshold: float = 0.95
+) -> pd.DataFrame:
+    """Near-dup keep/drop list: connected components over the
+    ``embedding_near_dup_pairs`` graph, keep = min vec_id per
+    component.  The union-find runs on the *pair list* (the result set
+    of the distributed pipeline, not the corpus) — at 100 TB that list
+    is the dedup rate × corpus, the standard driver-sized artifact;
+    a groupby-iterate hash-to-min propagation is the documented path if
+    it ever outgrows one node."""
+    pairs = embedding_near_dup_pairs(sf_dir, threshold=threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = sorted(
+        {int(v) for col in ("vec_a", "vec_b") for v in pairs[col]}
+    )
+    return pd.DataFrame(
+        {
+            "vec_id": pd.Series(rows, dtype="int64"),
+            "keep_id": pd.Series([find(v) for v in rows], dtype="int64"),
+        }
+    )
+
+
 # ----------------------------------------------- embedding near-dup
 
 def embedding_near_dup_pairs(

@@ -6,6 +6,11 @@
 - ``knn_lsh``: hyperplane-bucketed approximate variant (the scale
   path): only buckets within ``probe_bits`` Hamming distance of the
   query's bucket are scanned.
+- ``knn_ivf``: inverted-file variant — seeded k-means centroids
+  trained on a deterministic sample, vectors assigned to their nearest
+  cell inside ``map_batches``, queries probe only the ``nprobe``
+  closest cells.  At cluster scale the assignment also serves as the
+  partition key (cells co-located → probes touch few blocks).
 
 Ties break by ascending vec_id so results are deterministic and match
 the DuckDB oracle's ``ORDER BY sim DESC, vec_id`` exactly.
@@ -155,6 +160,111 @@ def knn_lsh(
         batch_size=2048,
         concurrency=(1, 4),
         fn_constructor_kwargs={"ref": ctx, "k": k, "probe": probe_hamming},
+    ).to_pandas()
+    partial = partial.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    top = partial.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "vec_id"]].astype(
+        {"query_id": "int64", "rank": "int64", "vec_id": "int64"}
+    )
+
+
+def _train_centroids(sample: np.ndarray, n_cells: int, seed: int,
+                     iters: int = 8) -> np.ndarray:
+    """Seeded Lloyd k-means on unit vectors (spherical k-means: centers
+    re-normalized each step so dot = cosine)."""
+    rng = np.random.RandomState(seed)
+    n_cells = min(n_cells, len(sample))
+    centers = sample[rng.choice(len(sample), n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = (sample @ centers.T).argmax(axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                centers[c] = v / max(np.linalg.norm(v), 1e-12)
+    return centers
+
+
+def knn_ivf(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_stride: int = 7,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """IVF approximate top-k: train ``n_cells`` spherical-k-means
+    centroids on a strided sample (model-sized, broadcast via
+    ``ray.put``), then scan only rows whose cell is among each query's
+    ``nprobe`` closest cells."""
+    qids, qm = _load_queries(sf_dir, n_queries)
+    from .io import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"],
+                    blocks=16)
+
+    # deterministic training sample: every sample_stride-th vec_id.
+    # The sample is model-sized (a few thousand rows) — training data,
+    # not the corpus, so a driver-side fit is the right topology.
+    import pyarrow as pa
+
+    sample_df = ds.map_batches(
+        lambda b: b.filter(
+            pa.array(
+                b.column("vec_id").to_numpy(zero_copy_only=False)
+                % sample_stride
+                == 0
+            )
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    sm = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+    sm = sm / np.clip(np.linalg.norm(sm, axis=1, keepdims=True), 1e-12, None)
+    centers = _train_centroids(sm, n_cells, seed)
+
+    probed = np.argsort(-(qm @ centers.T), axis=1)[:, :nprobe]
+    ctx = ray.put((qids, qm, centers, probed))
+
+    class IvfScanStage:
+        def __init__(self, ref, k):
+            self.qids, self.qm, self.centers, self.probed = ray.get(ref)
+            self.k = k
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            mn = m / np.clip(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None
+            )
+            cells = (mn @ self.centers.T).argmax(axis=1)
+            ids = df["vec_id"].to_numpy()
+            out = []
+            for qi, qid in enumerate(self.qids):
+                cand = np.isin(cells, self.probed[qi])
+                if not cand.any():
+                    continue
+                sims = mn[cand] @ self.qm[qi]
+                cids = ids[cand]
+                idx = np.argsort(-sims, kind="stable")[: self.k]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "vec_id": cids[idx], "sim": sims[idx]}
+                    )
+                )
+            if not out:
+                return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+            return pd.concat(out, ignore_index=True)
+
+    partial = ds.map_batches(
+        IvfScanStage,
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": ctx, "k": k},
     ).to_pandas()
     partial = partial.sort_values(
         ["query_id", "sim", "vec_id"], ascending=[True, False, True],

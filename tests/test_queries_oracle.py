@@ -71,6 +71,7 @@ def test_all_query_names_have_callables(contract):
     [
         "docs_lang_filter", "docs_token_counts", "docs_quality",
         "docs_exact_dedup", "docs_dedup_per_source", "docs_source_stats",
+        "docs_clean_corpus",
         "emb_knn", "q1_pricing", "q3_top_orders", "nation_revenue",
         "q5_region_supplier", "events_hourly", "events_topk_users",
         "events_sessionize", "events_rolling", "part_type_stats",
@@ -107,7 +108,8 @@ def test_crawl_aggregate_sql_oracles(contract, con):
     ["docs_lang_id", "docs_fingerprints", "docs_simhash",
      "docs_minhash_pairs", "docs_ngram_jaccard", "emb_knn_lsh",
      "emb_near_dup", "docs_extended_images", "docs_api_harvest",
-     "crawl_sitemap_frontier", "crawl_nav_scores", "media_features"],
+     "crawl_sitemap_frontier", "crawl_nav_scores", "media_features",
+     "emb_knn_ivf"],
 )
 def test_rows_only_queries_run(contract, name):
     qs, _ = contract
@@ -167,6 +169,50 @@ def test_ngram_jaccard_matches_bruteforce(contract):
             got.reset_index(drop=True), want_df, check_dtype=False,
             check_exact=False, rtol=0, atol=1e-4,
         )
+
+
+def test_emb_knn_ivf_recall_vs_bruteforce(contract):
+    qs, _ = contract
+    exact = _to_pandas(qs["emb_knn"](SF_DIR))
+    approx = _to_pandas(qs["emb_knn_ivf"](SF_DIR))
+    recall_num = recall_den = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recall_num += len(e & a)
+        recall_den += len(e)
+    # isotropic embeddings (no cluster structure) are IVF's worst case;
+    # nprobe=4 of 16 cells ≈ 1/4 scan fraction
+    assert recall_num / recall_den >= 0.5, "IVF recall collapsed"
+
+
+def test_emb_dedup_keep_components(ray_session, tmp_path):
+    """Union-find over the near-dup graph: a planted chain a~b, b~c
+    collapses to one keeper even when (a,c) is below threshold."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from snapcrawler_ray.functions.dedup import embedding_dedup_keep
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(100, 64))
+    a = base[3]
+    b = a + 0.02 * rng.normal(size=64)
+    c = b + 0.02 * rng.normal(size=64)
+    planted = np.vstack([base, b, c, base[7]])  # 100=b,101=c,102=dup(7)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(planted)), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in planted],
+                              pa.list_(pa.float64())),
+    })
+    d = tmp_path / "sf_keep"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    keep = embedding_dedup_keep(str(d), threshold=0.97)
+    got = dict(zip(keep["vec_id"], keep["keep_id"]))
+    assert got[100] == 3 and got[101] == 3 and got[3] == 3
+    assert got[102] == 7 and got[7] == 7
 
 
 def test_emb_near_dup_finds_planted_pairs(ray_session, tmp_path):
