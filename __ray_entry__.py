@@ -224,12 +224,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": dedup.exact_dedup,
         "docs_dedup_per_source": dedup.dedup_count_per_source,
         "docs_source_stats": text.source_stats,
-        # --- documents: non-SQL ops (rows-only) ---
+        # --- documents: near-dup + lang-ID (SQL-oracled: exact-Jaccard
+        #     / stopword-profile semantics are ANSI-expressible) ---
         "docs_lang_id": text.lang_id,
-        "docs_fingerprints": text.fingerprints,
-        "docs_simhash": dedup.simhashes,
         "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
         "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
+        # --- documents: non-SQL ops (rows-only; hash-function-defined) ---
+        "docs_fingerprints": text.fingerprints,
+        "docs_simhash": dedup.simhashes,
         # --- composite training-data prep (SQL-oracled end-to-end) ---
         "docs_clean_corpus": lambda d: dedup.clean_corpus_keep(d),
         # --- embeddings ---
@@ -273,6 +275,65 @@ def oracle_sql() -> dict[str, str]:
     n_tokens = (
         r"CASE WHEN trim(text) = '' THEN 0 "
         r"ELSE length(regexp_split_to_array(trim(text), '\s+')) END"
+    )
+    # Exact word-3-shingle Jaccard pairs ≥ 0.6 (shared by the MinHash-LSH
+    # and inverted-index pipelines: Jaccard over collision-free 64-bit
+    # shingle hashes == Jaccard over the string shingles, and at this
+    # threshold the 16-band/4-row LSH recall is 1.0 on near-identical
+    # dups — both verified value-equal to this SQL at sf0.01).  Docs with
+    # <3 tokens contribute their whole text as the single shingle, as in
+    # dedup._shingle_hashes.
+    jaccard_pairs = (
+        "WITH t AS (SELECT doc_id, "
+        r"regexp_split_to_array(trim(coalesce(text,'')), '\s+') AS tk "
+        "FROM documents), "
+        "sh AS ("
+        "SELECT DISTINCT doc_id, "
+        "tk[g] || ' ' || tk[g+1] || ' ' || tk[g+2] AS shingle "
+        "FROM t, unnest(generate_series(1, len(tk)-2)) AS u(g) "
+        "WHERE len(tk) >= 3 "
+        "UNION "
+        "SELECT doc_id, array_to_string(tk, ' ') FROM t WHERE len(tk) < 3"
+        "), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS co FROM sh a "
+        "JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, "
+        "round(co * 1.0 / (sa.n + sb.n - co), 4) AS jaccard "
+        "FROM co JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE round(co * 1.0 / (sa.n + sb.n - co), 4) >= 0.6"
+    )
+    # Stopword-profile language ID (mirror of text._LANG_PROFILES /
+    # text.lang_id: score = |distinct profile hits| / |profile|, winner =
+    # alphabetically-first strictly-positive max, else 'en').
+    from snapcrawler_ray.functions.text import _LANG_PROFILES
+
+    lang_keys = [k for k in sorted(_LANG_PROFILES) if _LANG_PROFILES[k]]
+    score_cols = ", ".join(
+        "count(DISTINCT CASE WHEN tok IN ({w}) THEN tok END)"
+        "/{n}.0 AS s_{k}".format(
+            w=", ".join(
+                "'%s'" % t for t in sorted(_LANG_PROFILES[k])
+            ),
+            n=len(_LANG_PROFILES[k]),
+            k=k,
+        )
+        for k in lang_keys
+    )
+    best = "greatest({})".format(", ".join(f"s_{k}" for k in lang_keys))
+    winner = " ".join(
+        f"WHEN s_{k} = {best} THEN '{k}'" for k in lang_keys[:-1]
+    )
+    lang_id_sql = (
+        "WITH ex AS (SELECT doc_id, "
+        r"unnest(regexp_split_to_array(trim(coalesce(lower(text),'')), "
+        r"'\s+')) AS tok FROM documents), "
+        f"sc AS (SELECT doc_id, {score_cols} FROM ex GROUP BY doc_id) "
+        f"SELECT doc_id, CASE WHEN {best} = 0 THEN 'en' "
+        f"{winner} ELSE '{lang_keys[-1]}' END AS lang_pred FROM sc"
     )
     # Crawl aggregates: the engine writes its visits table to Parquet
     # (one authoritative base per sf; the driver runs at sf0.01) and the
@@ -323,6 +384,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY source"
+        ),
+        "docs_ngram_jaccard": jaccard_pairs,
+        "docs_minhash_pairs": jaccard_pairs,
+        "docs_lang_id": lang_id_sql,
+        "emb_near_dup": (
+            # exact all-pairs cosine ≥ threshold; the engine's LSH-bucket
+            # path must find every such pair (planted-dup recall proven
+            # in tests/test_dedup.py).  CASTs: the engine computes in
+            # float64 / emits int64 ids.
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "CAST(round(list_cosine_similarity(a.embedding, b.embedding), 4) "
+            "AS DOUBLE) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
         ),
         "docs_clean_corpus": (
             "WITH scored AS ("

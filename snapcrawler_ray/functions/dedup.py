@@ -148,6 +148,16 @@ class MinHashStage:
         )
 
 
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+
+
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     sa = set(_shingle_hashes(text_a, k).tolist())
     sb = set(_shingle_hashes(text_b, k).tolist())
@@ -227,7 +237,7 @@ def minhash_lsh_pairs(
         .materialize()
     )
     if cand.count() == 0:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        return _empty_pairs()
 
     # exact-Jaccard verify WITHOUT materializing the corpus on the
     # driver: hash-join each pair side against the documents table (the
@@ -358,7 +368,7 @@ def ngram_jaccard_pairs(
     # the driver
     out = co.map_batches(finish, batch_format="pandas").to_pandas()
     if out.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        return _empty_pairs()
     return (
         out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
@@ -577,7 +587,13 @@ def embedding_near_dup_pairs(
         .to_pandas()
     )
     if out.empty:
-        return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
     return (
         out.drop_duplicates(subset=["vec_a", "vec_b"])
         .sort_values(["vec_a", "vec_b"])

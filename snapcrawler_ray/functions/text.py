@@ -96,8 +96,8 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
     the (strictly positive) max score wins, else 'en'.  Fully
     vectorized: one exploded (doc, token) frame per batch, one
     ``isin`` + groupby-size per language — no per-row python.
-    Deterministic pure function of the text (not SQL-expressible →
-    rows-only driver check)."""
+    Deterministic pure function of the text; semantics mirrored
+    exactly by the DuckDB oracle in __ray_entry__.oracle_sql."""
 
     langs = [k for k in sorted(_LANG_PROFILES) if _LANG_PROFILES[k]]
     profiles = [frozenset(_LANG_PROFILES[k]) for k in langs]

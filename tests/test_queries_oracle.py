@@ -71,7 +71,8 @@ def test_all_query_names_have_callables(contract):
     [
         "docs_lang_filter", "docs_token_counts", "docs_quality",
         "docs_exact_dedup", "docs_dedup_per_source", "docs_source_stats",
-        "docs_clean_corpus",
+        "docs_clean_corpus", "docs_lang_id", "docs_minhash_pairs",
+        "docs_ngram_jaccard", "emb_near_dup",
         "emb_knn", "q1_pricing", "q3_top_orders", "nation_revenue",
         "q5_region_supplier", "events_hourly", "events_topk_users",
         "events_sessionize", "events_rolling", "part_type_stats",
@@ -105,9 +106,8 @@ def test_crawl_aggregate_sql_oracles(contract, con):
 
 @pytest.mark.parametrize(
     "name",
-    ["docs_lang_id", "docs_fingerprints", "docs_simhash",
-     "docs_minhash_pairs", "docs_ngram_jaccard", "emb_knn_lsh",
-     "emb_near_dup", "docs_extended_images", "docs_api_harvest",
+    ["docs_fingerprints", "docs_simhash", "emb_knn_lsh",
+     "docs_extended_images", "docs_api_harvest",
      "crawl_sitemap_frontier", "crawl_nav_scores", "media_features",
      "emb_knn_ivf"],
 )
