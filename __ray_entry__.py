@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id": text.lang_id,
         "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
         "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
+        "docs_fingerprints_norm": text.fingerprints_norm,
         # --- documents: non-SQL ops (rows-only; hash-function-defined) ---
         "docs_fingerprints": text.fingerprints,
         "docs_simhash": dedup.simhashes,
@@ -384,6 +385,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY source"
+        ),
+        "docs_fingerprints_norm": (
+            "SELECT doc_id, md5(array_to_string("
+            r"regexp_split_to_array(trim(coalesce(text,'')), '\s+'), ' ')) "
+            "AS fingerprint FROM documents"
         ),
         "docs_ngram_jaccard": jaccard_pairs,
         "docs_minhash_pairs": jaccard_pairs,

@@ -93,11 +93,16 @@ def run_queries(sf_dir: str) -> dict:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    # warm the Ray session (worker-pool spin-up, first-pipeline actor
+    # startup ~2-3 s) so per-query walls measure the operator, not the
+    # session bootstrap the first-listed query happens to pay
+    qs["docs_token_counts"](sf_dir).count()
     bench_set = [
         "q1_pricing", "q3_top_orders", "q5_region_supplier",
         "nation_revenue", "events_hourly", "events_topk_users",
         "events_sessionize", "events_rolling", "docs_token_counts",
         "docs_exact_dedup", "docs_minhash_pairs", "docs_simhash",
+        "docs_ngram_jaccard", "docs_lang_id", "docs_clean_corpus",
         "emb_knn", "emb_near_dup", "docs_extended_images",
     ]
     out = {}

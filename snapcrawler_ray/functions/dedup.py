@@ -133,7 +133,11 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class MinHashStage:
-    """Actor-pool stage: permutation params built once per actor."""
+    """Per-batch minhash map.  Permutation params are a few hundred
+    bytes derived from (num_perm, seed) — cheap enough to build per
+    task, so this runs as a plain ``map_batches`` function (no actor
+    pool to spin up; a model-sized state would flip it back to a
+    callable-class actor stage)."""
 
     def __init__(self, num_perm: int = 64, seed: int = 42):
         self.a, self.b = _perm_params(num_perm, seed)
@@ -182,10 +186,7 @@ def minhash_lsh_pairs(
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
     sigs = docs.map_batches(
-        MinHashStage,
-        batch_format="pandas",
-        concurrency=(1, 4),
-        fn_constructor_kwargs={"num_perm": num_perm},
+        MinHashStage(num_perm=num_perm), batch_format="pandas"
     )
 
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
@@ -224,28 +225,41 @@ def minhash_lsh_pairs(
             columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"}
         )[["doc_a", "doc_b"]].drop_duplicates()
 
-    # distinct candidate pairs, still distributed (same pair can emerge
-    # from bands landing in different partitions)
+    # candidate pairs per partition; the same pair can emerge from bands
+    # landing in different partitions — deduped on the verified
+    # (result-sized) list at the end instead of paying a second
+    # all-to-all here (verify is idempotent, so duplicate candidates
+    # only cost a few redundant jaccard evaluations)
     cand = (
         buckets.groupby("part")
         .map_groups(part_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .count()
-        .map_batches(
-            lambda df: df[["doc_a", "doc_b"]], batch_format="pandas"
-        )
         .materialize()
     )
     if cand.count() == 0:
         return _empty_pairs()
 
     # exact-Jaccard verify WITHOUT materializing the corpus on the
-    # driver: hash-join each pair side against the documents table (the
-    # shuffle ships candidate keys + only the candidate docs' texts),
-    # then a vectorized-per-pair shingle comparison.
+    # driver: broadcast the candidate doc-id set (dedup-rate-sized, the
+    # standard driver artifact), stream-filter the documents table down
+    # to candidate docs only (the one unavoidable corpus pass — no
+    # shuffle), then hash-join pair sides against that SMALL text set.
+    cand_pd = cand.to_pandas().drop_duplicates()
+    ids = np.unique(
+        np.concatenate([cand_pd["doc_a"].to_numpy(), cand_pd["doc_b"].to_numpy()])
+    )
+    ids_ref = ray.put(ids)
+
+    def keep_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(ids_ref)
+        return df[df["doc_id"].isin(want)]
+
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    j1 = cand.join(
-        docs, join_type="inner", num_partitions=8,
+    cand_docs = docs.map_batches(
+        keep_candidates, batch_format="pandas"
+    ).materialize()
+    cand_ds = ray.data.from_pandas(cand_pd).repartition(4)
+    j1 = cand_ds.join(
+        cand_docs, join_type="inner", num_partitions=4,
         on=("doc_a",), right_on=("doc_id",),
     ).map_batches(
         lambda df: df.rename(columns={"text": "text_a"})[
@@ -254,7 +268,7 @@ def minhash_lsh_pairs(
         batch_format="pandas",
     ).materialize()
     j2 = j1.join(
-        docs, join_type="inner", num_partitions=8,
+        cand_docs, join_type="inner", num_partitions=4,
         on=("doc_b",), right_on=("doc_id",),
     )
 
@@ -273,7 +287,9 @@ def minhash_lsh_pairs(
 
     out = j2.map_batches(verify, batch_format="pandas").to_pandas()
     return (
-        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        out.drop_duplicates(subset=["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
     )
 
 
@@ -541,29 +557,23 @@ def embedding_near_dup_pairs(
     dim = len(first["embedding"])
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(dim, n_planes)).astype(np.float64)
-    planes_ref = ray.put(planes)
 
-    class BucketStage:
-        def __init__(self, ref):
-            self.planes = ray.get(ref)
+    # planes is (dim × n_planes) floats — small enough to ship in the
+    # task closure, so no actor pool / ray.put round-trip needed
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        bits = (m @ planes) > 0
+        keys = np.packbits(bits, axis=1)[:, :2]
+        bucket = (keys[:, 0].astype(np.int64) << 8) | keys[:, 1]
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"],
+                "bucket": bucket,
+                "embedding": df["embedding"],
+            }
+        )
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            bits = (m @ self.planes) > 0
-            keys = np.packbits(bits, axis=1)[:, :2]
-            bucket = (keys[:, 0].astype(np.int64) << 8) | keys[:, 1]
-            return pd.DataFrame(
-                {
-                    "vec_id": df["vec_id"],
-                    "bucket": bucket,
-                    "embedding": df["embedding"],
-                }
-            )
-
-    bucketed = ds.map_batches(
-        BucketStage, batch_format="pandas", concurrency=(1, 4),
-        fn_constructor_kwargs={"ref": planes_ref},
-    )
+    bucketed = ds.map_batches(bucketize, batch_format="pandas")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:

@@ -291,56 +291,80 @@ def events_topk_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
-    """Gap-based sessionization: a new session starts when a user's
-    inter-event gap exceeds ``gap_minutes``.  The shuffle is
-    ``groupby(user_id).map_groups`` (hash-partition by user — each
-    user's history must be co-located; documented partitioning
-    assumption); per-group logic is vectorized (sort + diff + cumsum).
-    Output: one row per session with bounds and counts — matches the
-    DuckDB window-function oracle exactly (all-integer values)."""
-    import ray
+def _add_user_part(n_parts: int):
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (df["user_id"] % n_parts).astype("int64")
+        return df
 
+    return f
+
+
+def events_sessionize(
+    sf_dir: str, gap_minutes: int = 30, n_parts: int = 64
+) -> pd.DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``.  The shuffle hash-buckets
+    users into ``n_parts`` partitions (each user's history co-located —
+    documented partitioning assumption); ONE vectorized kernel per
+    bucket handles all its users (sort by (user, ts) + user-boundary /
+    gap masks + cumsum) — per-group python calls scale with bucket
+    count, not user count.  Output: one row per session with bounds and
+    counts — matches the DuckDB window-function oracle exactly."""
     gap_us = gap_minutes * 60 * 1_000_000
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = df["ts"].astype("int64")
-        new_sess = (ts.diff().fillna(gap_us + 1) > gap_us).astype("int64")
-        sess_idx = new_sess.cumsum()
-        g = df.assign(sess_idx=sess_idx).groupby("sess_idx")
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].astype("int64").to_numpy()
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[gap_us + 1], ts[1:] - ts[:-1]])
+        sess = np.cumsum(new_user | (gap > gap_us))
+        g = pd.DataFrame(
+            {"user_id": uid, "ts": df["ts"].to_numpy(), "sess": sess}
+        ).groupby("sess", sort=True)
         out = pd.DataFrame(
             {
-                "user_id": df["user_id"].iloc[0],
+                "user_id": g["user_id"].first(),
                 "session_start": g["ts"].min(),
                 "session_end": g["ts"].max(),
-                "n_events": g["event_id"].count().astype("int64"),
+                "n_events": g["ts"].count().astype("int64"),
             }
         )
         return out.reset_index(drop=True)
 
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]).map_batches(
+        _add_user_part(n_parts), batch_format="pandas"
+    )
+    out = ds.groupby("part").map_groups(sessions, batch_format="pandas")
     df = out.to_pandas()
     df["session_start"] = df["session_start"].astype("datetime64[us]")
     df["session_end"] = df["session_end"].astype("datetime64[us]")
     return df.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
 
-def events_rolling_window(sf_dir: str, window: int = 5) -> pd.DataFrame:
+def events_rolling_window(
+    sf_dir: str, window: int = 5, n_parts: int = 64
+) -> pd.DataFrame:
     """Per-user rolling-window aggregate (last ``window`` events by
     (ts, event_id)): windowed sum of value + window row count.  The
-    shuffle is ``groupby(user_id).map_groups`` (each user's ordered
-    history co-located — documented partitioning assumption); the
-    window itself is an exact int64 sliding cumsum, so values match
-    the DuckDB window-function oracle bit-for-bit."""
+    shuffle hash-buckets users into ``n_parts`` partitions (each user's
+    ordered history co-located — documented partitioning assumption);
+    one vectorized kernel per bucket computes every user's window via
+    an exact int64 sliding cumsum clamped at user boundaries, so
+    values match the DuckDB window-function oracle bit-for-bit."""
 
     def roll(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
         c = _cents(df["value"]).to_numpy()
-        cs = np.concatenate([[0], np.cumsum(c)])
         n = len(c)
-        lo = np.maximum(0, np.arange(1, n + 1) - window)
+        cs = np.concatenate([[0], np.cumsum(c)])
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        grp_start = np.maximum.accumulate(
+            np.where(new_user, np.arange(n), 0)
+        )
+        lo = np.maximum(grp_start, np.arange(1, n + 1) - window)
         w_sum_c = cs[1:] - cs[lo]
         w_n = np.arange(1, n + 1) - lo
         return pd.DataFrame(
@@ -352,8 +376,10 @@ def events_rolling_window(sf_dir: str, window: int = 5) -> pd.DataFrame:
             }
         )
 
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-    out = ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+    ds = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "value"]
+    ).map_batches(_add_user_part(n_parts), batch_format="pandas")
+    out = ds.groupby("part").map_groups(roll, batch_format="pandas")
     return (
         out.to_pandas()
         .sort_values(["user_id", "event_id"])

@@ -155,6 +155,30 @@ def fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+def fingerprints_norm(sf_dir: str) -> "ray.data.Dataset":
+    """doc_id, fingerprint — whitespace-normalized MD5 document
+    fingerprint (md5 of the single-space-joined token stream).  The
+    SQL-expressible fingerprint variant (DuckDB oracle in
+    __ray_entry__); the rolling-hash variant in :func:`fingerprints`
+    stays the streaming/windowable one."""
+    import hashlib
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (
+            df["text"].fillna("").str.strip().str.replace(_WS, " ", regex=True)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fingerprint": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm
+                ],
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
 def lang_filter(sf_dir: str, lang: str = "en") -> "ray.data.Dataset":
     """doc_id, lang, source, n_chars for one language (predicate
     pushdown-friendly projection + filter)."""
