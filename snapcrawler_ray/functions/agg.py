@@ -1,0 +1,54 @@
+"""High-cardinality distributed group-combine.
+
+``ray.data.Dataset.groupby(...).aggregate(...)`` / ``map_groups`` pay a
+per-group Python cost inside the sort-based aggregate — fine for
+thousands of groups, pathological for millions (measured: 1.26M
+two-int-key groups took >6 min at 32 CPUs where the equivalent pandas
+groupby is ~1 s).  ``bucketed_combine`` keeps the shuffle but collapses
+its key space: rows are hash-bucketed on the key columns into
+``n_buckets`` partitions (every row of a key lands in exactly one
+bucket), ONE low-cardinality Ray groupby co-locates each bucket, and a
+C-speed pandas ``combine`` runs once per bucket over all its keys.
+
+The bucket hash is ``pandas.util.hash_pandas_object`` — deterministic
+across processes/nodes (fixed-key SipHash), so the same key always
+routes to the same bucket on every worker.  At 100-TB scale this is the
+same topology as a hash-partitioned reduce: n_buckets should be a few ×
+cluster cores so each combine is one sizable pandas op.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+
+def bucketed_combine(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    combine,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Apply ``combine(pdf) -> pdf`` once per hash bucket of key rows.
+
+    ``combine`` sees every row of every key assigned to its bucket
+    (keys never straddle buckets) and typically runs a pandas groupby
+    over ``key_cols``.  It must not depend on which other keys share
+    the bucket.
+    """
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
+        df = df.copy()
+        df["_bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return combine(df.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -40,15 +40,21 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(add_md5, batch_format="pandas")
-    kept = ds.groupby("content_md5").min("doc_id")
-    return kept.map_batches(
-        lambda df: df.rename(columns={"min(doc_id)": "doc_id"})[
-            ["doc_id", "content_md5"]
-        ],
-        batch_format="pandas",
+    from .agg import bucketed_combine
+    from .io import read_table
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        add_md5, batch_format="pandas"
+    )
+    # hash-bucketed reduce: one low-cardinality Ray shuffle + a pandas
+    # groupby per bucket (Ray's own groupby.aggregate pays per-group
+    # python — prohibitive at one group per distinct document)
+    return bucketed_combine(
+        ds,
+        ["content_md5"],
+        lambda df: df.groupby("content_md5", as_index=False).agg(
+            doc_id=("doc_id", "min")
+        )[["doc_id", "content_md5"]],
     )
 
 
@@ -68,24 +74,27 @@ def dedup_count_per_source(sf_dir: str) -> pd.DataFrame:
         ]
         return pd.DataFrame({"source": df["source"], "content_md5": h})
 
+    from .agg import bucketed_combine
     from .io import read_table
 
     ds = read_table(sf_dir, "documents", ["source", "text"]).map_batches(
         partial, batch_format="pandas"
     )
-    per_hash = ds.groupby(["source", "content_md5"]).count()
-    per_source = (
-        per_hash.map_batches(
-            lambda df: pd.DataFrame(
-                {"source": df["source"], "n_docs": df["count()"], "one": 1}
-            ),
-            batch_format="pandas",
-        )
-        .groupby("source")
-        .sum(["n_docs", "one"])
+    # one hash-bucketed reduce over (source, md5) collapses duplicates
+    # and pre-sums per source within each bucket; the driver combine
+    # runs over O(sources × buckets) rows only
+    per_bucket = bucketed_combine(
+        ds,
+        ["source", "content_md5"],
+        lambda df: df.groupby(["source", "content_md5"], as_index=False)
+        .size()
+        .groupby("source", as_index=False)
+        .agg(n_docs=("size", "sum"), n_unique=("size", "count")),
     )
-    out = per_source.to_pandas().rename(
-        columns={"sum(n_docs)": "n_docs", "sum(one)": "n_unique"}
+    out = (
+        per_bucket.to_pandas()
+        .groupby("source", as_index=False)
+        .agg(n_docs=("n_docs", "sum"), n_unique=("n_unique", "sum"))
     )
     out["n_docs"] = out["n_docs"].astype("int64")
     out["n_unique"] = out["n_unique"].astype("int64")
@@ -343,7 +352,10 @@ def ngram_jaccard_pairs(
         d = df[df["shingle"].isin(keep)][["doc_id", "shingle", "n_sh"]]
         if d.empty:
             return pd.DataFrame(
-                {"doc_a": [], "doc_b": [], "co": [], "sa": [], "sb": []}
+                {
+                    c: pd.Series([], dtype="int64")
+                    for c in ("doc_a", "doc_b", "co", "sa", "sb")
+                }
             )
         m = d.merge(d, on="shingle")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
@@ -355,34 +367,34 @@ def ngram_jaccard_pairs(
         )
         return co
 
-    from ray.data.aggregate import Max, Sum
-
-    co = (
-        exploded.groupby("part")
-        .map_groups(part_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("co"), Max("sa"), Max("sb"))
-    )
+    from .agg import bucketed_combine
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        c = df["sum(co)"].to_numpy(np.float64)
+        # combine partial co-occurrence counts per pair (a pair's rows
+        # come from disjoint shingle partitions), then jaccard + filter
+        # — C-speed pandas over the whole bucket, not per-group python
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            co=("co", "sum"), sa=("sa", "max"), sb=("sb", "max")
+        )
+        c = g["co"].to_numpy(np.float64)
         jac = c / (
-            df["max(sa)"].to_numpy(np.float64)
-            + df["max(sb)"].to_numpy(np.float64)
-            - c
+            g["sa"].to_numpy(np.float64) + g["sb"].to_numpy(np.float64) - c
         )
         out = pd.DataFrame(
             {
-                "doc_a": df["doc_a"],
-                "doc_b": df["doc_b"],
+                "doc_a": g["doc_a"],
+                "doc_b": g["doc_b"],
                 "jaccard": np.round(jac, 4),
             }
         )
         return out[out["jaccard"] >= threshold]
 
+    co = exploded.groupby("part").map_groups(
+        part_pairs, batch_format="pandas"
+    )
     # only the above-threshold pairs (the query's actual result) reach
     # the driver
-    out = co.map_batches(finish, batch_format="pandas").to_pandas()
+    out = bucketed_combine(co, ["doc_a", "doc_b"], finish).to_pandas()
     if out.empty:
         return _empty_pairs()
     return (
@@ -467,7 +479,12 @@ def clean_corpus_keep(
     def score_filter(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["lang"] == lang]
         if df.empty:
-            return pd.DataFrame({"doc_id": [], "content_md5": []})
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "content_md5": pd.Series([], dtype=object),
+                }
+            )
         t = df["text"].fillna("").str.strip()
         n_tokens = t.str.split(ws).map(len).where(t != "", 0).astype("float64")
         q = (
@@ -485,23 +502,22 @@ def clean_corpus_keep(
             }
         )
 
-    from ray.data.aggregate import Count, Min
-
+    from .agg import bucketed_combine
     from .io import read_table
 
     ds = read_table(
         sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"]
     ).map_batches(score_filter, batch_format="pandas")
-    agg = ds.groupby("content_md5").aggregate(Min("doc_id"), Count())
-    return agg.map_batches(
-        lambda df: pd.DataFrame(
-            {
-                "doc_id": df["min(doc_id)"].astype("int64"),
-                "content_md5": df["content_md5"],
-                "n_dups": df["count()"].astype("int64"),
-            }
-        ),
-        batch_format="pandas",
+    # hash-bucketed md5 reduce (see exact_dedup): min-doc + dup count
+    # per content hash without Ray's per-group aggregate cost
+    return bucketed_combine(
+        ds,
+        ["content_md5"],
+        lambda df: df.groupby("content_md5", as_index=False)
+        .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        .astype({"doc_id": "int64", "n_dups": "int64"})[
+            ["doc_id", "content_md5", "n_dups"]
+        ],
     )
 
 
