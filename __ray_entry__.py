@@ -250,6 +250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_users": lambda d: relational.events_topk_users(d),
         "events_sessionize": lambda d: relational.events_sessionize(d),
         "events_rolling": lambda d: relational.events_rolling_window(d),
+        "events_asof": lambda d: relational.events_asof_milestones(d),
+        "events_hopping": lambda d: relational.events_hopping_window(d),
         "part_type_stats": relational.part_type_stats,
         # --- crawl engine (rows-only; oracle is the replay simulator,
         #     enforced in tests/test_crawl.py) ---
@@ -503,6 +505,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WINDOW w AS ("
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+        ),
+        "events_asof": (
+            # DuckDB's native ASOF JOIN is the oracle for the engine's
+            # bucketed merge_asof composition
+            "SELECT e.event_id, e.user_id, e.ts, "
+            "m.ts AS milestone_ts, m.m_value "
+            "FROM events e ASOF LEFT JOIN ("
+            "SELECT user_id, ts, max(value) AS m_value FROM events "
+            "WHERE event_id % 29 = 0 GROUP BY user_id, ts) m "
+            "ON e.user_id = m.user_id AND e.ts >= m.ts"
+        ),
+        "events_hopping": (
+            "SELECT time_bucket(INTERVAL '15 minutes', ts) "
+            "- j * INTERVAL '15 minutes' AS window_start, "
+            "event_type, count(*) AS n, "
+            "sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value "
+            "FROM events CROSS JOIN unnest([0,1,2,3]) AS t(j) "
+            "GROUP BY 1, 2"
         ),
         "part_type_stats": (
             "SELECT p_type, count(*) AS n_parts, "

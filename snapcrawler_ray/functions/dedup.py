@@ -607,11 +607,28 @@ def embedding_near_dup_pairs(
             {"vec_a": lo, "vec_b": hi, "cosine": np.round(sims[ia, ib][mask], 4)}
         )
 
-    out = (
-        bucketed.groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
-        .to_pandas()
-    )
+    def verify_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        # many LSH buckets (most singletons) per hash partition — loop
+        # them here instead of one Ray group per bucket (2^n_planes
+        # groups would pay Ray's per-group aggregate cost; see agg.py)
+        outs = [
+            verify(g)
+            for _, g in df.groupby("bucket", sort=False)
+            if len(g) >= 2
+        ]
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    from .agg import bucketed_combine
+
+    out = bucketed_combine(bucketed, ["bucket"], verify_buckets).to_pandas()
     if out.empty:
         return pd.DataFrame(
             {

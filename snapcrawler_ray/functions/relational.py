@@ -387,6 +387,138 @@ def events_rolling_window(
     )
 
 
+def events_asof_milestones(
+    sf_dir: str, every: int = 29, n_parts: int = 64
+) -> pd.DataFrame:
+    """As-of join: each event picks up the most recent milestone
+    (ts ≤ event ts) of the same user.  Milestones are the deterministic
+    subset event_id % ``every`` == 0, collapsed to one row per
+    (user, ts) so the join is unambiguous.
+
+    Ray Data has no asof-join primitive; the operator composes from the
+    engine's building blocks: hash-bucket BOTH sides by user into the
+    same partitions (one shuffle on the bucket key), then a per-bucket
+    ``pandas.merge_asof`` (C-speed backward search over the sorted
+    bucket).  Partitioning assumption: a user's events and milestones
+    co-locate — same contract as sessionize/rolling.  Matches DuckDB's
+    native ASOF LEFT JOIN oracle exactly."""
+
+    # both sides carry the same schema so the union is trivial;
+    # side 'e' = events, 'm' = milestone rows (m_value set)
+    def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "ts": df["ts"],
+                "user_id": df["user_id"],
+                "m_value": np.nan,
+                "part": (df["user_id"] % n_parts).astype("int64"),
+                "side": "e",
+            }
+        )
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"]).map_batches(
+        tag_events, batch_format="pandas"
+    )
+
+    def milestones(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["event_id"] % every == 0]
+        g = m.groupby(["user_id", "ts"], as_index=False).agg(
+            m_value=("value", "max")
+        )
+        return pd.DataFrame(
+            {
+                "event_id": np.int64(-1),
+                "ts": g["ts"],
+                "user_id": g["user_id"],
+                "m_value": g["m_value"],
+                "part": (g["user_id"] % n_parts).astype("int64"),
+                "side": "m",
+            }
+        )
+
+    ms = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "value"]
+    ).map_batches(milestones, batch_format="pandas")
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["side"] == "e"][["event_id", "ts", "user_id"]]
+        right = df[df["side"] == "m"][["ts", "user_id", "m_value"]]
+        if right.empty:
+            out = left.copy()
+            out["milestone_ts"] = pd.NaT
+            out["m_value"] = np.nan
+            return out[["event_id", "user_id", "ts", "milestone_ts", "m_value"]]
+        left = left.sort_values("ts", kind="mergesort")
+        right = (
+            right.groupby(["user_id", "ts"], as_index=False)
+            .agg(m_value=("m_value", "max"))  # re-collapse across blocks
+            .sort_values("ts", kind="mergesort")
+        )
+        out = pd.merge_asof(
+            left,
+            right.rename(columns={"ts": "milestone_ts"}),
+            left_on="ts",
+            right_on="milestone_ts",
+            by="user_id",
+            direction="backward",
+        )
+        return out[["event_id", "user_id", "ts", "milestone_ts", "m_value"]]
+
+    both = ev.union(ms)
+    out = both.groupby("part").map_groups(asof, batch_format="pandas")
+    df = out.to_pandas()
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["milestone_ts"] = df["milestone_ts"].astype("datetime64[us]")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def events_hopping_window(
+    sf_dir: str, width_min: int = 60, hop_min: int = 15
+) -> pd.DataFrame:
+    """Hopping-window aggregate: count + exact-cents value sum per
+    (window_start, event_type) for 60-min windows hopping every 15 min
+    (each event lands in width/hop = 4 windows).  The explode happens
+    inside ``map_batches`` (×4 rows, partial-aggregated in the same
+    batch) so the shuffle is the tiny final groupby — the same
+    pre-aggregate shape as events_hourly."""
+    n_hops = width_min // hop_min
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor(f"{hop_min}min")
+        frames = []
+        for j in range(n_hops):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "window_start": base - pd.Timedelta(minutes=j * hop_min),
+                        "event_type": df["event_type"],
+                        "n": 1,
+                        "value_c": _cents(df["value"]),
+                    }
+                )
+            )
+        return (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["window_start", "event_type"], as_index=False)
+            .sum()
+        )
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["window_start", "event_type"], as_index=False)
+        .sum()
+    )
+    agg["sum_value"] = agg["value_c"] / 100.0
+    agg["n"] = agg["n"].astype("int64")
+    agg["window_start"] = agg["window_start"].astype("datetime64[us]")
+    return agg[["window_start", "event_type", "n", "sum_value"]].sort_values(
+        ["window_start", "event_type"]
+    ).reset_index(drop=True)
+
+
 def part_type_stats(sf_dir: str) -> pd.DataFrame:
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -75,7 +75,8 @@ def test_all_query_names_have_callables(contract):
         "docs_ngram_jaccard", "emb_near_dup", "docs_fingerprints_norm",
         "emb_knn", "q1_pricing", "q3_top_orders", "nation_revenue",
         "q5_region_supplier", "events_hourly", "events_topk_users",
-        "events_sessionize", "events_rolling", "part_type_stats",
+        "events_sessionize", "events_rolling", "events_asof",
+        "events_hopping", "part_type_stats",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
