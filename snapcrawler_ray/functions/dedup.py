@@ -521,17 +521,86 @@ def clean_corpus_keep(
     )
 
 
+def connected_components_distributed(
+    pairs: pd.DataFrame, n_buckets: int = 32, max_iters: int = 64
+) -> pd.DataFrame:
+    """Distributed min-label propagation over an undirected edge list:
+    each round every node takes the min of its own label and its
+    neighbors' labels (one hash join edges⋈labels + one bucketed
+    min-reduce per round), until the global label sum stops changing —
+    labels are monotonically non-increasing, so an unchanged sum IS the
+    fixpoint.  Converges in O(component diameter) rounds; the label
+    table and edge list stay distributed throughout, so this is the
+    path for pair lists too large for one node's union-find.
+    Returns (node, label) with label = component min."""
+    a = pairs.iloc[:, 0].to_numpy(np.int64)
+    b = pairs.iloc[:, 1].to_numpy(np.int64)
+    edges_pd = pd.DataFrame(
+        {
+            "src": np.concatenate([a, b]),
+            "dst": np.concatenate([b, a]),
+        }
+    )
+    nodes = np.unique(edges_pd["src"].to_numpy())
+    if len(nodes) == 0:
+        return pd.DataFrame(
+            {
+                "node": pd.Series([], dtype="int64"),
+                "label": pd.Series([], dtype="int64"),
+            }
+        )
+    from .agg import bucketed_combine
+
+    n_blocks = max(1, min(8, len(edges_pd) // 10_000 + 1))
+    edges = ray.data.from_pandas(edges_pd).repartition(n_blocks).materialize()
+    labels = ray.data.from_pandas(
+        pd.DataFrame({"node": nodes, "label": nodes})
+    ).repartition(n_blocks).materialize()
+    prev_sum = int(nodes.astype(object).sum())
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels, join_type="inner", num_partitions=n_blocks,
+            on=("src",), right_on=("node",),
+        ).map_batches(
+            lambda df: pd.DataFrame({"node": df["dst"], "label": df["label"]}),
+            batch_format="pandas",
+        )
+        labels = bucketed_combine(
+            msgs.union(labels),
+            ["node"],
+            lambda df: df.groupby("node", as_index=False).agg(
+                label=("label", "min")
+            ),
+            n_buckets=n_buckets,
+        ).materialize()
+        cur_sum = int(
+            labels.map_batches(
+                lambda df: pd.DataFrame({"s": [df["label"].astype(object).sum()]}),
+                batch_format="pandas",
+            ).to_pandas()["s"].sum()
+        )
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    out = labels.to_pandas().astype({"node": "int64", "label": "int64"})
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def embedding_dedup_keep(
-    sf_dir: str, threshold: float = 0.95
+    sf_dir: str, threshold: float = 0.95, distributed: bool = False
 ) -> pd.DataFrame:
     """Near-dup keep/drop list: connected components over the
     ``embedding_near_dup_pairs`` graph, keep = min vec_id per
     component.  The union-find runs on the *pair list* (the result set
     of the distributed pipeline, not the corpus) — at 100 TB that list
     is the dedup rate × corpus, the standard driver-sized artifact;
-    a groupby-iterate hash-to-min propagation is the documented path if
-    it ever outgrows one node."""
+    ``distributed=True`` switches to the groupby-iterate min-label
+    propagation (:func:`connected_components_distributed`) for pair
+    lists that outgrow one node."""
     pairs = embedding_near_dup_pairs(sf_dir, threshold=threshold)
+    if distributed:
+        cc = connected_components_distributed(pairs)
+        return cc.rename(columns={"node": "vec_id", "label": "keep_id"})
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -216,6 +216,31 @@ def test_emb_dedup_keep_components(ray_session, tmp_path):
     assert got[102] == 7 and got[7] == 7
 
 
+def test_connected_components_distributed_matches_unionfind(ray_session):
+    """Min-label propagation == union-find on a graph with a long chain
+    (worst case for propagation rounds), a star, and singleton pairs."""
+    import numpy as np
+
+    from snapcrawler_ray.functions.dedup import (
+        connected_components_distributed,
+    )
+
+    chain = [(i, i + 1) for i in range(10, 18)]          # diameter 8
+    star = [(100, x) for x in (101, 102, 103, 104)]
+    loose = [(200, 300), (400, 401)]
+    pairs = pd.DataFrame(chain + star + loose, columns=["vec_a", "vec_b"])
+    got = connected_components_distributed(pairs)
+    labels = dict(zip(got["node"], got["label"]))
+    assert all(labels[i] == 10 for i in range(10, 19))
+    assert all(labels[x] == 100 for x in (100, 101, 102, 103, 104))
+    assert labels[300] == 200 and labels[401] == 400
+    # empty graph
+    empty = connected_components_distributed(
+        pd.DataFrame({"vec_a": [], "vec_b": []})
+    )
+    assert len(empty) == 0
+
+
 def test_emb_near_dup_finds_planted_pairs(ray_session, tmp_path):
     """The driver's embeddings are isotropic-random (max pairwise
     cosine ~0.5), so near-dup output is legitimately empty there; this
