@@ -407,6 +407,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
         ),
+        "emb_dedup_keep": (
+            # connected components over the exact near-dup graph as a
+            # recursive transitive closure; keep = component min
+            "WITH RECURSIVE pairs AS ("
+            "SELECT a.vec_id AS va, b.vec_id AS vb "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+            "), edges AS ("
+            "SELECT va AS a, vb AS b FROM pairs "
+            "UNION SELECT vb, va FROM pairs"
+            "), reach(node, other) AS ("
+            "SELECT a, b FROM edges "
+            "UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other"
+            ") SELECT node AS vec_id, least(node, min(other)) AS keep_id "
+            "FROM reach GROUP BY node"
+        ),
         "docs_clean_corpus": (
             "WITH scored AS ("
             "SELECT doc_id, md5(text) AS content_md5, "
