@@ -230,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
         "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
         "docs_fingerprints_norm": text.fingerprints_norm,
+        "docs_sample": text.sample_docs,
+        "docs_token_topk": lambda d: text.token_topk(d),
         # --- documents: non-SQL ops (rows-only; hash-function-defined) ---
         "docs_fingerprints": text.fingerprints,
         "docs_simhash": dedup.simhashes,
@@ -396,6 +398,21 @@ def oracle_sql() -> dict[str, str]:
         "docs_ngram_jaccard": jaccard_pairs,
         "docs_minhash_pairs": jaccard_pairs,
         "docs_lang_id": lang_id_sql,
+        "docs_sample": (
+            # deterministic hash-bucket sample: md5 prefix mod 100 < 5
+            "SELECT doc_id, source, lang, n_chars FROM documents "
+            "WHERE CAST(concat('0x', substr(md5(coalesce(text,'')), 1, 8)) "
+            "AS UBIGINT) % 100 < 5"
+        ),
+        "docs_token_topk": (
+            "WITH ex AS (SELECT DISTINCT doc_id, "
+            r"unnest(regexp_split_to_array(trim(coalesce(lower(text),'')), "
+            r"'\s+')) AS tok FROM documents), "
+            "c AS (SELECT tok, count(*) AS df_count FROM ex "
+            "WHERE length(tok) >= 4 GROUP BY tok) "
+            "SELECT tok, df_count FROM c "
+            "ORDER BY df_count DESC, tok LIMIT 50"
+        ),
         "emb_near_dup": (
             # exact all-pairs cosine ≥ threshold; the engine's LSH-bucket
             # path must find every such pair (planted-dup recall proven

@@ -179,6 +179,67 @@ def fingerprints_norm(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+def sample_docs(sf_dir: str, pct: int = 5) -> "ray.data.Dataset":
+    """Deterministic ``pct``-percent corpus sample: keep docs whose
+    md5(text) bucket (first 8 hex digits mod 100) falls below the cut.
+    Hash-based sampling is reproducible across runs/nodes and
+    stratifies by content, not position — the standard way to carve a
+    held-out slice from a 100-TB corpus without a shuffle or a seed
+    file.  SQL-oracled (DuckDB computes the same md5 prefix)."""
+    import hashlib
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(
+            [
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % 100
+                for t in df["text"].fillna("")
+            ]
+        )
+        return df.loc[h < pct, ["doc_id", "source", "lang", "n_chars"]]
+
+    return _docs(
+        sf_dir, ["doc_id", "text", "source", "lang", "n_chars"]
+    ).map_batches(f, batch_format="pandas")
+
+
+def token_topk(sf_dir: str, k: int = 50, min_len: int = 4) -> pd.DataFrame:
+    """Heavy-hitter tokens: global top-k lowercase tokens (len ≥
+    ``min_len``) by document frequency, ties broken lexicographically.
+    Per-batch explode + partial count (the pre-aggregate), one
+    hash-bucketed reduce over distinct tokens, partial top-k per bucket,
+    tiny driver merge — the wide-aggregation shape for a 10^9-doc
+    vocabulary count."""
+    from .agg import bucketed_combine
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        flat, lens = _token_lists(df["text"].str.lower())
+        ex = pd.DataFrame(
+            {"i": np.repeat(np.arange(n), lens), "tok": flat}
+        ).drop_duplicates()
+        ex = ex[ex["tok"].str.len() >= min_len]
+        return ex.groupby("tok", as_index=False).agg(df_count=("i", "size"))
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", as_index=False).agg(
+            df_count=("df_count", "sum")
+        )
+        return g.sort_values(
+            ["df_count", "tok"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    out = bucketed_combine(ds, ["tok"], combine).to_pandas()
+    out = out.sort_values(
+        ["df_count", "tok"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    out["df_count"] = out["df_count"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def lang_filter(sf_dir: str, lang: str = "en") -> "ray.data.Dataset":
     """doc_id, lang, source, n_chars for one language (predicate
     pushdown-friendly projection + filter)."""
