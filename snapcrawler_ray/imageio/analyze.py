@@ -63,8 +63,14 @@ def quality_score(px: np.ndarray) -> float:
     contrast = float(gray.std() / 128.0)
     brightness = float(gray.mean() / 255.0)
     brightness_score = 1.0 - abs(brightness - 0.5) * 2
+    # pack channels into one integer per pixel: bijective for uint8
+    # channels, so the distinct count equals row-wise np.unique(axis=0)
+    # — which lexsorts structured rows and is ~100x slower
     flat = px.reshape(-1, px.shape[-1]) if px.ndim == 3 else px.reshape(-1, 1)
-    unique_colors = len(np.unique(flat, axis=0))
+    packed = np.zeros(flat.shape[0], dtype=np.uint64)
+    for ch in range(flat.shape[1]):
+        packed = (packed << np.uint64(8)) | flat[:, ch].astype(np.uint64)
+    unique_colors = len(np.unique(packed))
     max_colors = min(px.shape[0] * px.shape[1], 65536)
     color_diversity = unique_colors / max_colors
     q = sharpness * 0.3 + contrast * 0.25 + brightness_score * 0.2 + color_diversity * 0.25
