@@ -82,14 +82,27 @@ def _run_crawl(sf_dir: str):
     return res, cfg
 
 
+_META_CACHE: dict[str, Any] = {}
+
+
+def _image_meta(sf_dir: str):
+    """Memoized image-pipeline verdict Dataset per sf (deterministic;
+    three driver entries — entry/verdicts/analysis — share one run)."""
+    key = str(_sf_of(sf_dir))
+    if key not in _META_CACHE:
+        from snapcrawler_ray.pipelines.images import run_image_pipeline
+
+        res, cfg = _run_crawl(sf_dir)
+        _META_CACHE[key] = run_image_pipeline(
+            res.emissions, cfg.images
+        ).materialize()
+    return _META_CACHE[key]
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: crawl → image filter chain →
     per-image verdict table (reason '' = accepted)."""
-    from snapcrawler_ray.pipelines.images import run_image_pipeline
-
-    res, cfg = _run_crawl("/root/testdata/sf0.001")
-    meta = run_image_pipeline(res.emissions, cfg.images)
-    return meta
+    return _image_meta("/root/testdata/sf0.001")
 
 
 # --------------------------------------------------------------------
@@ -98,7 +111,6 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from snapcrawler_ray.functions import dedup, relational, similarity, text
-    from snapcrawler_ray.pipelines.images import run_image_pipeline
 
     def crawl_visits(sf_dir: str):
         res, _ = _run_crawl(sf_dir)
@@ -109,8 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return res.emissions
 
     def crawl_image_verdicts(sf_dir: str):
-        res, cfg = _run_crawl(sf_dir)
-        meta = run_image_pipeline(res.emissions, cfg.images)
+        meta = _image_meta(sf_dir)
         import pyarrow.compute as pc
 
         t = meta.to_pandas().sort_values("emit_seq").reset_index(drop=True)
@@ -211,7 +222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def images_analysis(sf_dir: str):
         res, cfg = _run_crawl(sf_dir)
-        return webops.images_analysis(res.emissions, cfg.images)
+        return webops.images_analysis(
+            res.emissions, cfg.images, meta=_image_meta(sf_dir)
+        )
 
     def media_features(sf_dir: str):
         return webops.media_features()

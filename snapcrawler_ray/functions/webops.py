@@ -235,13 +235,18 @@ def nav_scores(corpus_dir: str) -> "ray.data.Dataset":
 
 # --------------------------------------------- M20–M23: analyzer pipeline
 
-def images_analysis(emissions: pa.Table, images_cfg) -> pd.DataFrame:
+def images_analysis(
+    emissions: pa.Table, images_cfg, meta=None
+) -> pd.DataFrame:
     """Accepted images → AnalyzeStage (via the §2.11 step registry) →
-    flat metadata columns.  Returns a pandas frame sorted by emit_seq."""
+    flat metadata columns.  Returns a pandas frame sorted by emit_seq.
+    Pass ``meta`` (the verdict Dataset from ``run_image_pipeline``) to
+    reuse an already-executed pipeline instead of re-running it."""
     from ..pipelines.images import run_image_pipeline
     from ..steps import run_chain
 
-    meta = run_image_pipeline(emissions, images_cfg)
+    if meta is None:
+        meta = run_image_pipeline(emissions, images_cfg)
     import pyarrow.compute as pc
 
     accepted = meta.map_batches(
@@ -251,7 +256,14 @@ def images_analysis(emissions: pa.Table, images_cfg) -> pd.DataFrame:
         batch_format="pyarrow",
         batch_size=1024,
     )
-    analyzed = run_chain(accepted, [("analyze", {})])
+    # split blocks so the actor pool actually fans out — task parallelism
+    # is bounded by block count, and the materialized verdict table has
+    # only a handful of blocks
+    n_acc = accepted.count()
+    accepted = accepted.repartition(max(1, min(64, n_acc // 32 + 1)))
+    analyzed = run_chain(
+        accepted, [("analyze", {"concurrency": (1, 16), "batch_size": 32})]
+    )
 
     def flatten(df: pd.DataFrame) -> pd.DataFrame:
         m = df["metadata"]
