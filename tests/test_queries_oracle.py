@@ -217,6 +217,54 @@ def test_emb_dedup_keep_components(ray_session, tmp_path):
     assert got[102] == 7 and got[7] == 7
 
 
+def test_write_partitioned_resume_skips_finished(ray_session, tmp_path):
+    """Resumable sink: a re-run rewrites only the missing partitions;
+    finished partition files are untouched (mtime-stable) and the
+    reread equals the original table."""
+    import os
+    import shutil
+    import time
+
+    import ray
+
+    from snapcrawler_ray.functions.sink import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    src = pd.DataFrame(
+        {"doc_id": np.arange(500, dtype=np.int64),
+         "payload": [f"row-{i}" for i in range(500)]}
+    )
+    out = str(tmp_path / "sink")
+    r1 = write_partitioned(
+        ray.data.from_pandas(src).repartition(4), out, "doc_id", n_parts=8
+    )
+    assert sorted(r1["written"]) == list(range(8)) and r1["skipped"] == []
+    victim = os.path.join(out, "_part=3")
+    survivor = os.path.join(out, "_part=5")
+    survivor_mtimes = {
+        f: os.path.getmtime(os.path.join(survivor, f))
+        for f in os.listdir(survivor)
+    }
+    shutil.rmtree(victim)
+    time.sleep(0.05)
+    r2 = write_partitioned(
+        ray.data.from_pandas(src).repartition(4), out, "doc_id", n_parts=8
+    )
+    assert r2["written"] == [3]
+    assert r2["skipped"] == [0, 1, 2, 4, 5, 6, 7]
+    assert survivor_mtimes == {
+        f: os.path.getmtime(os.path.join(survivor, f))
+        for f in os.listdir(survivor)
+    }
+    back = (
+        read_partitioned(out).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back[["doc_id", "payload"]], src)
+
+
 def test_connected_components_distributed_matches_unionfind(ray_session):
     """Min-label propagation == union-find on a graph with a long chain
     (worst case for propagation rounds), a star, and singleton pairs."""
