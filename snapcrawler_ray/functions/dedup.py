@@ -239,20 +239,19 @@ def minhash_lsh_pairs(
     # (result-sized) list at the end instead of paying a second
     # all-to-all here (verify is idempotent, so duplicate candidates
     # only cost a few redundant jaccard evaluations)
-    cand = (
-        buckets.groupby("part")
-        .map_groups(part_pairs, batch_format="pandas")
-        .materialize()
-    )
-    if cand.count() == 0:
-        return _empty_pairs()
-
     # exact-Jaccard verify WITHOUT materializing the corpus on the
     # driver: broadcast the candidate doc-id set (dedup-rate-sized, the
     # standard driver artifact), stream-filter the documents table down
     # to candidate docs only (the one unavoidable corpus pass — no
     # shuffle), then hash-join pair sides against that SMALL text set.
-    cand_pd = cand.to_pandas().drop_duplicates()
+    cand_pd = (
+        buckets.groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if cand_pd.empty:
+        return _empty_pairs()
     ids = np.unique(
         np.concatenate([cand_pd["doc_a"].to_numpy(), cand_pd["doc_b"].to_numpy()])
     )
