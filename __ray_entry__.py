@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": dedup.exact_dedup,
         "docs_dedup_per_source": dedup.dedup_count_per_source,
         "docs_source_stats": text.source_stats,
+        "docs_repetition": text.repetition_stats,
         # --- documents: near-dup + lang-ID (SQL-oracled: exact-Jaccard
         #     / stopword-profile semantics are ANSI-expressible) ---
         "docs_lang_id": text.lang_id,
@@ -402,6 +403,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY source"
+        ),
+        "docs_repetition": (
+            # Gopher-style repetition signals: token-level duplicate and
+            # mode-token fractions (blank docs -> 0.0/0.0 via LEFT JOIN)
+            "WITH toks AS (SELECT doc_id, "
+            r"unnest(regexp_split_to_array(trim(text), '\s+')) AS tok "
+            "FROM documents WHERE trim(coalesce(text, '')) <> ''), "
+            "cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks "
+            "GROUP BY doc_id, tok), "
+            "per AS (SELECT doc_id, sum(c) AS n, count(*) AS d, "
+            "max(c) AS m FROM cnt GROUP BY doc_id) "
+            "SELECT d0.doc_id, "
+            "round(coalesce(1.0 - d / CAST(n AS DOUBLE), 0.0), 4) "
+            "AS dup_token_frac, "
+            "round(coalesce(m / CAST(n AS DOUBLE), 0.0), 4) "
+            "AS top_token_frac "
+            "FROM documents d0 LEFT JOIN per USING (doc_id)"
         ),
         "docs_fingerprints_norm": (
             "SELECT doc_id, md5(array_to_string("

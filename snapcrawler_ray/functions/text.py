@@ -88,6 +88,53 @@ def _token_lists(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return flat, lens
 
 
+def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    """doc_id, dup_token_frac, top_token_frac — Gopher-style repetition
+    signals for training-data quality filtering (cf. Rae et al. 2021
+    §A1.1: fraction of duplicated content per document).
+
+    dup_token_frac = 1 - distinct_tokens / total_tokens;
+    top_token_frac = count(mode token) / total_tokens.  Blank docs
+    yield 0.0 / 0.0.  Vectorized: one exploded (row, token) frame per
+    batch, two pandas groupbys — no per-row python.  Embarrassingly
+    parallel (pure per-doc map), so it streams at any corpus size.
+    SQL-oracled (DuckDB unnest + two grouped aggregates)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        t = df["text"].fillna("").str.strip()
+        flat, lens = _token_lists(t)
+        ex = pd.DataFrame({"i": np.repeat(np.arange(n), lens), "tok": flat})
+        g = ex.groupby(["i", "tok"]).size().rename("c").reset_index()
+        per = g.groupby("i").agg(
+            ntok=("c", "sum"), d=("c", "size"), m=("c", "max")
+        )
+        dup = np.zeros(n)
+        top = np.zeros(n)
+        idx = per.index.to_numpy()
+        ntok = per["ntok"].to_numpy(np.float64)
+        dup[idx] = 1.0 - per["d"].to_numpy(np.float64) / ntok
+        top[idx] = per["m"].to_numpy(np.float64) / ntok
+        blank = (t == "").to_numpy()
+        dup[blank] = 0.0
+        top[blank] = 0.0
+
+        def round4(x: np.ndarray) -> np.ndarray:
+            # half-away-from-zero, matching DuckDB round() (numpy's
+            # round is half-to-even and differs on exact .00005 ties)
+            return np.floor(x * 10000.0 + 0.5) / 10000.0
+
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "dup_token_frac": round4(dup),
+                "top_token_frac": round4(top),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
 def lang_id(sf_dir: str) -> "ray.data.Dataset":
     """doc_id, lang_pred — stopword-profile heuristic language ID.
 

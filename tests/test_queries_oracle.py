@@ -71,6 +71,7 @@ def test_all_query_names_have_callables(contract):
     [
         "docs_lang_filter", "docs_token_counts", "docs_quality",
         "docs_exact_dedup", "docs_dedup_per_source", "docs_source_stats",
+        "docs_repetition",
         "docs_clean_corpus", "docs_lang_id", "docs_minhash_pairs",
         "docs_ngram_jaccard", "emb_near_dup", "docs_fingerprints_norm",
         "emb_dedup_keep", "docs_sample", "docs_token_topk",
