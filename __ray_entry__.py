@@ -238,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_per_source": dedup.dedup_count_per_source,
         "docs_source_stats": text.source_stats,
         "docs_repetition": text.repetition_stats,
+        "docs_pii_scrub": text.pii_scrub,
+        "docs_chunks": lambda d: text.doc_chunks(d),
         # --- documents: near-dup + lang-ID (SQL-oracled: exact-Jaccard
         #     / stopword-profile semantics are ANSI-expressible) ---
         "docs_lang_id": text.lang_id,
@@ -420,6 +422,32 @@ def oracle_sql() -> dict[str, str]:
             "round(coalesce(m / CAST(n AS DOUBLE), 0.0), 4) "
             "AS top_token_frac "
             "FROM documents d0 LEFT JOIN per USING (doc_id)"
+        ),
+        "docs_pii_scrub": (
+            # same three RE2-safe patterns, same order, as
+            # functions/text._PII_PATTERNS
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace("
+            "coalesce(text, ''), "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), "
+            r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), "
+            r"'\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') "
+            "AS clean_text FROM documents"
+        ),
+        "docs_chunks": (
+            # fixed 64-token context-window chunking with per-chunk md5
+            "WITH t AS (SELECT doc_id, "
+            r"regexp_split_to_array(trim(text), '\s+') AS arr "
+            "FROM documents WHERE trim(coalesce(text, '')) <> ''), "
+            "c AS (SELECT doc_id, arr, unnest(generate_series(0, "
+            "CAST(ceil(len(arr) / 64.0) AS INT) - 1)) AS chunk_id FROM t) "
+            "SELECT doc_id, chunk_id, "
+            "len(arr[chunk_id*64+1 : least((chunk_id+1)*64, len(arr))]) "
+            "AS n_tokens, "
+            "md5(array_to_string(arr[chunk_id*64+1 : "
+            "least((chunk_id+1)*64, len(arr))], ' ')) AS chunk_md5 "
+            "FROM c"
         ),
         "docs_fingerprints_norm": (
             "SELECT doc_id, md5(array_to_string("

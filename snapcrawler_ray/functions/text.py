@@ -135,6 +135,86 @@ def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+_PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # order matters (email before phone: local parts contain digits);
+    # patterns restricted to the RE2 ∩ python-re common subset so the
+    # DuckDB regexp_replace oracle applies them verbatim
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub_kernel(texts: pd.Series) -> pd.Series:
+    """Vectorized PII redaction (emails → <EMAIL>, IPv4 → <IP>,
+    US-style phone numbers → <PHONE>) — the standard scrub pass of
+    web-corpus training pipelines (cf. Dolma / CCNet preprocessing).
+    Exposed as a plain Series kernel so both the Dataset operator and
+    the planted-PII conformance test share one code path."""
+    out = texts.fillna("")
+    for pat, repl in _PII_PATTERNS:
+        out = out.str.replace(pat, repl, regex=True)
+    return out
+
+
+def pii_scrub(sf_dir: str) -> "ray.data.Dataset":
+    """doc_id, clean_text — PII-redacted text.  Embarrassingly
+    parallel batch map (no shuffle); SQL-oracled via chained DuckDB
+    ``regexp_replace(…, 'g')`` with identical patterns."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "clean_text": pii_scrub_kernel(df["text"])}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def doc_chunks(sf_dir: str, chunk: int = 64) -> "ray.data.Dataset":
+    """doc_id, chunk_id, n_tokens, chunk_md5 — fixed-size token
+    chunking (context-window prep: split each document into
+    ``chunk``-token pieces, fingerprint each).  Blank docs emit no
+    chunks.  Vectorized: exploded (row, pos, token) frame, chunk_id =
+    pos // chunk, one groupby-join per batch; md5 only per chunk.
+    Per-doc map, so it streams at any corpus size; SQL-oracled
+    (DuckDB generate_series + list slicing)."""
+    import hashlib
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        t = df["text"].fillna("").str.strip()
+        flat, lens = _token_lists(t)
+        row_ids = np.repeat(np.arange(n), lens)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos = np.arange(len(flat)) - np.repeat(starts, lens)
+        keep = (t != "").to_numpy()[row_ids]
+        ex = pd.DataFrame(
+            {
+                "i": row_ids[keep],
+                "chunk_id": (pos[keep] // chunk).astype(np.int64),
+                "tok": flat[keep],
+            }
+        )
+        g = ex.groupby(["i", "chunk_id"])["tok"].agg(" ".join).reset_index()
+        doc_ids = df["doc_id"].to_numpy()[g["i"].to_numpy()]
+        n_tokens = (
+            ex.groupby(["i", "chunk_id"]).size().reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "chunk_id": g["chunk_id"],
+                "n_tokens": n_tokens.astype("int64"),
+                "chunk_md5": [
+                    hashlib.md5(s.encode("utf-8")).hexdigest()
+                    for s in g["tok"]
+                ],
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
 def lang_id(sf_dir: str) -> "ray.data.Dataset":
     """doc_id, lang_pred — stopword-profile heuristic language ID.
 

@@ -71,7 +71,7 @@ def test_all_query_names_have_callables(contract):
     [
         "docs_lang_filter", "docs_token_counts", "docs_quality",
         "docs_exact_dedup", "docs_dedup_per_source", "docs_source_stats",
-        "docs_repetition",
+        "docs_repetition", "docs_pii_scrub", "docs_chunks",
         "docs_clean_corpus", "docs_lang_id", "docs_minhash_pairs",
         "docs_ngram_jaccard", "emb_near_dup", "docs_fingerprints_norm",
         "emb_dedup_keep", "docs_sample", "docs_token_topk",
@@ -376,3 +376,61 @@ def test_entry_runs(ray_session):
     df = _to_pandas(res)
     assert len(df) > 0
     assert "reason" in df.columns
+
+
+def test_pii_scrub_kernel_planted(con):
+    """The testdata corpus contains no PII, so the oracle match above
+    only proves the identity path.  Plant real emails / IPs / phone
+    numbers and compare the kernel against DuckDB's regexp_replace
+    chain applied to the same literals."""
+    from snapcrawler_ray.functions.text import _PII_PATTERNS, pii_scrub_kernel
+
+    samples = [
+        "contact bob.smith+spam@example.co.uk for details",
+        "server at 10.0.255.3 timed out, retry 192.168.1.1",
+        "call 415-555-2671 or 415.555.2671 today",
+        "mixed: a@b.io on 8.8.8.8 dial 800-555-0100 now",
+        "no pii here at all",
+        "",
+        "v1.2.3 is not an ip, 1.2.3.4 is",
+    ]
+    got = pii_scrub_kernel(pd.Series(samples)).tolist()
+    expr = "s"
+    for pat, repl in _PII_PATTERNS:
+        pat_sql = pat.replace("'", "''").replace("\\", "\\")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
+    want = [
+        con.sql(f"SELECT {expr} AS r FROM (SELECT ? AS s)",
+                params=[s]).fetchone()[0]
+        for s in samples
+    ]
+    assert got == want
+    assert got[0] == "contact <EMAIL> for details"
+    assert got[1] == "server at <IP> timed out, retry <IP>"
+    assert "<PHONE>" in got[2]
+
+
+def test_doc_chunks_reassemble(contract):
+    """Chunk fingerprints must tile the normalized document exactly:
+    chunk sizes sum to the doc's token count and every chunk md5
+    matches a direct recomputation from the text."""
+    import hashlib
+
+    qs, _ = contract
+    chunks = _to_pandas(qs["docs_chunks"](SF_DIR))
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"]).head(50)
+    by_doc = chunks.groupby("doc_id")
+    for r in docs.itertuples():
+        toks = (r.text or "").strip().split()
+        if not toks:
+            assert r.doc_id not in by_doc.groups
+            continue
+        g = by_doc.get_group(r.doc_id).sort_values("chunk_id")
+        assert g["n_tokens"].sum() == len(toks)
+        assert list(g["chunk_id"]) == list(range(len(g)))
+        for cid, md5 in zip(g["chunk_id"], g["chunk_md5"]):
+            want = hashlib.md5(
+                " ".join(toks[cid * 64:(cid + 1) * 64]).encode()
+            ).hexdigest()
+            assert md5 == want
