@@ -199,20 +199,29 @@ def minhash_lsh_pairs(
     )
 
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_key = [], []
-        for doc_id, sig in zip(df["doc_id"], df["signature"]):
-            s = np.asarray(sig, dtype=np.uint64)
-            for band in range(bands):
-                chunk = s[band * rows_per_band : (band + 1) * rows_per_band]
-                key = hashlib.md5(
-                    band.to_bytes(2, "big") + chunk.tobytes()
-                ).digest()[:8]
-                out_doc.append(doc_id)
-                out_key.append(np.frombuffer(key, dtype=np.uint64)[0])
-        bk = np.asarray(out_key, dtype=np.uint64)
+        # fully vectorized band-bucket keys: fold each band chunk with
+        # an FNV-style polynomial, salt by band index, finish with a
+        # splitmix64 avalanche.  Identical chunks still collide
+        # identically (the LSH property); distinct chunks collide at
+        # ~2^-64 like the md5 prefix this replaces — no per-row python.
+        n = len(df)
+        S = np.vstack(
+            [np.asarray(s, dtype=np.uint64) for s in df["signature"]]
+        ).reshape(n, bands, rows_per_band)
+        with np.errstate(over="ignore"):
+            h = np.zeros((n, bands), dtype=np.uint64)
+            for j in range(rows_per_band):
+                h = h * np.uint64(0x100000001B3) + S[:, :, j]
+            h ^= np.arange(bands, dtype=np.uint64)[None, :] * np.uint64(
+                0x9E3779B97F4A7C15
+            )
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+        bk = h.reshape(-1)
         return pd.DataFrame(
             {
-                "doc_id": out_doc,
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
                 "bucket": bk,
                 "part": (bk % np.uint64(64)).astype(np.int64),
             }
