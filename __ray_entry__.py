@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": lambda d: relational.events_rolling_window(d),
         "events_asof": lambda d: relational.events_asof_milestones(d),
         "events_hopping": lambda d: relational.events_hopping_window(d),
+        "events_value_quantiles": relational.events_value_quantiles,
+        "docs_top_quality": lambda d: text.top_quality_per_source(d),
         "part_type_stats": relational.part_type_stats,
         # --- crawl engine (rows-only; oracle is the replay simulator,
         #     enforced in tests/test_crawl.py) ---
@@ -620,5 +622,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_type, count(*) AS n_parts, "
             "sum(CAST(round(p_retailprice*100) AS BIGINT))/100.0 AS total_price "
             "FROM part GROUP BY p_type"
+        ),
+        "events_value_quantiles": (
+            # quantile_cont = linear interpolation = np.quantile default
+            "SELECT event_type, count(*) AS n, "
+            "quantile_cont(value, 0.5) AS p50, "
+            "quantile_cont(value, 0.9) AS p90, "
+            "quantile_cont(value, 0.99) AS p99 "
+            "FROM events GROUP BY event_type"
+        ),
+        "docs_top_quality": (
+            # grouped rank over the docs_quality score (same expr,
+            # half-away round), k=3 per source, doc_id tie-break
+            "SELECT source, doc_id, quality, rank FROM ("
+            "SELECT source, doc_id, quality, CAST(row_number() OVER ("
+            "PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT)"
+            " AS rank FROM ("
+            f"SELECT source, doc_id, round(0.5 * least(1.0, n_chars / "
+            f"1000.0) + 0.5 * least(1.0, ({n_tokens}) / 200.0), 4) "
+            "AS quality FROM documents)) WHERE rank <= 3"
         ),
     }

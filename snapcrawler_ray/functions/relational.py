@@ -519,6 +519,37 @@ def events_hopping_window(
     ).reset_index(drop=True)
 
 
+def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """event_type, n, p50/p90/p99 of value — exact per-group quantiles.
+
+    Exact quantiles need every value of a group co-located; the
+    bucketed reduce provides exactly that (each event_type's rows land
+    in one bucket) with a C-speed ``np.quantile`` per group — linear
+    interpolation, bit-identical to DuckDB's ``quantile_cont``.  Group
+    cardinality is the event-type vocabulary (small); for
+    million-group keys the same shape holds because buckets split the
+    key space, and a t-digest partial would replace the exact kernel
+    only if a single group outgrew a worker."""
+    from .agg import bucketed_combine
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type"):
+            v = g["value"].to_numpy(np.float64)
+            rows.append(
+                (et, len(v), *(np.quantile(v, [0.5, 0.9, 0.99])))
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "n", "p50", "p90", "p99"]
+        )
+
+    out = bucketed_combine(ds, ["event_type"], combine).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def part_type_stats(sf_dir: str) -> pd.DataFrame:
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

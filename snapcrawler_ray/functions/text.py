@@ -367,6 +367,51 @@ def token_topk(sf_dir: str, k: int = 50, min_len: int = 4) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def top_quality_per_source(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """source, doc_id, quality, rank — the k highest-quality documents
+    per source (quality desc, doc_id asc tie-break): the grouped-rank /
+    window shape.  Per-batch partial top-k per source BEFORE the
+    shuffle (the pre-aggregate: at most k × n_sources rows leave each
+    batch), then one bucketed reduce keyed on source finishes the
+    ranking — no full sort, no per-group Ray aggregate.  SQL-oracled
+    (row_number() OVER (PARTITION BY source ...))."""
+    from .agg import bucketed_combine
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(
+            ["source", "quality", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return d.groupby("source", as_index=False).head(k)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("").str.strip()
+        n_tokens = t.str.split(_WS).map(len).where(t != "", 0).astype("float64")
+        q = 0.5 * np.minimum(1.0, df["n_chars"].astype("float64") / 1000.0) \
+            + 0.5 * np.minimum(1.0, n_tokens / 200.0)
+        return topk(
+            pd.DataFrame(
+                {
+                    "source": df["source"],
+                    "doc_id": df["doc_id"],
+                    "quality": np.floor(q * 10000.0 + 0.5) / 10000.0,
+                }
+            )
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source", "n_chars"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    out = bucketed_combine(ds, ["source"], topk).to_pandas()
+    out = out.sort_values(
+        ["source", "quality", "doc_id"], ascending=[True, False, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
+    out["rank"] = out.groupby("source").cumcount().astype("int64") + 1
+    return out[["source", "doc_id", "quality", "rank"]]
+
+
 def lang_filter(sf_dir: str, lang: str = "en") -> "ray.data.Dataset":
     """doc_id, lang, source, n_chars for one language (predicate
     pushdown-friendly projection + filter)."""

@@ -78,7 +78,8 @@ def test_all_query_names_have_callables(contract):
         "emb_knn", "q1_pricing", "q3_top_orders", "nation_revenue",
         "q5_region_supplier", "events_hourly", "events_topk_users",
         "events_sessionize", "events_rolling", "events_asof",
-        "events_hopping", "part_type_stats",
+        "events_hopping", "part_type_stats", "events_value_quantiles",
+        "docs_top_quality",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
