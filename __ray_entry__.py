@@ -253,12 +253,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": dedup.simhashes,
         # --- composite training-data prep (SQL-oracled end-to-end) ---
         "docs_clean_corpus": lambda d: dedup.clean_corpus_keep(d),
+        "docs_decontaminate": lambda d: dedup.decontaminate(d),
         # --- embeddings ---
         "emb_knn": lambda d: similarity.knn_bruteforce(d, k=10, n_queries=5),
         "emb_knn_lsh": lambda d: similarity.knn_lsh(d, k=10, n_queries=5),
         "emb_knn_ivf": lambda d: similarity.knn_ivf(d, k=10, n_queries=5),
         "emb_near_dup": lambda d: dedup.embedding_near_dup_pairs(d),
         "emb_dedup_keep": lambda d: dedup.embedding_dedup_keep(d),
+        "emb_cluster_counts": lambda d: similarity.cluster_counts(d),
         # --- relational / events (SQL-oracled) ---
         "q1_pricing": relational.q1_pricing,
         "q5_region_supplier": lambda d: relational.q5_region_supplier_revenue(d),
@@ -510,6 +512,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, content_md5, "
             "count(*) AS n_dups FROM scored "
             "WHERE quality >= 0.3 GROUP BY content_md5"
+        ),
+        "docs_decontaminate": (
+            # benchmark decontamination: word-8-shingle overlap against
+            # the doc_id%97==0 benchmark set (string shingles in SQL ==
+            # collision-free 64-bit shingle hashes in the engine)
+            "WITH t AS (SELECT doc_id, "
+            r"regexp_split_to_array(trim(coalesce(text,'')), '\s+') AS tk "
+            "FROM documents), "
+            "sh AS ("
+            "SELECT DISTINCT doc_id, "
+            "tk[g] || ' ' || tk[g+1] || ' ' || tk[g+2] || ' ' || tk[g+3] "
+            "|| ' ' || tk[g+4] || ' ' || tk[g+5] || ' ' || tk[g+6] "
+            "|| ' ' || tk[g+7] AS s "
+            "FROM t, unnest(generate_series(1, len(tk)-7)) AS u(g) "
+            "WHERE len(tk) >= 8 "
+            "UNION "
+            "SELECT doc_id, array_to_string(tk, ' ') FROM t WHERE len(tk) < 8"
+            "), "
+            "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0), "
+            "hits AS (SELECT doc_id, count(*) AS n FROM sh "
+            "JOIN bench USING (s) WHERE doc_id % 97 <> 0 GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits, "
+            "coalesce(h.n, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id "
+            "WHERE d.doc_id % 97 <> 0"
+        ),
+        "emb_cluster_counts": (
+            # nearest-centroid assignment, centroids = embeddings of the
+            # 8 smallest vec_ids; tie-break toward smaller cluster_id
+            "WITH c AS (SELECT vec_id AS cluster_id, embedding AS ce "
+            "FROM embeddings WHERE vec_id < 8), "
+            "r AS (SELECT e.vec_id, c.cluster_id, row_number() OVER ("
+            "PARTITION BY e.vec_id ORDER BY "
+            "list_cosine_similarity(e.embedding, c.ce) DESC, c.cluster_id"
+            ") AS rk FROM embeddings e CROSS JOIN c) "
+            "SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs "
+            "FROM r WHERE rk = 1 GROUP BY cluster_id"
         ),
         "emb_knn": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "

@@ -719,3 +719,77 @@ def embedding_near_dup_pairs(
         .sort_values(["vec_a", "vec_b"])
         .reset_index(drop=True)
     )
+
+
+def decontaminate(
+    sf_dir: str, k: int = 8, bench_mod: int = 97
+) -> "ray.data.Dataset":
+    """doc_id, n_hits, contaminated — benchmark decontamination.
+
+    Flags every training document that shares a word ``k``-shingle
+    with a held-out benchmark set (the standard eval-leak scrub, cf.
+    GPT-3 appendix C / Gopher §A.3 13-gram overlap).  The benchmark
+    set here is ``doc_id % bench_mod == 0`` — a deterministic stand-in
+    for an external eval corpus, tiny by construction the way real
+    test sets are.  Shape: the benchmark shingle-hash set is built
+    from a pruned read of just the benchmark rows, sorted once on the
+    driver (O(|benchmark|), not O(corpus)), broadcast with ``ray.put``,
+    and probed with ``np.searchsorted`` inside every batch — a
+    broadcast semi-join, zero shuffle; the training side streams.
+    Docs with < k tokens contribute their whole text as one shingle
+    (same rule as ``_shingle_hashes``).  Output covers every
+    non-benchmark doc; ``n_hits`` = distinct shared shingles."""
+    from .io import read_table
+
+    bench_parts = (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "h": np.unique(
+                        np.concatenate(
+                            [
+                                _shingle_hashes(t, k)
+                                for t in df.loc[
+                                    df["doc_id"] % bench_mod == 0, "text"
+                                ].fillna("")
+                            ]
+                            or [np.empty(0, np.uint64)]
+                        )
+                    )
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    bench = np.unique(bench_parts["h"].to_numpy(np.uint64))
+    ref = ray.put(bench)
+
+    class ProbeStage:
+        def __init__(self, ref):
+            self.bench = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["doc_id"] % bench_mod != 0]
+            hits = np.zeros(len(df), dtype=np.int64)
+            if len(self.bench):
+                for i, t in enumerate(df["text"].fillna("")):
+                    sh = np.unique(_shingle_hashes(t, k))
+                    pos = np.searchsorted(self.bench, sh)
+                    pos[pos >= len(self.bench)] = 0
+                    hits[i] = int((self.bench[pos] == sh).sum())
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(),
+                    "n_hits": hits,
+                    "contaminated": hits > 0,
+                }
+            )
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ProbeStage,
+        batch_format="pandas",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"ref": ref},
+    )

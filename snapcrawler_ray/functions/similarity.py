@@ -275,3 +275,55 @@ def knn_ivf(
     return top[["query_id", "rank", "vec_id"]].astype(
         {"query_id": "int64", "rank": "int64", "vec_id": "int64"}
     )
+
+
+def cluster_counts(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """cluster_id, n_vecs — nearest-centroid assignment counts.
+
+    K-means-style cluster assignment over the embedding column with a
+    deterministic seed set: the centroids are the embeddings of the
+    ``k`` smallest vec_ids (so the DuckDB oracle can name the exact
+    same centroids in SQL).  Centroids are loaded once on the driver
+    (k rows — tiny by construction), broadcast via ``ray.put``, and
+    every batch does one float64 matmul + argmax; per-batch partial
+    counts are combined in a k-row driver merge.  No shuffle: the only
+    cross-batch traffic is k integers per batch.  Ties break toward
+    the smaller cluster_id (np.argmax first-hit == the oracle's
+    ``ORDER BY sim DESC, cluster_id``).  At 100-TB scale the
+    assignment column doubles as a partition key for cluster-local
+    downstream stages (same layout idea as knn_ivf's cells)."""
+    cids, cm = _load_queries(sf_dir, k)  # same loader: vec_id < k
+    ref = ray.put((cids, cm))
+    from .io import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"],
+                    blocks=16)
+
+    class AssignStage:
+        def __init__(self, ref):
+            self.cids, self.cm = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            m = m / np.clip(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None
+            )
+            sims = m @ self.cm.T  # (batch, k)
+            assign = self.cids[np.argmax(sims, axis=1)]
+            u, c = np.unique(assign, return_counts=True)
+            return pd.DataFrame({"cluster_id": u, "n_vecs": c})
+
+    partial = ds.map_batches(
+        AssignStage,
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": ref},
+    ).to_pandas()
+    out = (
+        partial.groupby("cluster_id", as_index=False)["n_vecs"]
+        .sum()
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+    return out.astype({"cluster_id": "int64", "n_vecs": "int64"})

@@ -79,7 +79,7 @@ def test_all_query_names_have_callables(contract):
         "q5_region_supplier", "events_hourly", "events_topk_users",
         "events_sessionize", "events_rolling", "events_asof",
         "events_hopping", "part_type_stats", "events_value_quantiles",
-        "docs_top_quality",
+        "docs_top_quality", "docs_decontaminate", "emb_cluster_counts",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
