@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
         "docs_fingerprints_norm": text.fingerprints_norm,
         "docs_sample": text.sample_docs,
+        "docs_stratified_sample": lambda d: text.stratified_sample(d),
         "docs_token_topk": lambda d: text.token_topk(d),
         # --- documents: non-SQL ops (rows-only; hash-function-defined) ---
         "docs_fingerprints": text.fingerprints,
@@ -261,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": lambda d: dedup.embedding_near_dup_pairs(d),
         "emb_dedup_keep": lambda d: dedup.embedding_dedup_keep(d),
         "emb_cluster_counts": lambda d: similarity.cluster_counts(d),
+        "emb_cluster_quality": lambda d: similarity.cluster_quality(d),
         # --- relational / events (SQL-oracled) ---
         "q1_pricing": relational.q1_pricing,
         "q5_region_supplier": lambda d: relational.q5_region_supplier_revenue(d),
@@ -467,6 +469,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(concat('0x', substr(md5(coalesce(text,'')), 1, 8)) "
             "AS UBIGINT) % 100 < 5"
         ),
+        "docs_stratified_sample": (
+            # k-per-source quota sample in deterministic (md5, doc_id)
+            # hash order — reproducible across runs with no seed state
+            "SELECT source, doc_id, rank FROM ("
+            "SELECT source, doc_id, row_number() OVER ("
+            "PARTITION BY source "
+            "ORDER BY md5(coalesce(text,'')), doc_id) AS rank "
+            "FROM documents) WHERE rank <= 10"
+        ),
         "docs_token_topk": (
             "WITH ex AS (SELECT DISTINCT doc_id, "
             r"unnest(regexp_split_to_array(trim(coalesce(lower(text),'')), "
@@ -549,6 +560,23 @@ def oracle_sql() -> dict[str, str]:
             ") AS rk FROM embeddings e CROSS JOIN c) "
             "SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs "
             "FROM r WHERE rk = 1 GROUP BY cluster_id"
+        ),
+        "emb_cluster_quality": (
+            # nearest-centroid assignment joined to document quality on
+            # vec_id == doc_id; quality summed in integer ten-thousandths
+            "WITH c AS (SELECT vec_id AS cluster_id, embedding AS ce "
+            "FROM embeddings WHERE vec_id < 8), "
+            "r AS (SELECT e.vec_id, c.cluster_id, row_number() OVER ("
+            "PARTITION BY e.vec_id ORDER BY "
+            "list_cosine_similarity(e.embedding, c.ce) DESC, c.cluster_id"
+            ") AS rk FROM embeddings e CROSS JOIN c), "
+            "q AS (SELECT doc_id, CAST(round((0.5 * least(1.0, n_chars / 1000.0) "
+            f"+ 0.5 * least(1.0, ({n_tokens}) / 200.0)) * 10000) AS BIGINT) AS q_u "
+            "FROM documents) "
+            "SELECT r.cluster_id, CAST(count(*) AS BIGINT) AS n_docs, "
+            "sum(q.q_u)/10000.0 AS sum_quality "
+            "FROM r JOIN q ON r.vec_id = q.doc_id "
+            "WHERE r.rk = 1 GROUP BY r.cluster_id"
         ),
         "emb_knn": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "

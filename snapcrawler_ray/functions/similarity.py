@@ -327,3 +327,91 @@ def cluster_counts(sf_dir: str, k: int = 8) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out.astype({"cluster_id": "int64", "n_vecs": "int64"})
+
+
+def cluster_quality(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """cluster_id, n_docs, sum_quality — embedding clusters joined to
+    document quality (vec_id == doc_id), the input for cluster-balanced
+    corpus sampling.
+
+    Cross-table shape: nearest-centroid assignment streams over
+    ``embeddings`` (broadcast centroids, per-batch argmax — same kernel
+    as :func:`cluster_counts`), the quality score streams over
+    ``documents``, and the two O(corpus) sides meet in one
+    ``Dataset.join`` hash join keyed on the id (neither side is
+    broadcastable at 100 TB).  Quality is carried as integer
+    ten-thousandths so the per-cluster sum is order-independent and
+    exact vs the DuckDB oracle; the final table is O(k) rows."""
+    cids, cm = _load_queries(sf_dir, k)
+    ref = ray.put((cids, cm))
+    from .io import read_table
+
+    class Assign:
+        def __init__(self, ref):
+            self.cids, self.cm = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            m = m / np.clip(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None
+            )
+            assign = self.cids[np.argmax(m @ self.cm.T, axis=1)]
+            return pd.DataFrame(
+                {"vec_id": df["vec_id"].to_numpy(), "cluster_id": assign}
+            )
+
+    assign = read_table(
+        sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16
+    ).map_batches(
+        Assign,
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": ref},
+    )
+
+    import re as _re
+
+    ws = _re.compile(r"\s+")
+
+    def qual(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("").str.strip()
+        n_tokens = t.str.split(ws).map(len).where(t != "", 0).astype("float64")
+        q = 0.5 * np.minimum(1.0, df["n_chars"].astype("float64") / 1000.0) \
+            + 0.5 * np.minimum(1.0, n_tokens / 200.0)
+        # integer ten-thousandths (half-away round, like the SQL round())
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "q_u": np.floor(q * 10000.0 + 0.5).astype("int64"),
+            }
+        )
+
+    docs = read_table(
+        sf_dir, "documents", ["doc_id", "text", "n_chars"]
+    ).map_batches(qual, batch_format="pandas")
+
+    joined = assign.join(
+        docs,
+        join_type="inner",
+        num_partitions=8,
+        on=("vec_id",),
+        right_on=("doc_id",),
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("cluster_id", as_index=False).agg(
+            n_docs=("vec_id", "size"), q_u=("q_u", "sum")
+        )
+
+    out = (
+        joined.map_batches(agg, batch_format="pandas")
+        .to_pandas()
+        .groupby("cluster_id", as_index=False)
+        .sum()
+    )
+    out["sum_quality"] = out["q_u"] / 10000.0
+    out = out.sort_values("cluster_id").reset_index(drop=True)
+    return out[["cluster_id", "n_docs", "sum_quality"]].astype(
+        {"cluster_id": "int64", "n_docs": "int64"}
+    )

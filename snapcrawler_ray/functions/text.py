@@ -451,3 +451,46 @@ def source_stats(sf_dir: str) -> pd.DataFrame:
     out["n_docs"] = out["n_docs"].astype("int64")
     out["total_chars"] = out["total_chars"].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def stratified_sample(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """source, doc_id, rank — a deterministic k-per-source quota sample
+    (the k docs with the smallest (md5(text), doc_id) per source).
+
+    Stratified sampling for eval/held-out carving: hash order is
+    reproducible across runs and nodes with no seed file and no global
+    shuffle.  Per-batch partial top-k per source runs BEFORE the
+    shuffle (≤ k × n_sources rows leave each batch); one bucketed
+    reduce keyed on source finishes the selection.  SQL-oracled
+    (row_number() OVER (PARTITION BY source ORDER BY md5, doc_id))."""
+    import hashlib
+
+    from .agg import bucketed_combine
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        return d.groupby("source", as_index=False).head(k)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return topk(
+            pd.DataFrame(
+                {
+                    "source": df["source"],
+                    "doc_id": df["doc_id"],
+                    "h": [
+                        hashlib.md5(t.encode("utf-8")).hexdigest()
+                        for t in df["text"].fillna("")
+                    ],
+                }
+            )
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    out = bucketed_combine(ds, ["source"], topk).to_pandas()
+    out = out.sort_values(["source", "h", "doc_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    out["rank"] = out.groupby("source").cumcount().astype("int64") + 1
+    return out[["source", "doc_id", "rank"]]
