@@ -248,6 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprints_norm": text.fingerprints_norm,
         "docs_sample": text.sample_docs,
         "docs_stratified_sample": lambda d: text.stratified_sample(d),
+        "docs_adaptive_quality": text.adaptive_quality_filter,
+        "docs_vocab_overlap": text.vocab_overlap,
         "docs_token_topk": lambda d: text.token_topk(d),
         # --- documents: non-SQL ops (rows-only; hash-function-defined) ---
         "docs_fingerprints": text.fingerprints,
@@ -468,6 +470,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, lang, n_chars FROM documents "
             "WHERE CAST(concat('0x', substr(md5(coalesce(text,'')), 1, 8)) "
             "AS UBIGINT) % 100 < 5"
+        ),
+        "docs_adaptive_quality": (
+            # per-source MEDIAN quality threshold (quantile_cont
+            # semantics over integer ten-thousandths — exact)
+            "WITH q AS (SELECT doc_id, source, "
+            "CAST(round((0.5 * least(1.0, n_chars / 1000.0) "
+            f"+ 0.5 * least(1.0, ({n_tokens}) / 200.0)) * 10000) AS BIGINT) "
+            "AS q_u FROM documents), "
+            "m AS (SELECT source, quantile_cont(q_u, 0.5) AS med "
+            "FROM q GROUP BY source) "
+            "SELECT q.doc_id, q.source, q.q_u/10000.0 AS quality "
+            "FROM q JOIN m USING (source) WHERE q.q_u >= m.med"
+        ),
+        "docs_vocab_overlap": (
+            # distinct-vocabulary intersection/union per source pair
+            "WITH tok AS (SELECT DISTINCT source, "
+            r"unnest(regexp_split_to_array(trim(coalesce(text,'')), '\s+')) "
+            "AS t FROM documents), "
+            "tk AS (SELECT * FROM tok WHERE t <> ''), "
+            "n AS (SELECT source, count(*) AS n FROM tk GROUP BY source), "
+            "i AS (SELECT a.source AS src_a, b.source AS src_b, "
+            "count(*) AS n_common FROM tk a JOIN tk b "
+            "ON a.t = b.t AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT i.src_a, i.src_b, CAST(i.n_common AS BIGINT) AS n_common, "
+            "CAST(na.n + nb.n - i.n_common AS BIGINT) AS n_union "
+            "FROM i JOIN n na ON na.source = i.src_a "
+            "JOIN n nb ON nb.source = i.src_b"
         ),
         "docs_stratified_sample": (
             # k-per-source quota sample in deterministic (md5, doc_id)

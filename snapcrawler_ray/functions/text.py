@@ -494,3 +494,140 @@ def stratified_sample(sf_dir: str, k: int = 10) -> pd.DataFrame:
     )
     out["rank"] = out.groupby("source").cumcount().astype("int64") + 1
     return out[["source", "doc_id", "rank"]]
+
+
+def _quality_units(df: pd.DataFrame) -> np.ndarray:
+    """Quality score as integer ten-thousandths (exact, order-free sums;
+    same formula as :func:`quality_scores`)."""
+    t = df["text"].fillna("").str.strip()
+    n_tokens = t.str.split(_WS).map(len).where(t != "", 0).astype("float64")
+    q = 0.5 * np.minimum(1.0, df["n_chars"].astype("float64") / 1000.0) \
+        + 0.5 * np.minimum(1.0, n_tokens / 200.0)
+    return np.floor(q * 10000.0 + 0.5).astype("int64")
+
+
+def adaptive_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """doc_id, source, quality — docs at or above their source's MEDIAN
+    quality (adaptive per-source threshold, the Gopher/FineWeb-style
+    'filter relative to the domain' cut).
+
+    Exact at any scale without co-locating a source's rows: quality is
+    an integer in [0, 10000], so pass 1 reduces the corpus to a
+    per-(source, q_u) HISTOGRAM (per-batch partial counts + one tiny
+    groupby — ≤ sources × 10001 rows total), the driver interpolates
+    each source's median from counts (quantile_cont semantics), and
+    pass 2 re-streams the corpus filtering against the broadcast
+    threshold table.  No O(corpus) driver materialization; the output
+    is ~half the corpus and is returned as a Dataset-backed frame here
+    only because the driver compares it row-wise."""
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"source": df["source"], "q_u": _quality_units(df)})
+        return d.groupby(["source", "q_u"], as_index=False).agg(
+            n=("q_u", "size")
+        )
+
+    counts = (
+        _docs(sf_dir, ["source", "text", "n_chars"])
+        .map_batches(hist, batch_format="pandas")
+        .to_pandas()
+        .groupby(["source", "q_u"], as_index=False)
+        .agg(n=("n", "sum"))
+        .sort_values(["source", "q_u"])
+    )
+
+    med: dict[str, float] = {}
+    for src, g in counts.groupby("source"):
+        vals = g["q_u"].to_numpy(np.float64)
+        ns = g["n"].to_numpy(np.int64)
+        cum = np.cumsum(ns)
+        n = int(cum[-1])
+        h = (n - 1) * 0.5  # quantile_cont position
+        lo = vals[np.searchsorted(cum, np.floor(h), side="right")]
+        hi = vals[np.searchsorted(cum, np.ceil(h), side="right")]
+        med[src] = lo + (h - np.floor(h)) * (hi - lo)
+    med_ref = ray.put(med)
+
+    class Filter:
+        def __init__(self, ref):
+            self.med = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            q_u = _quality_units(df)
+            thr = df["source"].map(self.med).to_numpy(np.float64)
+            keep = q_u >= thr
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy()[keep],
+                    "source": df["source"].to_numpy()[keep],
+                    "quality": q_u[keep] / 10000.0,
+                }
+            )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "source", "text", "n_chars"])
+        .map_batches(
+            Filter,
+            batch_format="pandas",
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"ref": med_ref},
+        )
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """src_a, src_b, n_common, n_union — distinct-vocabulary overlap
+    between every source pair (corpus-mixing diagnostics: near-identical
+    vocabularies flag mirrored/duplicated feeds before they skew
+    training mixes).
+
+    Distributed set intersection without materializing any token set:
+    per-batch DISTINCT (source, token) partials, a bucketed reduce
+    keyed on token co-locates each token's source list and emits
+    per-bucket PARTIAL pair-intersection and per-source vocabulary
+    counts (a token lives in exactly one bucket, so partials sum
+    exactly); the driver folds O(sources²) tiny rows.  Empty tokens
+    are excluded."""
+    from .agg import bucketed_combine
+
+    def pairs_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()  # across batches within the bucket
+        # per-source vocab contribution from this bucket
+        vocab = d.groupby("source", as_index=False).agg(n=("token", "size"))
+        vocab = pd.DataFrame(
+            {"src_a": vocab["source"], "src_b": "", "n": vocab["n"]}
+        )
+        # pair intersections: self-join per token, ordered pairs
+        m = d.merge(d, on="token")
+        m = m[m["source_x"] < m["source_y"]]
+        inter = m.groupby(["source_x", "source_y"], as_index=False).agg(
+            n=("token", "size")
+        )
+        inter.columns = ["src_a", "src_b", "n"]
+        return pd.concat([vocab, inter], ignore_index=True)
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = _token_lists(df["text"])
+        d = pd.DataFrame(
+            {"source": np.repeat(df["source"].to_numpy(), lens), "token": flat}
+        )
+        return d[d["token"] != ""].drop_duplicates()
+
+    ds = _docs(sf_dir, ["source", "text"]).map_batches(
+        distinct_pairs, batch_format="pandas"
+    )
+    parts = bucketed_combine(ds, ["token"], pairs_partial).to_pandas()
+    tot = parts.groupby(["src_a", "src_b"], as_index=False).agg(n=("n", "sum"))
+    vocab = dict(zip(tot[tot["src_b"] == ""]["src_a"], tot[tot["src_b"] == ""]["n"]))
+    out = tot[tot["src_b"] != ""].copy()
+    out["n_common"] = out["n"].astype("int64")
+    out["n_union"] = (
+        out["src_a"].map(vocab) + out["src_b"].map(vocab) - out["n_common"]
+    ).astype("int64")
+    return (
+        out[["src_a", "src_b", "n_common", "n_union"]]
+        .sort_values(["src_a", "src_b"])
+        .reset_index(drop=True)
+    )
