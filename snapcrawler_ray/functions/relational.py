@@ -133,12 +133,27 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.Dat
             {"l_orderkey": df["l_orderkey"], "rev_u": _revenue_units(df)}
         ).groupby("l_orderkey", as_index=False).sum()
 
-    agg = joined.map_batches(rev, batch_format="pandas").to_pandas()
-    agg = agg.groupby("l_orderkey", as_index=False).sum()
-    agg["revenue"] = agg["rev_u"] / 10000.0
-    top = agg.sort_values(
+    # order cardinality is O(fact table): finish the per-order sum in a
+    # bucketed reduce (each orderkey lands in exactly one bucket) and
+    # take top-k PER BUCKET, so the driver folds n_buckets × k rows —
+    # never the O(orders) aggregate
+    from .agg import bucketed_combine
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False).sum()
+        return g.sort_values(
+            ["rev_u", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    parts = bucketed_combine(
+        joined.map_batches(rev, batch_format="pandas"),
+        ["l_orderkey"],
+        bucket_topk,
+    ).to_pandas()
+    top = parts.sort_values(
         ["rev_u", "l_orderkey"], ascending=[False, True], kind="mergesort"
     ).head(k)
+    top = top.assign(revenue=top["rev_u"] / 10000.0)
     return top.rename(columns={"l_orderkey": "o_orderkey"})[
         ["o_orderkey", "revenue"]
     ].reset_index(drop=True)
@@ -302,7 +317,7 @@ def _add_user_part(n_parts: int):
 
 def events_sessionize(
     sf_dir: str, gap_minutes: int = 30, n_parts: int = 64
-) -> pd.DataFrame:
+) -> "ray.data.Dataset":
     """Gap-based sessionization: a new session starts when a user's
     inter-event gap exceeds ``gap_minutes``.  The shuffle hash-buckets
     users into ``n_parts`` partitions (each user's history co-located —
@@ -333,19 +348,25 @@ def events_sessionize(
         )
         return out.reset_index(drop=True)
 
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["session_start"] = df["session_start"].astype("datetime64[us]")
+        df["session_end"] = df["session_end"].astype("datetime64[us]")
+        return df
+
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]).map_batches(
         _add_user_part(n_parts), batch_format="pandas"
     )
-    out = ds.groupby("part").map_groups(sessions, batch_format="pandas")
-    df = out.to_pandas()
-    df["session_start"] = df["session_start"].astype("datetime64[us]")
-    df["session_end"] = df["session_end"].astype("datetime64[us]")
-    return df.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    # O(events) output stays a streaming Dataset (row order unspecified;
+    # the driver/tests canonicalize before comparing)
+    return ds.groupby("part").map_groups(
+        sessions, batch_format="pandas"
+    ).map_batches(cast, batch_format="pandas")
 
 
 def events_rolling_window(
     sf_dir: str, window: int = 5, n_parts: int = 64
-) -> pd.DataFrame:
+) -> "ray.data.Dataset":
     """Per-user rolling-window aggregate (last ``window`` events by
     (ts, event_id)): windowed sum of value + window row count.  The
     shuffle hash-buckets users into ``n_parts`` partitions (each user's
@@ -379,17 +400,14 @@ def events_rolling_window(
     ds = _read(
         sf_dir, "events", ["event_id", "ts", "user_id", "value"]
     ).map_batches(_add_user_part(n_parts), batch_format="pandas")
-    out = ds.groupby("part").map_groups(roll, batch_format="pandas")
-    return (
-        out.to_pandas()
-        .sort_values(["user_id", "event_id"])
-        .reset_index(drop=True)
-    )
+    # O(events) output stays a streaming Dataset (row order unspecified;
+    # the driver/tests canonicalize before comparing)
+    return ds.groupby("part").map_groups(roll, batch_format="pandas")
 
 
 def events_asof_milestones(
     sf_dir: str, every: int = 29, n_parts: int = 64
-) -> pd.DataFrame:
+) -> "ray.data.Dataset":
     """As-of join: each event picks up the most recent milestone
     (ts ≤ event ts) of the same user.  Milestones are the deterministic
     subset event_id % ``every`` == 0, collapsed to one row per
@@ -465,12 +483,18 @@ def events_asof_milestones(
         )
         return out[["event_id", "user_id", "ts", "milestone_ts", "m_value"]]
 
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df["milestone_ts"] = df["milestone_ts"].astype("datetime64[us]")
+        return df
+
     both = ev.union(ms)
-    out = both.groupby("part").map_groups(asof, batch_format="pandas")
-    df = out.to_pandas()
-    df["ts"] = df["ts"].astype("datetime64[us]")
-    df["milestone_ts"] = df["milestone_ts"].astype("datetime64[us]")
-    return df.sort_values("event_id").reset_index(drop=True)
+    # O(events) output stays a streaming Dataset (row order unspecified;
+    # the driver/tests canonicalize before comparing)
+    return both.groupby("part").map_groups(
+        asof, batch_format="pandas"
+    ).map_batches(cast, batch_format="pandas")
 
 
 def events_hopping_window(

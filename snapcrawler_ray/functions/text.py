@@ -506,7 +506,7 @@ def _quality_units(df: pd.DataFrame) -> np.ndarray:
     return np.floor(q * 10000.0 + 0.5).astype("int64")
 
 
-def adaptive_quality_filter(sf_dir: str) -> pd.DataFrame:
+def adaptive_quality_filter(sf_dir: str) -> "ray.data.Dataset":
     """doc_id, source, quality — docs at or above their source's MEDIAN
     quality (adaptive per-source threshold, the Gopher/FineWeb-style
     'filter relative to the domain' cut).
@@ -517,9 +517,8 @@ def adaptive_quality_filter(sf_dir: str) -> pd.DataFrame:
     groupby — ≤ sources × 10001 rows total), the driver interpolates
     each source's median from counts (quantile_cont semantics), and
     pass 2 re-streams the corpus filtering against the broadcast
-    threshold table.  No O(corpus) driver materialization; the output
-    is ~half the corpus and is returned as a Dataset-backed frame here
-    only because the driver compares it row-wise."""
+    threshold table.  The ~half-corpus output stays a Dataset — no
+    O(corpus) driver materialization."""
 
     def hist(df: pd.DataFrame) -> pd.DataFrame:
         d = pd.DataFrame({"source": df["source"], "q_u": _quality_units(df)})
@@ -564,17 +563,12 @@ def adaptive_quality_filter(sf_dir: str) -> pd.DataFrame:
                 }
             )
 
-    out = (
-        _docs(sf_dir, ["doc_id", "source", "text", "n_chars"])
-        .map_batches(
-            Filter,
-            batch_format="pandas",
-            concurrency=(1, 4),
-            fn_constructor_kwargs={"ref": med_ref},
-        )
-        .to_pandas()
+    return _docs(sf_dir, ["doc_id", "source", "text", "n_chars"]).map_batches(
+        Filter,
+        batch_format="pandas",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": med_ref},
     )
-    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def vocab_overlap(sf_dir: str) -> pd.DataFrame:

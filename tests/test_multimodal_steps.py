@@ -145,7 +145,11 @@ def test_events_sessionize_matches_duckdb(ray_session):
         ORDER BY user_id, session_start
         """
     ).df()
-    got2 = got.reset_index(drop=True)
+    got2 = (
+        got.to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
     want2 = want.reset_index(drop=True)
     assert len(got2) == len(want2)
     pd.testing.assert_frame_equal(
