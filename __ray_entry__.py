@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": lambda d: text.stratified_sample(d),
         "docs_adaptive_quality": text.adaptive_quality_filter,
         "docs_vocab_overlap": text.vocab_overlap,
+        "docs_tfidf_terms": lambda d: text.tfidf_top_terms(d),
         "docs_token_topk": lambda d: text.token_topk(d),
         # --- documents: non-SQL ops (rows-only; hash-function-defined) ---
         "docs_fingerprints": text.fingerprints,
@@ -497,6 +498,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(na.n + nb.n - i.n_common AS BIGINT) AS n_union "
             "FROM i JOIN n na ON na.source = i.src_a "
             "JOIN n nb ON nb.source = i.src_b"
+        ),
+        "docs_tfidf_terms": (
+            # top-5 distinctive terms per source by n_st·ln(n_sources/s_t)
+            # (identical float op order as the engine: int/int div, ln, mul)
+            "WITH ex AS (SELECT DISTINCT doc_id, source, "
+            r"unnest(regexp_split_to_array(trim(coalesce(text,'')), '\s+')) "
+            "AS tok FROM documents), "
+            "tk AS (SELECT * FROM ex WHERE tok <> ''), "
+            "nst AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n_st "
+            "FROM tk GROUP BY 1, 2), "
+            "st AS (SELECT tok, CAST(count(DISTINCT source) AS BIGINT) AS s_t "
+            "FROM tk GROUP BY tok), "
+            "ns AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n "
+            "FROM documents), "
+            "sc AS (SELECT nst.source, nst.tok, nst.n_st, st.s_t, "
+            "nst.n_st * ln(ns.n / st.s_t) AS score "
+            "FROM nst JOIN st USING (tok) CROSS JOIN ns) "
+            "SELECT source, tok, n_st, s_t, score, rank FROM ("
+            "SELECT *, CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY score DESC, tok) AS BIGINT) AS rank FROM sc) "
+            "WHERE rank <= 5"
         ),
         "docs_stratified_sample": (
             # k-per-source quota sample in deterministic (md5, doc_id)

@@ -625,3 +625,76 @@ def vocab_overlap(sf_dir: str) -> pd.DataFrame:
         .sort_values(["src_a", "src_b"])
         .reset_index(drop=True)
     )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """source, tok, n_st, s_t, score, rank — the k most DISTINCTIVE
+    terms per source by a tf-idf-style score
+    ``n_st · ln(n_sources / s_t)`` (n_st = docs in the source containing
+    the term, s_t = sources containing it): corpus-mixing diagnostics /
+    per-domain vocabulary profiling.
+
+    Token-bucketed reduce computes each term's per-source doc counts
+    AND its source spread in one pass (a term lives in exactly one
+    bucket), scores in place, and emits only a per-bucket top-k per
+    source — the driver folds n_buckets × sources × k rows, never the
+    vocabulary.  Scoring math (int / int division, ln, multiply) is
+    ordered identically to the DuckDB oracle so doubles match
+    bit-for-bit."""
+    from .agg import bucketed_combine
+
+    srcs = (
+        _docs(sf_dir, ["source"])
+        .map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas"
+        )
+        .to_pandas()["source"]
+        .nunique()
+    )
+
+    def doc_terms(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = _token_lists(df["text"])
+        d = pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), lens),
+                "source": np.repeat(df["source"].to_numpy(), lens),
+                "token": flat,
+            }
+        )
+        d = d[d["token"] != ""].drop_duplicates()
+        # partial per-(source, token) doc counts (docs never straddle
+        # batches, so summing partials counts distinct docs exactly)
+        return d.groupby(["source", "token"], as_index=False).agg(
+            n_st=("doc_id", "size")
+        )
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "token"], as_index=False).agg(
+            n_st=("n_st", "sum")
+        )
+        st = g.groupby("token")["source"].transform("size")
+        g["s_t"] = st.astype("int64")
+        g["score"] = g["n_st"].to_numpy(np.float64) * np.log(
+            float(srcs) / g["s_t"].to_numpy(np.float64)
+        )
+        g = g.sort_values(
+            ["source", "score", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return g.groupby("source", as_index=False).head(k)
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        doc_terms, batch_format="pandas"
+    )
+    parts = bucketed_combine(ds, ["token"], score_topk).to_pandas()
+    out = parts.sort_values(
+        ["source", "score", "token"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    ).groupby("source", as_index=False).head(k)
+    out = out.reset_index(drop=True)
+    out["rank"] = out.groupby("source").cumcount().astype("int64") + 1
+    out = out.rename(columns={"token": "tok"})
+    out["n_st"] = out["n_st"].astype("int64")
+    return out[["source", "tok", "n_st", "s_t", "score", "rank"]]
