@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": lambda d: relational.events_rolling_window(d),
         "events_asof": lambda d: relational.events_asof_milestones(d),
         "events_hopping": lambda d: relational.events_hopping_window(d),
+        "events_cumsum": lambda d: relational.events_cumsum(d),
         "events_value_quantiles": relational.events_value_quantiles,
         "docs_top_quality": lambda d: text.top_quality_per_source(d),
         "part_type_stats": relational.part_type_stats,
@@ -717,6 +718,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WINDOW w AS ("
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+        ),
+        "events_cumsum": (
+            "SELECT user_id, event_id, "
+            "sum(CAST(round(value*100) AS BIGINT)) OVER w / 100.0 AS run_sum, "
+            "count(*) OVER w AS run_n "
+            "FROM events WINDOW w AS ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)"
         ),
         "events_asof": (
             # DuckDB's native ASOF JOIN is the oracle for the engine's

@@ -405,6 +405,39 @@ def events_rolling_window(
     return ds.groupby("part").map_groups(roll, batch_format="pandas")
 
 
+def events_cumsum(sf_dir: str, n_parts: int = 64) -> "ray.data.Dataset":
+    """Per-user running total + running event index (cumulative window:
+    ROWS UNBOUNDED PRECEDING ordered by (ts, event_id)).  Same
+    user-hash-bucket topology as sessionize/rolling: one shuffle
+    co-locates each user's ordered history, one vectorized kernel per
+    bucket (user-boundary-reset cumsum in exact int64 cents) handles
+    all its users.  O(events) output stays a streaming Dataset."""
+
+    def cum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        c = _cents(df["value"]).to_numpy()
+        n = len(c)
+        cs = np.concatenate([[0], np.cumsum(c)])
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        grp_start = np.maximum.accumulate(np.where(new_user, np.arange(n), 0))
+        run_sum_c = cs[1:] - cs[grp_start]
+        run_n = np.arange(1, n + 1) - grp_start
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "event_id": df["event_id"],
+                "run_sum": run_sum_c / 100.0,
+                "run_n": run_n.astype("int64"),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "value"]
+    ).map_batches(_add_user_part(n_parts), batch_format="pandas")
+    return ds.groupby("part").map_groups(cum, batch_format="pandas")
+
+
 def events_asof_milestones(
     sf_dir: str, every: int = 29, n_parts: int = 64
 ) -> "ray.data.Dataset":

@@ -78,7 +78,8 @@ def test_all_query_names_have_callables(contract):
         "emb_knn", "q1_pricing", "q3_top_orders", "nation_revenue",
         "q5_region_supplier", "events_hourly", "events_topk_users",
         "events_sessionize", "events_rolling", "events_asof",
-        "events_hopping", "part_type_stats", "events_value_quantiles",
+        "events_hopping", "events_cumsum", "part_type_stats",
+        "events_value_quantiles",
         "docs_top_quality", "docs_decontaminate", "emb_cluster_counts",
         "emb_cluster_quality", "docs_stratified_sample",
         "docs_adaptive_quality", "docs_vocab_overlap", "docs_tfidf_terms",
