@@ -110,7 +110,13 @@ def entry() -> Any:
 # --------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from snapcrawler_ray.functions import dedup, relational, similarity, text
+    from snapcrawler_ray.functions import (
+        dedup,
+        relational,
+        similarity,
+        sketch,
+        text,
+    )
 
     def crawl_visits(sf_dir: str):
         res, _ = _run_crawl(sf_dir)
@@ -278,6 +284,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": lambda d: relational.events_asof_milestones(d),
         "events_hopping": lambda d: relational.events_hopping_window(d),
         "events_cumsum": lambda d: relational.events_cumsum(d),
+        # rows-only: approximate by construction (HLL sketch; accuracy
+        # bound asserted vs the exact count in tests)
+        "events_approx_users": sketch.approx_distinct_users,
         "events_value_quantiles": relational.events_value_quantiles,
         "docs_top_quality": lambda d: text.top_quality_per_source(d),
         "part_type_stats": relational.part_type_stats,

@@ -1,0 +1,90 @@
+"""Mergeable sketches — the approximate scale path for wide exact
+aggregates.
+
+At 100 TB an exact ``count(DISTINCT user)`` per key is a full shuffle
+of every (key, user) pair; a HyperLogLog register array is a fixed
+``2^p``-byte summary that merges with element-wise ``max`` — so the
+whole corpus reduces inside ``map_batches`` to one small register
+table per key and the combine is embarrassingly tree-shaped (Flajolet
+et al. 2007, the public HLL construction; bias correction per the
+original paper's small/large-range regimes).
+
+Determinism: hashing is ``pandas.util.hash_array`` (fixed-key SipHash,
+stable across processes/nodes/runs), so the sketch — and therefore the
+estimate — is bit-reproducible, which the tests assert alongside the
+error bound (~1.04/sqrt(2^p) relative standard error).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+
+def _lzc64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (6-step binary
+    reduction — no python loop over elements)."""
+    n = np.zeros(x.shape, dtype=np.int64)
+    cur = x.copy()
+    for step in (32, 16, 8, 4, 2, 1):
+        small = cur < (np.uint64(1) << np.uint64(64 - step))
+        n = np.where(small, n + step, n)
+        cur = np.where(small, cur << np.uint64(step), cur)
+    return n
+
+
+def hll_partial(keys: np.ndarray, values: np.ndarray, p: int) -> pd.DataFrame:
+    """(key, reg, rank) max-rank partials for one batch."""
+    h = pd.util.hash_array(values).astype(np.uint64)
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+    rank = _lzc64(rest) + 1
+    df = pd.DataFrame({"key": keys, "reg": reg, "rank": rank})
+    return df.groupby(["key", "reg"], as_index=False).agg(rank=("rank", "max"))
+
+
+def hll_estimate(regs: pd.DataFrame, p: int) -> pd.DataFrame:
+    """key, approx_distinct from merged (key, reg, rank) rows.  Missing
+    registers are zeros.  Bias correction: small-range linear counting
+    when the raw estimate < 2.5·m and zero registers exist."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out = []
+    for key, g in regs.groupby("key", sort=True):
+        ranks = np.zeros(m, dtype=np.float64)
+        ranks[g["reg"].to_numpy(np.int64)] = g["rank"].to_numpy(np.float64)
+        est = alpha * m * m / np.sum(np.power(2.0, -ranks))
+        zeros = m - len(g)
+        if est < 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)
+        out.append((key, int(round(est))))
+    return pd.DataFrame(out, columns=["key", "approx_distinct"])
+
+
+def approx_distinct_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """event_type, approx_distinct — HLL-approximate distinct users per
+    event type.  Per-batch register partials (≤ types × 2^p tiny int
+    rows per batch) merge by max in ONE low-cardinality groupby; no
+    (type, user) pair ever crosses the shuffle.  Deterministic;
+    relative error ~1.6% at p=12 (asserted against the exact count in
+    tests)."""
+    from .io import read_table
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = hll_partial(
+            df["event_type"].to_numpy(), df["user_id"].to_numpy(), p
+        )
+        return part.rename(columns={"key": "event_type"})
+
+    ds = read_table(sf_dir, "events", ["event_type", "user_id"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    merged = (
+        ds.to_pandas()
+        .groupby(["event_type", "reg"], as_index=False)
+        .agg(rank=("rank", "max"))
+        .rename(columns={"event_type": "key"})
+    )
+    est = hll_estimate(merged, p).rename(columns={"key": "event_type"})
+    return est.sort_values("event_type").reset_index(drop=True)

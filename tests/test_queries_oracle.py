@@ -116,7 +116,7 @@ def test_crawl_aggregate_sql_oracles(contract, con):
     ["docs_fingerprints", "docs_simhash", "emb_knn_lsh",
      "docs_extended_images", "docs_api_harvest",
      "crawl_sitemap_frontier", "crawl_nav_scores", "media_features",
-     "emb_knn_ivf"],
+     "emb_knn_ivf", "events_approx_users"],
 )
 def test_rows_only_queries_run(contract, name):
     qs, _ = contract
@@ -438,3 +438,21 @@ def test_doc_chunks_reassemble(contract):
                 " ".join(toks[cid * 64:(cid + 1) * 64]).encode()
             ).hexdigest()
             assert md5 == want
+
+
+def test_hll_approx_distinct_within_bound(contract, con):
+    """HLL estimate per event_type is within the p=12 error envelope of
+    the exact distinct count, and bit-deterministic across runs."""
+    qs, _ = contract
+    est = _to_pandas(qs["events_approx_users"](SF_DIR))
+    exact = con.sql(
+        "SELECT event_type, count(DISTINCT user_id) AS n "
+        "FROM events GROUP BY event_type"
+    ).df()
+    j = est.merge(exact, on="event_type")
+    assert len(j) == len(exact)
+    rel = (j["approx_distinct"] - j["n"]).abs() / j["n"].clip(lower=1)
+    # 1.04/sqrt(4096) ~ 1.6% RSE; allow 4 sigma plus small-count slack
+    assert (rel < 0.07).all(), j.to_string()
+    est2 = _to_pandas(qs["events_approx_users"](SF_DIR))
+    pd.testing.assert_frame_equal(est, est2)
