@@ -272,6 +272,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dedup_keep": lambda d: dedup.embedding_dedup_keep(d),
         "emb_cluster_counts": lambda d: similarity.cluster_counts(d),
         "emb_cluster_quality": lambda d: similarity.cluster_quality(d),
+        # rows-only: iterative algorithm (Lloyd's k-means; monotone
+        # inertia + brute-force parity asserted in tests)
+        "emb_kmeans": lambda d: similarity.kmeans(d),
         # --- relational / events (SQL-oracled) ---
         "q1_pricing": relational.q1_pricing,
         "q5_region_supplier": lambda d: relational.q5_region_supplier_revenue(d),

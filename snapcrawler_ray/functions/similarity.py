@@ -415,3 +415,82 @@ def cluster_quality(sf_dir: str, k: int = 8) -> pd.DataFrame:
     return out[["cluster_id", "n_docs", "sum_quality"]].astype(
         {"cluster_id": "int64", "n_docs": "int64"}
     )
+
+
+def kmeans(
+    sf_dir: str, k: int = 8, n_iter: int = 5
+) -> pd.DataFrame:
+    """cluster_id, n_vecs, inertia — distributed Lloyd's k-means over
+    the embedding column (the iterative-algorithm shape: per-iteration
+    broadcast + partial-sum reduce, driver state is only k × dim).
+
+    Each iteration: broadcast current centroids (``ray.put``), one
+    streaming pass computes per-batch PARTIAL per-cluster vector sums /
+    counts / squared-error (k×dim floats per batch — never the
+    assignments), driver folds them and updates centroids.  Seeds are
+    the embeddings of the k smallest vec_ids (deterministic, same
+    convention as :func:`cluster_counts`); ties break toward the
+    smaller cluster index.  Empty clusters keep their previous
+    centroid.  Returns the final assignment counts and total inertia
+    (sum of squared distances), which tests assert decreases
+    monotonically over iterations."""
+    from .io import read_table
+
+    _, cm = _load_queries(sf_dir, k)
+    cent = cm.copy()  # (k, dim), L2-normalized seeds
+
+    ds = read_table(
+        sf_dir, "embeddings", ["embedding"], blocks=16
+    ).materialize()  # one read, reused every iteration
+
+    inertia_hist: list[float] = []
+    counts = np.zeros(k, dtype=np.int64)
+    for _ in range(n_iter):
+        ref = ray.put(cent)
+
+        def partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            c = ray.get(_ref)
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            m = m / np.clip(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None
+            )
+            d2 = (
+                (m * m).sum(1, keepdims=True)
+                - 2.0 * (m @ c.T)
+                + (c * c).sum(1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=c.shape[0]).astype(np.int64)
+            err = float(d2[np.arange(len(a)), a].sum())
+            out = pd.DataFrame(
+                {
+                    "cluster": np.arange(c.shape[0], dtype=np.int64),
+                    "cnt": cnt,
+                    "err": err / c.shape[0],  # spread so sum() is exact total
+                }
+            )
+            out["sums"] = list(sums)
+            return out
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        counts = (
+            parts.groupby("cluster")["cnt"].sum().to_numpy(np.int64)
+        )
+        inertia_hist.append(float(parts["err"].sum()))
+        sums = np.zeros_like(cent)
+        for cid, g in parts.groupby("cluster"):
+            sums[cid] = np.stack(g["sums"].to_numpy()).sum(0)
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
+
+    out = pd.DataFrame(
+        {
+            "cluster_id": np.arange(k, dtype=np.int64),
+            "n_vecs": counts,
+            "inertia": inertia_hist[-1],
+        }
+    )
+    out.attrs["inertia_history"] = inertia_hist
+    return out

@@ -116,7 +116,7 @@ def test_crawl_aggregate_sql_oracles(contract, con):
     ["docs_fingerprints", "docs_simhash", "emb_knn_lsh",
      "docs_extended_images", "docs_api_harvest",
      "crawl_sitemap_frontier", "crawl_nav_scores", "media_features",
-     "emb_knn_ivf", "events_approx_users"],
+     "emb_knn_ivf", "events_approx_users", "emb_kmeans"],
 )
 def test_rows_only_queries_run(contract, name):
     qs, _ = contract
@@ -456,3 +456,31 @@ def test_hll_approx_distinct_within_bound(contract, con):
     assert (rel < 0.07).all(), j.to_string()
     est2 = _to_pandas(qs["events_approx_users"](SF_DIR))
     pd.testing.assert_frame_equal(est, est2)
+
+
+def test_kmeans_monotone_and_matches_bruteforce(ray_session):
+    """Distributed Lloyd's iterations: inertia non-increasing, and the
+    final state equals a single-process numpy Lloyd run from the same
+    seeds (the distributed partial-sum fold is exact)."""
+    from snapcrawler_ray.functions.similarity import kmeans
+
+    got = kmeans(SF_DIR, k=8, n_iter=5)
+    hist = got.attrs["inertia_history"]
+    assert all(hist[i + 1] <= hist[i] + 1e-9 for i in range(len(hist) - 1))
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    m = np.stack(emb.sort_values("vec_id")["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+    cent = m[:8].copy()
+    for _ in range(5):
+        d2 = ((m * m).sum(1, keepdims=True) - 2.0 * (m @ cent.T)
+              + (cent * cent).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        last_inertia = d2[np.arange(len(a)), a].sum()
+        for c in range(8):
+            if (a == c).any():
+                cent[c] = m[a == c].mean(0)
+    counts = np.bincount(a, minlength=8)
+    assert list(got["n_vecs"]) == list(counts)
+    assert abs(got["inertia"].iloc[0] - last_inertia) < 1e-6
