@@ -103,8 +103,10 @@ def run_queries(sf_dir: str) -> dict:
         "events_sessionize", "events_rolling", "docs_token_counts",
         "docs_exact_dedup", "docs_minhash_pairs", "docs_simhash",
         "docs_ngram_jaccard", "docs_lang_id", "docs_clean_corpus",
-        "docs_repetition",
-        "emb_knn", "emb_near_dup", "docs_extended_images",
+        "docs_repetition", "docs_decontaminate", "docs_adaptive_quality",
+        "docs_tfidf_terms",
+        "emb_knn", "emb_near_dup", "emb_kmeans", "events_approx_users",
+        "docs_extended_images",
     ]
     out = {}
     for name in bench_set:
