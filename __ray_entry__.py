@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- composite training-data prep (SQL-oracled end-to-end) ---
         "docs_clean_corpus": lambda d: dedup.clean_corpus_keep(d),
         "docs_decontaminate": lambda d: dedup.decontaminate(d),
+        "docs_neardup_keep": lambda d: dedup.doc_neardup_keep(d),
         # --- embeddings ---
         "emb_knn": lambda d: similarity.knn_bruteforce(d, k=10, n_queries=5),
         "emb_knn_lsh": lambda d: similarity.knn_lsh(d, k=10, n_queries=5),
@@ -478,6 +479,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_ngram_jaccard": jaccard_pairs,
         "docs_minhash_pairs": jaccard_pairs,
+        "docs_neardup_keep": (
+            # connected components over the exact-Jaccard near-dup graph
+            # (transitive closure; keep = component min doc_id)
+            "WITH RECURSIVE p AS ("
+            "SELECT doc_a AS va, doc_b AS vb FROM (" + jaccard_pairs + ")"
+            "), edges AS ("
+            "SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p"
+            "), reach(node, other) AS ("
+            "SELECT a, b FROM edges "
+            "UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other"
+            ") SELECT node AS doc_id, least(node, min(other)) AS keep_id "
+            "FROM reach GROUP BY node"
+        ),
         "docs_lang_id": lang_id_sql,
         "docs_sample": (
             # deterministic hash-bucket sample: md5 prefix mod 100 < 5

@@ -633,6 +633,47 @@ def embedding_dedup_keep(
     )
 
 
+def doc_neardup_keep(
+    sf_dir: str, threshold: float = 0.6, distributed: bool = False
+) -> pd.DataFrame:
+    """Text near-dup keep/drop list: connected components over the
+    :func:`minhash_lsh_pairs` graph, keep = min doc_id per component —
+    the document-side twin of :func:`embedding_dedup_keep` (transitive
+    near-dup chains a~b, b~c collapse to one keeper even when (a, c)
+    is below threshold).  The union-find runs on the PAIR LIST (dedup
+    rate × corpus, the standard driver-sized artifact);
+    ``distributed=True`` switches to min-label propagation for pair
+    lists that outgrow one node."""
+    pairs = minhash_lsh_pairs(sf_dir, threshold=threshold).rename(
+        columns={"doc_a": "vec_a", "doc_b": "vec_b"}
+    )
+    if distributed:
+        cc = connected_components_distributed(pairs)
+        return cc.rename(columns={"node": "doc_id", "label": "keep_id"})
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = sorted(
+        {int(v) for col in ("vec_a", "vec_b") for v in pairs[col]}
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(rows, dtype="int64"),
+            "keep_id": pd.Series([find(v) for v in rows], dtype="int64"),
+        }
+    )
+
+
 # ----------------------------------------------- embedding near-dup
 
 def embedding_near_dup_pairs(
