@@ -291,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: approximate by construction (HLL sketch; accuracy
         # bound asserted vs the exact count in tests)
         "events_approx_users": sketch.approx_distinct_users,
+        "events_approx_hourly_users": sketch.approx_hourly_users,
+        "events_pivot_hourly": relational.events_pivot_hourly,
         "events_value_quantiles": relational.events_value_quantiles,
         "docs_top_quality": lambda d: text.top_quality_per_source(d),
         "part_type_stats": relational.part_type_stats,
@@ -744,6 +746,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WINDOW w AS ("
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+        ),
+        "events_pivot_hourly": (
+            # PIVOT as conditional aggregation over the known category set
+            "SELECT date_trunc('hour', ts) AS hour, "
+            "CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click, "
+            "CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error, "
+            "CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase, "
+            "CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup, "
+            "CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view "
+            "FROM events GROUP BY 1"
         ),
         "events_cumsum": (
             "SELECT user_id, event_id, "

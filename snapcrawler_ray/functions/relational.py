@@ -278,6 +278,36 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_hourly(sf_dir: str) -> pd.DataFrame:
+    """hour, n_click, n_error, n_purchase, n_signup, n_view — the
+    hourly event-type count matrix (PIVOT / conditional-aggregation
+    shape).  Pivoting during the per-batch partial turns the shuffle
+    payload into one fixed-width row per (batch, hour) — columns are
+    the known category set, so the pre-aggregate is maximally compact
+    and the final combine is a tiny driver groupby over O(hours)
+    rows."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"hour": df["ts"].dt.floor("h")})
+        for t in _EVENT_TYPES:
+            out[f"n_{t}"] = (df["event_type"] == t).astype("int64")
+        return out.groupby("hour", as_index=False).sum()
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("hour", as_index=False)
+        .sum()
+    )
+    for t in _EVENT_TYPES:
+        agg[f"n_{t}"] = agg[f"n_{t}"].astype("int64")
+    return agg.sort_values("hour").reset_index(drop=True)
+
+
 def events_topk_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Top-k users by total event value (sum desc, user_id asc)."""
 

@@ -62,6 +62,33 @@ def hll_estimate(regs: pd.DataFrame, p: int) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["key", "approx_distinct"])
 
 
+def approx_hourly_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """hour, approx_distinct — HLL-approximate distinct users per hour
+    (time-windowed sketch: the register partial is keyed on the window
+    bucket, so sketching composes with any time bucketing for free).
+    Same topology as :func:`approx_distinct_users`; per-batch partials
+    are bounded by the batch's own distinct (hour, register) pairs."""
+    from .io import read_table
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = hll_partial(
+            df["ts"].dt.floor("h").to_numpy(), df["user_id"].to_numpy(), p
+        )
+        return part.rename(columns={"key": "hour"})
+
+    ds = read_table(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    merged = (
+        ds.to_pandas()
+        .groupby(["hour", "reg"], as_index=False)
+        .agg(rank=("rank", "max"))
+        .rename(columns={"hour": "key"})
+    )
+    est = hll_estimate(merged, p).rename(columns={"key": "hour"})
+    return est.sort_values("hour").reset_index(drop=True)
+
+
 def approx_distinct_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
     """event_type, approx_distinct — HLL-approximate distinct users per
     event type.  Per-batch register partials (≤ types × 2^p tiny int

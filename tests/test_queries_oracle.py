@@ -78,7 +78,8 @@ def test_all_query_names_have_callables(contract):
         "emb_knn", "q1_pricing", "q3_top_orders", "nation_revenue",
         "q5_region_supplier", "events_hourly", "events_topk_users",
         "events_sessionize", "events_rolling", "events_asof",
-        "events_hopping", "events_cumsum", "part_type_stats",
+        "events_hopping", "events_cumsum", "events_pivot_hourly",
+        "part_type_stats",
         "events_value_quantiles",
         "docs_top_quality", "docs_decontaminate", "emb_cluster_counts",
         "emb_cluster_quality", "docs_stratified_sample",
@@ -117,7 +118,8 @@ def test_crawl_aggregate_sql_oracles(contract, con):
     ["docs_fingerprints", "docs_simhash", "emb_knn_lsh",
      "docs_extended_images", "docs_api_harvest",
      "crawl_sitemap_frontier", "crawl_nav_scores", "media_features",
-     "emb_knn_ivf", "events_approx_users", "emb_kmeans"],
+     "emb_knn_ivf", "events_approx_users", "events_approx_hourly_users",
+     "emb_kmeans"],
 )
 def test_rows_only_queries_run(contract, name):
     qs, _ = contract
@@ -485,3 +487,16 @@ def test_kmeans_monotone_and_matches_bruteforce(ray_session):
     counts = np.bincount(a, minlength=8)
     assert list(got["n_vecs"]) == list(counts)
     assert abs(got["inertia"].iloc[0] - last_inertia) < 1e-6
+
+
+def test_hll_hourly_within_bound(contract, con):
+    qs, _ = contract
+    est = _to_pandas(qs["events_approx_hourly_users"](SF_DIR))
+    exact = con.sql(
+        "SELECT date_trunc('hour', ts) AS hour, "
+        "count(DISTINCT user_id) AS n FROM events GROUP BY 1"
+    ).df()
+    j = est.merge(exact, on="hour")
+    assert len(j) == len(exact)
+    rel = (j["approx_distinct"] - j["n"]).abs() / j["n"].clip(lower=1)
+    assert (rel < 0.07).all()
