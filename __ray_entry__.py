@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_users": sketch.approx_distinct_users,
         "events_approx_hourly_users": sketch.approx_hourly_users,
         "events_pivot_hourly": relational.events_pivot_hourly,
+        "cust_no_big_order": relational.customers_without_orders,
         "events_value_quantiles": relational.events_value_quantiles,
         "docs_top_quality": lambda d: text.top_quality_per_source(d),
         "part_type_stats": relational.part_type_stats,
@@ -746,6 +747,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WINDOW w AS ("
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+        ),
+        "cust_no_big_order": (
+            # anti-join with the predicate pushed into the fact scan
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)"
         ),
         "events_pivot_hourly": (
             # PIVOT as conditional aggregation over the known category set

@@ -662,3 +662,62 @@ def part_type_stats(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("p_type").reset_index(drop=True)
+
+
+def customers_without_orders(
+    sf_dir: str, min_total: float = 350000.0
+) -> pd.DataFrame:
+    """c_custkey, c_name — customers with NO order above ``min_total``
+    (the ANTI-JOIN primitive, with the predicate pushed into the fact
+    scan).  Scale shape: the probe side is the FACT table — per-batch
+    partials reduce the filtered ``orders`` to distinct customer keys
+    (pre-aggregate before any wire transfer), the distinct-key set
+    folds through a bucketed reduce, and the anti filter streams over
+    ``customer`` against the broadcast key set (sorted int64 array +
+    ``searchsorted``).  Key-set size is O(distinct qualifying
+    customers), the standard broadcast-side artifact; if it outgrew a
+    broadcast the same topology becomes a left_outer ``Dataset.join``
+    + null filter."""
+    from .agg import bucketed_combine
+
+    def keys_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": df.loc[df["o_totalprice"] > min_total, "o_custkey"].unique()}
+        )
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        keys_partial, batch_format="pandas"
+    )
+    keys = np.sort(
+        bucketed_combine(ds, ["k"], lambda d: d.drop_duplicates())
+        .to_pandas()["k"]
+        .to_numpy(np.int64)
+    )
+    keys_ref = ray.put(keys)
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        ks = _bc_get_arr(keys_ref)
+        ck = df["c_custkey"].to_numpy(np.int64)
+        pos = np.searchsorted(ks, ck)
+        pos[pos >= len(ks)] = 0
+        hit = (ks[pos] == ck) if len(ks) else np.zeros(len(ck), bool)
+        return df.loc[~hit, ["c_custkey", "c_name"]]
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(anti, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+_BC_ARR_CACHE: dict[str, np.ndarray] = {}
+
+
+def _bc_get_arr(ref) -> np.ndarray:
+    key = ref.hex()
+    if key not in _BC_ARR_CACHE:
+        if len(_BC_ARR_CACHE) > 8:
+            _BC_ARR_CACHE.clear()
+        _BC_ARR_CACHE[key] = ray.get(ref)
+    return _BC_ARR_CACHE[key]
