@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_hourly": relational.events_pivot_hourly,
         "cust_no_big_order": relational.customers_without_orders,
         "events_value_quantiles": relational.events_value_quantiles,
+        "events_value_quantiles_hist": relational.events_value_quantiles_hist,
         "docs_top_quality": lambda d: text.top_quality_per_source(d),
         "part_type_stats": relational.part_type_stats,
         # --- crawl engine (rows-only; oracle is the replay simulator,
@@ -797,6 +798,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_value_quantiles": (
             # quantile_cont = linear interpolation = np.quantile default
+            "SELECT event_type, count(*) AS n, "
+            "quantile_cont(value, 0.5) AS p50, "
+            "quantile_cont(value, 0.9) AS p90, "
+            "quantile_cont(value, 0.99) AS p99 "
+            "FROM events GROUP BY event_type"
+        ),
+        "events_value_quantiles_hist": (
+            # same semantics as events_value_quantiles; the engine path
+            # differs (mergeable histogram partials vs co-located rows)
             "SELECT event_type, count(*) AS n, "
             "quantile_cont(value, 0.5) AS p50, "
             "quantile_cont(value, 0.9) AS p90, "

@@ -637,6 +637,54 @@ def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def events_value_quantiles_hist(sf_dir: str) -> pd.DataFrame:
+    """event_type, n, p50/p90/p99 — the MERGEABLE quantile path: exact
+    quantiles from per-(group, integer-cents) HISTOGRAM partials.
+
+    Values carry 2-decimal precision, so the corpus reduces inside
+    ``map_batches`` to (event_type, value_cents, count) rows — at most
+    groups × distinct-cents, independent of row count — and partials
+    merge by plain addition (no co-location of raw rows, unlike
+    :func:`events_value_quantiles`).  Quantile interpolation runs on
+    the merged counts with the same float64 lerp as ``np.quantile`` /
+    DuckDB ``quantile_cont``, so results are bit-identical to the
+    exact kernel.  This is the single-group-outgrows-a-worker scale
+    path the exact version's docstring promises."""
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"event_type": df["event_type"], "c": _cents(df["value"])}
+        )
+        return d.groupby(["event_type", "c"], as_index=False).agg(
+            n=("c", "size")
+        )
+
+    counts = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(hist, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "c"], as_index=False)
+        .agg(n=("n", "sum"))
+        .sort_values(["event_type", "c"])
+    )
+
+    rows = []
+    for et, g in counts.groupby("event_type"):
+        vals = g["c"].to_numpy(np.int64) / 100.0
+        cum = np.cumsum(g["n"].to_numpy(np.int64))
+        n = int(cum[-1])
+        qs = []
+        for q in (0.5, 0.9, 0.99):
+            h = (n - 1) * q
+            lo = vals[np.searchsorted(cum, np.floor(h), side="right")]
+            hi = vals[np.searchsorted(cum, np.ceil(h), side="right")]
+            qs.append(lo + (h - np.floor(h)) * (hi - lo))
+        rows.append((et, n, *qs))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "p50", "p90", "p99"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def part_type_stats(sf_dir: str) -> pd.DataFrame:
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
