@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_hourly_users": sketch.approx_hourly_users,
         "events_pivot_hourly": relational.events_pivot_hourly,
         "cust_no_big_order": relational.customers_without_orders,
+        "orders_rollup": relational.orders_rollup,
         "events_value_quantiles": relational.events_value_quantiles,
         "events_value_quantiles_hist": relational.events_value_quantiles_hist,
         "docs_top_quality": lambda d: text.top_quality_per_source(d),
@@ -748,6 +749,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WINDOW w AS ("
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+        ),
+        "orders_rollup": (
+            # ROLLUP grouping levels; 'ALL' marks a rolled-up dimension
+            # (order columns never hold NULL, so coalesce is unambiguous)
+            "SELECT coalesce(o_orderstatus, 'ALL') AS status, "
+            "coalesce(o_orderpriority, 'ALL') AS priority, "
+            "count(*) AS n, "
+            "sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total "
+            "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
         ),
         "cust_no_big_order": (
             # anti-join with the predicate pushed into the fact scan

@@ -769,3 +769,44 @@ def _bc_get_arr(ref) -> np.ndarray:
             _BC_ARR_CACHE.clear()
         _BC_ARR_CACHE[key] = ray.get(ref)
     return _BC_ARR_CACHE[key]
+
+
+def orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """status, priority, n, total — order counts/revenue at every
+    ROLLUP(status, priority) grouping level ('ALL' marks a rolled-up
+    dimension).  One streaming pass aggregates the FINEST level
+    per batch (cardinality = status × priority, tiny); the coarser
+    levels are derived from that aggregate by re-summing — rollup
+    never needs a second corpus pass.  Sums in exact integer cents."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "status": df["o_orderstatus"],
+                "priority": df["o_orderpriority"],
+                "n": 1,
+                "c": _cents(df["o_totalprice"]),
+            }
+        ).groupby(["status", "priority"], as_index=False).sum()
+
+    fine = (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["status", "priority"], as_index=False)
+        .sum()
+    )
+    by_status = fine.groupby("status", as_index=False)[["n", "c"]].sum()
+    by_status["priority"] = "ALL"
+    total = pd.DataFrame(
+        {"status": ["ALL"], "priority": ["ALL"],
+         "n": [fine["n"].sum()], "c": [fine["c"].sum()]}
+    )
+    out = pd.concat([fine, by_status, total], ignore_index=True)
+    out["total"] = out["c"] / 100.0
+    out["n"] = out["n"].astype("int64")
+    return (
+        out[["status", "priority", "n", "total"]]
+        .sort_values(["status", "priority"])
+        .reset_index(drop=True)
+    )
