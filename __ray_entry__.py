@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_adaptive_quality": text.adaptive_quality_filter,
         "docs_vocab_overlap": text.vocab_overlap,
         "docs_tfidf_terms": lambda d: text.tfidf_top_terms(d),
+        "docs_pack_windows": lambda d: text.pack_windows(d),
         "docs_token_topk": lambda d: text.token_topk(d),
         # --- documents: non-SQL ops (rows-only; hash-function-defined) ---
         "docs_fingerprints": text.fingerprints,
@@ -530,6 +531,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(na.n + nb.n - i.n_common AS BIGINT) AS n_union "
             "FROM i JOIN n na ON na.source = i.src_a "
             "JOIN n nb ON nb.source = i.src_b"
+        ),
+        "docs_pack_windows": (
+            # sequential token-budget packing: window = exclusive
+            # running token count // 512, docs in doc_id order per source
+            "WITH t AS (SELECT doc_id, source, "
+            f"CAST(({n_tokens}) AS BIGINT) AS n_tokens FROM documents), "
+            "c AS (SELECT *, coalesce(sum(n_tokens) OVER ("
+            "PARTITION BY source ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb "
+            "FROM t) "
+            "SELECT source, doc_id, n_tokens, "
+            "CAST(floor(cb / 512) AS BIGINT) AS window_id FROM c"
         ),
         "docs_tfidf_terms": (
             # top-5 distinctive terms per source by n_st·ln(n_sources/s_t)

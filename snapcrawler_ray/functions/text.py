@@ -627,6 +627,45 @@ def vocab_overlap(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def pack_windows(sf_dir: str, budget: int = 512) -> pd.DataFrame:
+    """source, doc_id, n_tokens, window_id — sequential token-budget
+    packing: documents are concatenated in doc_id order per source and
+    cut into ``budget``-token context windows (window_id = exclusive
+    running token count // budget — the C4/GPT-style document-packing
+    layout for training-shard assembly).
+
+    Same topology as the other sequential-per-key kernels: one shuffle
+    hash-buckets sources (a source's docs co-locate — documented
+    partitioning assumption), one vectorized cumsum kernel per bucket.
+    O(corpus) output, so it stays a streaming Dataset."""
+    from .agg import bucketed_combine
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("").str.strip()
+        n = t.str.split(_WS).map(len).where(t != "", 0).astype("int64")
+        return pd.DataFrame(
+            {"source": df["source"], "doc_id": df["doc_id"], "n_tokens": n}
+        )
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["source", "doc_id"], kind="mergesort")
+        n = d["n_tokens"].to_numpy(np.int64)
+        cum = np.cumsum(n)
+        # per-source exclusive running count: subtract each source's
+        # inclusive cumsum at its first row, plus that row's own count
+        src = d["source"].to_numpy()
+        first = np.concatenate([[True], src[1:] != src[:-1]])
+        base = np.maximum.accumulate(np.where(first, cum - n, 0))
+        cb = cum - n - base
+        d = d.assign(window_id=(cb // budget).astype("int64"))
+        return d
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        counts, batch_format="pandas"
+    )
+    return bucketed_combine(ds, ["source"], pack)
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """source, tok, n_st, s_t, score, rank — the k most DISTINCTIVE
     terms per source by a tf-idf-style score
