@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) over the pure kernels — the
+invariants that must hold for ANY input, complementing the
+oracle/golden tests that pin specific values.  No Ray session needed.
+"""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from snapcrawler_ray.functions.sketch import _lzc64, hll_estimate, hll_partial
+from snapcrawler_ray.hashing import url_hash64
+from snapcrawler_ray.urlnorm import canonicalize, host_of
+
+URLS = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd"),
+                           whitelist_characters=":/.?#&=-_~%"),
+    min_size=0, max_size=60,
+).map(lambda s: "https://" + s)
+
+
+@given(st.lists(URLS, min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent(urls):
+    once = canonicalize(np.asarray(urls, dtype=object))
+    twice = canonicalize(once)
+    assert list(once) == list(twice)
+
+
+@given(st.lists(URLS, min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_url_hash_is_function_of_canonical_form(urls):
+    """Equal canonical URLs must hash equal (the seen-set contract)."""
+    arr = np.asarray(urls, dtype=object)
+    canon = canonicalize(arr)
+    h = url_hash64(canon)
+    seen = {}
+    for c, hv in zip(canon, h):
+        assert seen.setdefault(c, hv) == hv
+
+
+@given(st.text(min_size=0, max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_host_of_prefix_consistency(path):
+    url = "https://example.test/" + path
+    assert host_of(url) == "example.test"
+
+
+@given(st.integers(min_value=1, max_value=2**64 - 1))
+@settings(max_examples=300, deadline=None)
+def test_lzc64_matches_bit_length(x):
+    assert _lzc64(np.array([x], dtype=np.uint64))[0] == 64 - x.bit_length()
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**61), min_size=1,
+                max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_hll_duplicate_and_order_insensitive(vals):
+    """The sketch (and therefore the estimate) is a pure function of
+    the SET of values — duplicates and order must not change it."""
+    a = np.asarray(vals, dtype=np.int64)
+    keys = np.repeat("k", len(a))
+    base = hll_partial(keys, a, 10)
+    dup = np.concatenate([a, a[::-1]])
+    dup_part = (
+        hll_partial(np.repeat("k", len(dup)), dup, 10)
+        .groupby(["key", "reg"], as_index=False)
+        .agg(rank=("rank", "max"))
+    )
+    ea = hll_estimate(base, 10)["approx_distinct"].iloc[0]
+    eb = hll_estimate(dup_part, 10)["approx_distinct"].iloc[0]
+    assert ea == eb
+
+
+@given(st.lists(st.integers(min_value=0, max_value=600), min_size=1,
+                max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_pack_windows_kernel_invariants(tokens):
+    """Sequential packing: window ids are non-decreasing in doc order,
+    start at 0, and each window's exclusive-start offset lies in
+    [window_id*B, (window_id+1)*B)."""
+    budget = 512
+    n = np.asarray(tokens, dtype=np.int64)
+    cb = np.concatenate([[0], np.cumsum(n)[:-1]])
+    w = cb // budget
+    assert w[0] == 0
+    assert (np.diff(w) >= 0).all()
+    assert ((cb - w * budget) < budget).all() and ((cb - w * budget) >= 0).all()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10**6),
+                  st.integers(0, 10**4)),
+        min_size=1, max_size=300,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_rolling_kernel_matches_pandas(rows):
+    """The vectorized boundary-clamped sliding cumsum == pandas
+    groupby.rolling for arbitrary (user, ts, cents) rows."""
+    from snapcrawler_ray.functions.relational import events_rolling_window  # noqa: F401  (import proves kernel module loads)
+
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "c"]).reset_index()
+    d = df.sort_values(["user_id", "ts", "index"], kind="mergesort")
+    uid = d["user_id"].to_numpy()
+    c = d["c"].to_numpy(np.int64)
+    n = len(c)
+    window = 5
+    cs = np.concatenate([[0], np.cumsum(c)])
+    new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+    grp_start = np.maximum.accumulate(np.where(new_user, np.arange(n), 0))
+    lo = np.maximum(grp_start, np.arange(1, n + 1) - window)
+    w_sum = cs[1:] - cs[lo]
+    want = (
+        d.groupby("user_id")["c"]
+        .rolling(window, min_periods=1)
+        .sum()
+        .to_numpy()
+    )
+    assert (w_sum == want.astype(np.int64)).all()
