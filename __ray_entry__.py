@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_overlap": text.vocab_overlap,
         "docs_tfidf_terms": lambda d: text.tfidf_top_terms(d),
         "docs_pack_windows": lambda d: text.pack_windows(d),
+        "docs_weighted_sample": text.weighted_sample,
         "docs_token_topk": lambda d: text.token_topk(d),
         # --- documents: non-SQL ops (rows-only; hash-function-defined) ---
         "docs_fingerprints": text.fingerprints,
@@ -531,6 +532,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(na.n + nb.n - i.n_common AS BIGINT) AS n_union "
             "FROM i JOIN n na ON na.source = i.src_a "
             "JOIN n nb ON nb.source = i.src_b"
+        ),
+        "docs_weighted_sample": (
+            # quality-proportional hash sampling; all-integer keep rule
+            "WITH q AS (SELECT doc_id, source, text, "
+            "CAST(round((0.5 * least(1.0, n_chars / 1000.0) "
+            f"+ 0.5 * least(1.0, ({n_tokens}) / 200.0)) * 10000) AS UBIGINT) "
+            "AS q_u FROM documents) "
+            "SELECT doc_id, source, q_u/10000.0 AS quality FROM q "
+            "WHERE CAST(concat('0x', substr(md5(coalesce(text,'')), 1, 8)) "
+            "AS UBIGINT) * 10000 < q_u * 4294967296"
         ),
         "docs_pack_windows": (
             # sequential token-budget packing: window = exclusive

@@ -627,6 +627,41 @@ def vocab_overlap(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def weighted_sample(sf_dir: str) -> "ray.data.Dataset":
+    """doc_id, source, quality — quality-PROPORTIONAL deterministic
+    sample: each doc is kept with probability equal to its quality
+    score (the quality-weighted mixing step of a training-data
+    pipeline), decided by a pure content hash — reproducible across
+    runs/nodes, no seed state, no shuffle, one streaming pass.
+
+    Keep iff ``md5_32(text) · 10000 < q_u · 2^32`` — all-integer
+    comparison (q_u = quality in ten-thousandths), so the engine and
+    the DuckDB oracle agree exactly with no float threshold edge."""
+    import hashlib
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        q_u = _quality_units(df).astype(np.uint64)
+        h = np.array(
+            [
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                for t in df["text"].fillna("")
+            ],
+            dtype=np.uint64,
+        )
+        keep = (h * np.uint64(10000)) < (q_u << np.uint64(32))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[keep],
+                "source": df["source"].to_numpy()[keep],
+                "quality": q_u[keep].astype(np.int64) / 10000.0,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "source", "text", "n_chars"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
 def pack_windows(sf_dir: str, budget: int = 512) -> pd.DataFrame:
     """source, doc_id, n_tokens, window_id — sequential token-budget
     packing: documents are concatenated in doc_id order per source and
