@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_windows": lambda d: text.pack_windows(d),
         "docs_weighted_sample": text.weighted_sample,
         "docs_token_topk": lambda d: text.token_topk(d),
+        "docs_token_topk_mg": lambda d: text.token_topk_mg(d),
         # --- documents: non-SQL ops (rows-only; hash-function-defined) ---
         "docs_fingerprints": text.fingerprints,
         "docs_simhash": dedup.simhashes,
@@ -586,6 +587,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) WHERE rank <= 10"
         ),
         "docs_token_topk": (
+            "WITH ex AS (SELECT DISTINCT doc_id, "
+            r"unnest(regexp_split_to_array(trim(coalesce(lower(text),'')), "
+            r"'\s+')) AS tok FROM documents), "
+            "c AS (SELECT tok, count(*) AS df_count FROM ex "
+            "WHERE length(tok) >= 4 GROUP BY tok) "
+            "SELECT tok, df_count FROM c "
+            "ORDER BY df_count DESC, tok LIMIT 50"
+        ),
+        # same semantics, vocabulary-free two-pass MG engine path
+        "docs_token_topk_mg": (
             "WITH ex AS (SELECT DISTINCT doc_id, "
             r"unnest(regexp_split_to_array(trim(coalesce(lower(text),'')), "
             r"'\s+')) AS tok FROM documents), "

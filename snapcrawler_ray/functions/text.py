@@ -627,6 +627,126 @@ def vocab_overlap(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _mg_merge(counts: pd.Series, capacity: int) -> pd.Series:
+    """Misra-Gries compression: keep ≤ ``capacity`` items by summing
+    then subtracting the (capacity+1)-th largest count from everything
+    and dropping non-positives.  Underestimates each surviving count by
+    at most (total stream length)/(capacity+1); any item with true
+    frequency above that bound is guaranteed to survive.  Associative
+    under (sum → compress), so summaries tree-merge."""
+    if len(counts) <= capacity:
+        return counts
+    kth = counts.nlargest(capacity + 1).iloc[-1]
+    out = counts - kth
+    return out[out > 0]
+
+
+def token_topk_mg(
+    sf_dir: str, k: int = 50, min_len: int = 4, capacity: int = 16384
+) -> pd.DataFrame:
+    """tok, df_count — EXACT global top-k tokens by document frequency
+    via the two-pass heavy-hitter pattern (Misra-Gries candidates +
+    broadcast recount), the scale companion to :func:`token_topk`.
+
+    :func:`token_topk`'s bucketed reduce still moves every distinct
+    token through one shuffle.  This path never reduces the
+    vocabulary: pass 1 compresses each batch's counts to a ≤
+    ``capacity`` Misra-Gries summary, a block-level merge folds
+    summaries pairwise (summaries are associative), and the driver
+    folds the remainder — O(blocks × capacity), vocabulary-free.
+    Pass 2 re-streams the corpus counting ONLY the ≤ capacity
+    candidates (broadcast sorted array + ``searchsorted``), giving
+    exact counts.  Exactness condition (asserted): the k-th candidate's
+    exact count must exceed the MG error bound total/(capacity+1) —
+    guaranteed for any corpus where the top-k are true heavy hitters.
+    Same SQL oracle as token_topk."""
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        flat, lens = _token_lists(df["text"].str.lower())
+        ex = pd.DataFrame(
+            {"i": np.repeat(np.arange(n), lens), "tok": flat}
+        ).drop_duplicates()
+        ex = ex[ex["tok"].str.len() >= min_len]
+        c = ex.groupby("tok")["i"].size()
+        total = int(c.sum())
+        c = _mg_merge(c, capacity)
+        out = c.reset_index()
+        out.columns = ["tok", "df_count"]
+        out["stream_n"] = 0
+        # one row carries the batch's pre-compression stream length so
+        # the error bound can be computed exactly at the end
+        if len(out):
+            out.iloc[0, out.columns.get_loc("stream_n")] = total
+        else:
+            out = pd.DataFrame(
+                {"tok": [""], "df_count": [0], "stream_n": [total]}
+            )
+        return out
+
+    def block_merge(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("tok")["df_count"].sum()
+        c = c[c.index != ""]
+        c = _mg_merge(c, capacity)
+        out = c.reset_index()
+        out.columns = ["tok", "df_count"]
+        out["stream_n"] = 0
+        total = int(df["stream_n"].sum())
+        if len(out):
+            out.iloc[0, out.columns.get_loc("stream_n")] = total
+        else:
+            out = pd.DataFrame(
+                {"tok": [""], "df_count": [0], "stream_n": [total]}
+            )
+        return out
+
+    summaries = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(summarize, batch_format="pandas")
+        .repartition(8)
+        .map_batches(block_merge, batch_size=None, batch_format="pandas")
+        .to_pandas()
+    )
+    total = int(summaries["stream_n"].sum())
+    cand = summaries[summaries["tok"] != ""].groupby("tok")["df_count"].sum()
+    cand = _mg_merge(cand, capacity)
+    cand_arr = np.sort(cand.index.to_numpy(dtype=object).astype(str))
+    cand_ref = ray.put(cand_arr)
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        cands = ray.get(cand_ref)
+        n = len(df)
+        flat, lens = _token_lists(df["text"].str.lower())
+        ex = pd.DataFrame(
+            {"i": np.repeat(np.arange(n), lens), "tok": flat}
+        ).drop_duplicates()
+        ex = ex[ex["tok"].str.len() >= min_len]
+        t = ex["tok"].to_numpy(dtype=object).astype(str)
+        pos = np.searchsorted(cands, t)
+        pos[pos >= len(cands)] = 0
+        hit = (cands[pos] == t) if len(cands) else np.zeros(len(t), bool)
+        ex = ex[hit]
+        return ex.groupby("tok", as_index=False).agg(df_count=("i", "size"))
+
+    exact = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(recount, batch_format="pandas")
+        .to_pandas()
+        .groupby("tok", as_index=False)["df_count"]
+        .sum()
+    )
+    top = exact.sort_values(
+        ["df_count", "tok"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    bound = total / (capacity + 1)
+    assert len(top) < k or top["df_count"].iloc[-1] > bound, (
+        f"top-{k} not separable at capacity={capacity}: "
+        f"kth count {top['df_count'].iloc[-1]} <= error bound {bound:.1f}"
+    )
+    top["df_count"] = top["df_count"].astype("int64")
+    return top.reset_index(drop=True)
+
+
 def weighted_sample(sf_dir: str) -> "ray.data.Dataset":
     """doc_id, source, quality — quality-PROPORTIONAL deterministic
     sample: each doc is kept with probability equal to its quality

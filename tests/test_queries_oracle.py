@@ -75,6 +75,7 @@ def test_all_query_names_have_callables(contract):
         "docs_clean_corpus", "docs_lang_id", "docs_minhash_pairs",
         "docs_ngram_jaccard", "emb_near_dup", "docs_fingerprints_norm",
         "emb_dedup_keep", "docs_sample", "docs_token_topk",
+        "docs_token_topk_mg",
         "emb_knn", "q1_pricing", "q3_top_orders", "nation_revenue",
         "q5_region_supplier", "events_hourly", "events_topk_users",
         "events_sessionize", "events_rolling", "events_asof",
