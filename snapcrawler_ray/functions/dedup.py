@@ -274,6 +274,25 @@ def minhash_lsh_pairs(
     cand_docs = docs.map_batches(
         keep_candidates, batch_format="pandas"
     ).materialize()
+
+    # adaptive verify: a SMALL candidate set (the common case at a sane
+    # dedup rate) verifies against the stream-filtered candidate texts
+    # pulled once to the driver — bounded by the candidate-id set we
+    # already broadcast, NOT the corpus.  Past the threshold the
+    # distributed two-join path below takes over unchanged.
+    if len(ids) <= 50_000:
+        texts = cand_docs.to_pandas().set_index("doc_id")["text"]
+        a = cand_pd["doc_a"].map(texts).fillna("")
+        b = cand_pd["doc_b"].map(texts).fillna("")
+        jac = np.round([jaccard(x, y) for x, y in zip(a, b)], 4)
+        out = cand_pd.assign(jaccard=jac)
+        out = out[out["jaccard"] >= threshold]
+        return (
+            out.drop_duplicates(subset=["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+
     cand_ds = ray.data.from_pandas(cand_pd).repartition(4)
     j1 = cand_ds.join(
         cand_docs, join_type="inner", num_partitions=4,
