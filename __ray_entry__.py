@@ -298,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_hourly": relational.events_pivot_hourly,
         "cust_no_big_order": relational.customers_without_orders,
         "orders_rollup": relational.orders_rollup,
+        "events_funnel": relational.events_funnel,
+        "events_retention": relational.events_retention,
         "events_value_quantiles": relational.events_value_quantiles,
         "events_value_quantiles_hist": relational.events_value_quantiles_hist,
         "docs_top_quality": lambda d: text.top_quality_per_source(d),
@@ -784,6 +786,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WINDOW w AS ("
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+        ),
+        "events_funnel": (
+            # ordered funnel on first occurrences, strict ordering
+            "WITH u AS (SELECT user_id, "
+            "min(ts) FILTER (event_type = 'click') AS t0, "
+            "min(ts) FILTER (event_type = 'view') AS t1, "
+            "min(ts) FILTER (event_type = 'purchase') AS t2 "
+            "FROM events GROUP BY user_id) "
+            "SELECT CAST(1 AS BIGINT) AS step_idx, 'click' AS step, "
+            "CAST(count(*) FILTER (t0 IS NOT NULL) AS BIGINT) AS n_users FROM u "
+            "UNION ALL SELECT 2, 'view', "
+            "count(*) FILTER (t0 IS NOT NULL AND t1 > t0) FROM u "
+            "UNION ALL SELECT 3, 'purchase', "
+            "count(*) FILTER (t0 IS NOT NULL AND t1 > t0 AND t2 > t1) FROM u"
+        ),
+        "events_retention": (
+            # daily retention cohorts (cohort = first-activity day)
+            "WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort "
+            "FROM events GROUP BY user_id), "
+            "a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day "
+            "FROM events) "
+            "SELECT f.cohort AS cohort_day, "
+            "CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM a JOIN f USING (user_id) GROUP BY 1, 2"
         ),
         "orders_rollup": (
             # ROLLUP grouping levels; 'ALL' marks a rolled-up dimension

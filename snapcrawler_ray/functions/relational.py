@@ -810,3 +810,95 @@ def orders_rollup(sf_dir: str) -> pd.DataFrame:
         .sort_values(["status", "priority"])
         .reset_index(drop=True)
     )
+
+
+def events_funnel(
+    sf_dir: str, steps: tuple = ("click", "view", "purchase")
+) -> pd.DataFrame:
+    """step_idx, step, n_users — ordered funnel: users whose FIRST
+    occurrence of each step happens strictly after the previous step's
+    first occurrence (the product-analytics sequence-pattern shape).
+
+    Per-batch partials reduce events to min-ts per (user, step); a
+    user-bucketed reduce computes each user's prefix-completion flags
+    and emits ONE count row per (bucket, step) — the driver folds
+    n_buckets × len(steps) ints.  No raw event row crosses the wire
+    after the first map."""
+    from .agg import bucketed_combine
+
+    step_ix = {s: i for i, s in enumerate(steps)}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"].isin(step_ix)]
+        return d.groupby(["user_id", "event_type"], as_index=False).agg(
+            ts=("ts", "min")
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            ts=("ts", "min")
+        )
+        p = d.pivot(index="user_id", columns="event_type", values="ts")
+        counts = []
+        ok = pd.Series(True, index=p.index)
+        prev = None
+        for i, s in enumerate(steps):
+            cur = p[s] if s in p.columns else pd.Series(pd.NaT, index=p.index)
+            ok = ok & cur.notna() & (True if prev is None else (cur > prev))
+            counts.append((i + 1, s, int(ok.sum())))
+            prev = cur
+        return pd.DataFrame(counts, columns=["step_idx", "step", "n_users"])
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    out = (
+        bucketed_combine(ds, ["user_id"], per_bucket)
+        .to_pandas()
+        .groupby(["step_idx", "step"], as_index=False)["n_users"]
+        .sum()
+    )
+    out["step_idx"] = out["step_idx"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("step_idx").reset_index(drop=True)
+
+
+def events_retention(sf_dir: str) -> pd.DataFrame:
+    """cohort_day, day_offset, n_users — daily retention cohorts:
+    users grouped by first-activity day, counted on each later active
+    day.  Per-batch DISTINCT (user, day) partials; one user-bucketed
+    reduce derives each user's cohort (min day) AND its (cohort,
+    offset) activity rows in the same pass — no self-join of the
+    activity table; the driver folds O(days²) count rows."""
+    from .agg import bucketed_combine
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"], "day": df["ts"].dt.floor("D")}
+        ).drop_duplicates()
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        cohort = d.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_day": cohort,
+                "day_offset": (d["day"] - cohort).dt.days.astype("int64"),
+            }
+        )
+        return out.groupby(
+            ["cohort_day", "day_offset"], as_index=False
+        ).agg(n_users=("day_offset", "size"))
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    out = (
+        bucketed_combine(ds, ["user_id"], per_bucket)
+        .to_pandas()
+        .groupby(["cohort_day", "day_offset"], as_index=False)["n_users"]
+        .sum()
+    )
+    out["cohort_day"] = out["cohort_day"].astype("datetime64[us]")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)

@@ -80,7 +80,8 @@ def test_all_query_names_have_callables(contract):
         "q5_region_supplier", "events_hourly", "events_topk_users",
         "events_sessionize", "events_rolling", "events_asof",
         "events_hopping", "events_cumsum", "events_pivot_hourly",
-        "cust_no_big_order", "orders_rollup", "part_type_stats",
+        "cust_no_big_order", "orders_rollup", "events_funnel",
+        "events_retention", "part_type_stats",
         "events_value_quantiles", "events_value_quantiles_hist",
         "docs_top_quality", "docs_decontaminate", "emb_cluster_counts",
         "emb_cluster_quality", "docs_stratified_sample",
