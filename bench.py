@@ -104,8 +104,9 @@ def run_queries(sf_dir: str) -> dict:
         "docs_exact_dedup", "docs_minhash_pairs", "docs_simhash",
         "docs_ngram_jaccard", "docs_lang_id", "docs_clean_corpus",
         "docs_repetition", "docs_decontaminate", "docs_adaptive_quality",
-        "docs_tfidf_terms",
+        "docs_tfidf_terms", "docs_token_topk_mg", "docs_pack_windows",
         "emb_knn", "emb_near_dup", "emb_kmeans", "events_approx_users",
+        "events_funnel", "events_retention", "events_value_quantiles_hist",
         "docs_extended_images",
     ]
     out = {}
