@@ -298,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_hourly": relational.events_pivot_hourly,
         "cust_no_big_order": relational.customers_without_orders,
         "orders_rollup": relational.orders_rollup,
+        "q6_forecast": relational.q6_forecast_revenue,
+        "q14_promo": relational.q14_promo_revenue,
         "events_funnel": relational.events_funnel,
         "events_retention": relational.events_retention,
         "events_value_quantiles": relational.events_value_quantiles,
@@ -786,6 +788,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WINDOW w AS ("
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+        ),
+        "q6_forecast": (
+            "SELECT sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "CAST(round(l_discount*100) AS BIGINT))/10000.0 AS revenue "
+            "FROM lineitem "
+            "WHERE l_shipdate >= DATE '1995-01-01' "
+            "AND l_shipdate < DATE '1996-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "q14_promo": (
+            "SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)) ELSE 0 END) "
+            "AS DOUBLE) / sum("
+            "CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT))) AS promo_revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= DATE '1995-09-01' "
+            "AND l_shipdate < DATE '1995-10-01'"
         ),
         "events_funnel": (
             # ordered funnel on first occurrences, strict ordering

@@ -902,3 +902,78 @@ def events_retention(sf_dir: str) -> pd.DataFrame:
     out["cohort_day"] = out["cohort_day"].astype("datetime64[us]")
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6-shaped: sum(extendedprice × discount) for one ship
+    year, a discount band and a quantity cap — the pruned-scan query:
+    only four columns leave storage, the predicate applies per batch,
+    and the whole corpus reduces to ONE number inside map_batches (no
+    shuffle at all).  Exact 1e-4 units (cents × cents)."""
+    import datetime as _dt
+
+    lo = _dt.datetime(1995, 1, 1)
+    hi = _dt.datetime(1996, 1, 1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (df["l_shipdate"] >= lo)
+            & (df["l_shipdate"] < hi)
+            & (df["l_discount"] >= 0.05)
+            & (df["l_discount"] <= 0.07)
+            & (df["l_quantity"] < 24)
+        )
+        d = df[m]
+        rev_u = (_cents(d["l_extendedprice"]) * _cents(d["l_discount"])).sum()
+        return pd.DataFrame({"rev_u": [rev_u]})
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    ).map_batches(partial, batch_format="pandas")
+    total = int(ds.to_pandas()["rev_u"].sum())
+    return pd.DataFrame({"revenue": [total / 10000.0]})
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14-shaped: share of one ship-month's revenue from PROMO
+    parts.  ``part`` is the dimension side — broadcast once via
+    ``ray.put`` (p_partkey → is-promo flag), so the fact scan joins
+    against it per batch with zero shuffle; both the promo and total
+    revenue reduce to one pair of integers."""
+    import datetime as _dt
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo = set(part.loc[part["p_type"] == "PROMO", "p_partkey"].astype(int))
+    promo_ref = ray.put(np.sort(np.fromiter(promo, dtype=np.int64)))
+    lo = _dt.datetime(1995, 9, 1)
+    hi = _dt.datetime(1995, 10, 1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk = _bc_get_arr(promo_ref)
+        m = (df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)
+        d = df[m]
+        rev = _cents(d["l_extendedprice"]) * (100 - _cents(d["l_discount"]))
+        keys = d["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(pk, keys)
+        pos[pos >= len(pk)] = 0
+        is_promo = (pk[pos] == keys) if len(pk) else np.zeros(len(keys), bool)
+        rev_np = rev.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "promo_u": [int(rev_np[is_promo].sum())],
+                "total_u": [int(rev_np.sum())],
+            }
+        )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_shipdate", "l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pandas")
+    agg = ds.to_pandas().sum()
+    promo_u, total_u = int(agg["promo_u"]), int(agg["total_u"])
+    return pd.DataFrame(
+        {"promo_revenue": [100.0 * promo_u / total_u if total_u else 0.0]}
+    )

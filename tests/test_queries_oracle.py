@@ -77,6 +77,7 @@ def test_all_query_names_have_callables(contract):
         "emb_dedup_keep", "docs_sample", "docs_token_topk",
         "docs_token_topk_mg",
         "emb_knn", "q1_pricing", "q3_top_orders", "nation_revenue",
+        "q6_forecast", "q14_promo",
         "q5_region_supplier", "events_hourly", "events_topk_users",
         "events_sessionize", "events_rolling", "events_asof",
         "events_hopping", "events_cumsum", "events_pivot_hourly",
