@@ -235,6 +235,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def media_features(sf_dir: str):
         return webops.media_features()
 
+    def crawl_host_pagerank(sf_dir: str):
+        _, path = _corpus_for(sf_dir)
+        return webops.host_pagerank(path)
+
     return {
         # --- documents: text ops (SQL-oracled) ---
         "docs_lang_filter": lambda d: text.lang_filter(d, "en"),
@@ -324,6 +328,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_nav_scores": crawl_nav_scores,
         "images_analysis": images_analysis,
         "media_features": media_features,
+        # iterative graph analytics over the host link graph (rows-only;
+        # numpy power-iteration parity asserted in tests)
+        "crawl_host_pagerank": crawl_host_pagerank,
     }
 
 

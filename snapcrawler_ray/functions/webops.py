@@ -347,3 +347,115 @@ def media_features(n_rows: int = 120) -> pd.DataFrame:
         lambda b: b.drop_columns(["thumb"]), batch_format="pyarrow"
     ).to_pandas()
     return out.sort_values("media_id").reset_index(drop=True)
+
+
+# --------------------------------------------- host-graph PageRank
+
+def host_edges(corpus_dir: str) -> pd.DataFrame:
+    """(src_host, dst_host, weight) — the weighted host-level link
+    graph of the corpus (every http(s) ``<a href>``, cross-domain
+    included).  Per-batch parse + partial pair counts; the folded edge
+    list is O(hosts²) — the standard graph-summary artifact."""
+    from ..html.parser import parse_html
+    from ..urlnorm import host_of
+    from urllib.parse import urljoin
+
+    def f(batch: pa.Table) -> pa.Table:
+        pairs: dict[tuple[str, str], int] = {}
+        for u, h in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            src = host_of(u)
+            root = parse_html(h)
+            for a_tag in root.find_all("a", href=True):
+                href = a_tag.get("href")
+                if not href:
+                    continue
+                absolute = urljoin(u, href)
+                if not absolute.startswith(("http://", "https://")):
+                    continue
+                dst = host_of(absolute)
+                if dst:
+                    k = (src, dst)
+                    pairs[k] = pairs.get(k, 0) + 1
+        if not pairs:
+            return pa.table(
+                {"src_host": pa.array([], pa.string()),
+                 "dst_host": pa.array([], pa.string()),
+                 "weight": pa.array([], pa.int64())}
+            )
+        ks, vs = zip(*pairs.items())
+        return pa.table(
+            {
+                "src_host": pa.array([a for a, _ in ks], pa.string()),
+                "dst_host": pa.array([b for _, b in ks], pa.string()),
+                "weight": pa.array(vs, pa.int64()),
+            }
+        )
+
+    edges = (
+        _read_corpus(corpus_dir, ["url", "html"])
+        .map_batches(f, batch_format="pyarrow", batch_size=128)
+        .to_pandas()
+        .groupby(["src_host", "dst_host"], as_index=False)["weight"]
+        .sum()
+    )
+    return edges.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+
+
+def host_pagerank(
+    corpus_dir: str, n_iter: int = 20, damping: float = 0.85
+) -> pd.DataFrame:
+    """host, rank — weighted PageRank over the host link graph (the
+    iterative graph-analytics shape: edge Dataset × per-iteration
+    broadcast rank vector, partial destination sums folded on the
+    driver — driver state is O(hosts), never the edge list; same
+    topology as the k-means loop).  Dangling mass redistributes
+    uniformly; deterministic (no randomness, fixed iteration count);
+    tests assert parity with a single-process numpy power iteration
+    and that ranks sum to 1."""
+    edges_pd = host_edges(corpus_dir)
+    hosts = np.unique(
+        np.concatenate([edges_pd["src_host"].to_numpy(),
+                        edges_pd["dst_host"].to_numpy()])
+    )
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    if n == 0:
+        return pd.DataFrame({"host": [], "rank": []})
+    edges_pd = edges_pd.assign(
+        src=edges_pd["src_host"].map(idx).astype(np.int64),
+        dst=edges_pd["dst_host"].map(idx).astype(np.int64),
+    )
+    outw = np.zeros(n)
+    np.add.at(outw, edges_pd["src"].to_numpy(), edges_pd["weight"].to_numpy())
+    edges = ray.data.from_pandas(
+        edges_pd[["src", "dst", "weight"]]
+    ).repartition(4)
+
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        ref = ray.put(r)
+
+        def partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            rv = ray.get(_ref)
+            contrib = (
+                rv[df["src"].to_numpy()]
+                * df["weight"].to_numpy()
+                / outw[df["src"].to_numpy()]
+            )
+            sums = np.zeros(n)
+            np.add.at(sums, df["dst"].to_numpy(), contrib)
+            out = pd.DataFrame({"i": np.arange(n), "s": sums})
+            return out[out["s"] > 0]
+
+        parts = edges.map_batches(partial, batch_format="pandas").to_pandas()
+        inflow = np.zeros(n)
+        if len(parts):
+            np.add.at(inflow, parts["i"].to_numpy(np.int64),
+                      parts["s"].to_numpy())
+        dangling = r[outw == 0].sum()
+        r = (1 - damping) / n + damping * (inflow + dangling / n)
+
+    out = pd.DataFrame({"host": hosts, "rank": np.round(r, 10)})
+    return out.sort_values("host").reset_index(drop=True)

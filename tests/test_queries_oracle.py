@@ -122,7 +122,7 @@ def test_crawl_aggregate_sql_oracles(contract, con):
      "docs_extended_images", "docs_api_harvest",
      "crawl_sitemap_frontier", "crawl_nav_scores", "media_features",
      "emb_knn_ivf", "events_approx_users", "events_approx_hourly_users",
-     "emb_kmeans"],
+     "emb_kmeans", "crawl_host_pagerank"],
 )
 def test_rows_only_queries_run(contract, name):
     qs, _ = contract
@@ -503,3 +503,36 @@ def test_hll_hourly_within_bound(contract, con):
     assert len(j) == len(exact)
     rel = (j["approx_distinct"] - j["n"]).abs() / j["n"].clip(lower=1)
     assert (rel < 0.07).all()
+
+
+def test_host_pagerank_matches_power_iteration(ray_session):
+    """Distributed PageRank == single-process numpy power iteration
+    from the same edge list; ranks sum to 1."""
+    import __ray_entry__ as e
+    from snapcrawler_ray.functions.webops import host_edges, host_pagerank
+
+    _, path = e._corpus_for(SF_DIR)
+    got = host_pagerank(path, n_iter=20)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+    edges = host_edges(path)
+    hosts = np.unique(np.concatenate(
+        [edges["src_host"].to_numpy(), edges["dst_host"].to_numpy()]))
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    W = np.zeros((n, n))
+    for r_ in edges.itertuples():
+        W[idx[r_.src_host], idx[r_.dst_host]] += r_.weight
+    outw = W.sum(1)
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(20):
+        contrib = np.zeros(n)
+        nz = outw > 0
+        contrib += (W[nz] / outw[nz, None] * r[nz, None]).sum(0)
+        dangling = r[~nz].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    want = pd.DataFrame({"host": hosts, "rank": np.round(r, 10)})
+    want = want.sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_exact=False,
+                                  rtol=0, atol=1e-9)
