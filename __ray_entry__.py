@@ -239,6 +239,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, path = _corpus_for(sf_dir)
         return webops.host_pagerank(path)
 
+    def crawl_scale_visits(sf_dir: str):
+        """The SCALE-mode (Bloom shards, no replay) visit table — the
+        10^10-design path made driver-visible: rows-only, but its
+        determinism across invocations is the check (scale-mode
+        ordering is round-synchronous deterministic; exact-vs-scale
+        coverage parity is asserted in tests/test_crawl.py)."""
+        from snapcrawler_ray.config import CrawlConfig, CrawlLimits
+        from snapcrawler_ray.pipelines.crawl import CrawlEngine
+        from snapcrawler_ray.sources.corpus import seeds_for
+
+        key = "scale_" + str(_sf_of(sf_dir))
+        if key not in _CRAWL_CACHE:
+            spec, path = _corpus_for(sf_dir)
+            seeds = seeds_for(spec)
+            cfg = CrawlConfig(
+                start_urls=tuple(seeds), limits=CrawlLimits(max_depth=4)
+            )
+            eng = CrawlEngine(
+                path, seeds, cfg, n_buckets=spec.buckets, mode="scale"
+            )
+            try:
+                res = eng.run()
+                _CRAWL_CACHE[key] = res.visits
+            finally:
+                eng.shutdown()
+        return _CRAWL_CACHE[key]
+
     return {
         # --- documents: text ops (SQL-oracled) ---
         "docs_lang_filter": lambda d: text.lang_filter(d, "en"),
@@ -331,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph analytics over the host link graph (rows-only;
         # numpy power-iteration parity asserted in tests)
         "crawl_host_pagerank": crawl_host_pagerank,
+        "crawl_scale_visits": crawl_scale_visits,
     }
 
 

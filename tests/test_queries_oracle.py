@@ -122,7 +122,7 @@ def test_crawl_aggregate_sql_oracles(contract, con):
      "docs_extended_images", "docs_api_harvest",
      "crawl_sitemap_frontier", "crawl_nav_scores", "media_features",
      "emb_knn_ivf", "events_approx_users", "events_approx_hourly_users",
-     "emb_kmeans", "crawl_host_pagerank"],
+     "emb_kmeans", "crawl_host_pagerank", "crawl_scale_visits"],
 )
 def test_rows_only_queries_run(contract, name):
     qs, _ = contract
