@@ -114,7 +114,19 @@ def analyze_colors(px: np.ndarray) -> dict:
         px = np.stack([px] * 3, axis=-1)
     small = _resize_nn(px[..., :3], 100, 100)
     pixels = small.reshape(-1, 3)
-    unique_colors, counts = np.unique(pixels, axis=0, return_counts=True)
+    # pack (r,g,b) → uint32: packed order == lexicographic row order,
+    # so unique+counts match np.unique(axis=0) exactly without the
+    # structured-row sort
+    packed = (
+        (pixels[:, 0].astype(np.uint32) << 16)
+        | (pixels[:, 1].astype(np.uint32) << 8)
+        | pixels[:, 2].astype(np.uint32)
+    )
+    upacked, counts = np.unique(packed, return_counts=True)
+    unique_colors = np.stack(
+        [(upacked >> 16) & 0xFF, (upacked >> 8) & 0xFF, upacked & 0xFF],
+        axis=1,
+    ).astype(pixels.dtype)
     order = np.argsort(counts)[::-1]
     dominant = unique_colors[order]
     dominant_hex = [_rgb_to_hex(c) for c in dominant[:5]]
