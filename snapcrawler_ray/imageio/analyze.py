@@ -140,7 +140,14 @@ def classify_content_type(px: np.ndarray, width: int, height: int) -> str:
     if px.ndim == 2:
         px = np.stack([px] * 3, axis=-1)
     small = _resize_nn(px[..., :3], 50, 50)
-    unique_colors = len(np.unique(small.reshape(-1, 3), axis=0))
+    p50 = small.reshape(-1, 3)
+    unique_colors = len(
+        np.unique(
+            (p50[:, 0].astype(np.uint32) << 16)
+            | (p50[:, 1].astype(np.uint32) << 8)
+            | p50[:, 2].astype(np.uint32)
+        )
+    )
     color_diversity = unique_colors / (50 * 50)
     gray = _to_gray(small)
     edge_density = _edge_density(gray)
