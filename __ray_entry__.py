@@ -112,6 +112,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from snapcrawler_ray.functions import (
         dedup,
+        prep,
         relational,
         similarity,
         sketch,
@@ -299,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean_corpus": lambda d: dedup.clean_corpus_keep(d),
         "docs_decontaminate": lambda d: dedup.decontaminate(d),
         "docs_neardup_keep": lambda d: dedup.doc_neardup_keep(d),
+        "docs_training_corpus": prep.training_corpus,
         # --- embeddings ---
         "emb_knn": lambda d: similarity.knn_bruteforce(d, k=10, n_queries=5),
         "emb_knn_lsh": lambda d: similarity.knn_lsh(d, k=10, n_queries=5),
@@ -526,6 +528,51 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_ngram_jaccard": jaccard_pairs,
         "docs_minhash_pairs": jaccard_pairs,
+        "docs_training_corpus": (
+            # the flagship end-to-end chain, oracled as one WITH
+            # RECURSIVE pipeline: bench/lang/quality/decontamination/
+            # near-dup filters → md5 winner → window packing (same
+            # order as prep.training_corpus)
+            "WITH RECURSIVE "
+            "tkz AS (SELECT doc_id, "
+            r"regexp_split_to_array(trim(coalesce(text,'')), '\s+') AS tks "
+            "FROM documents), "
+            "sh8 AS (SELECT DISTINCT doc_id, "
+            "tks[g] || ' ' || tks[g+1] || ' ' || tks[g+2] || ' ' || tks[g+3] "
+            "|| ' ' || tks[g+4] || ' ' || tks[g+5] || ' ' || tks[g+6] "
+            "|| ' ' || tks[g+7] AS s "
+            "FROM tkz, unnest(generate_series(1, len(tks)-7)) AS u(g) "
+            "WHERE len(tks) >= 8 "
+            "UNION SELECT doc_id, array_to_string(tks, ' ') FROM tkz "
+            "WHERE len(tks) < 8), "
+            "bench AS (SELECT DISTINCT s FROM sh8 WHERE doc_id % 97 = 0), "
+            "cont AS (SELECT DISTINCT sh8.doc_id FROM sh8 "
+            "JOIN bench USING (s) WHERE sh8.doc_id % 97 <> 0), "
+            "p AS (SELECT doc_a AS va, doc_b AS vb FROM ("
+            + jaccard_pairs +
+            ")), edges AS ("
+            "SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p"
+            "), reach(node, other) AS ("
+            "SELECT a, b FROM edges "
+            "UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other"
+            "), drop_nd AS (SELECT node AS doc_id FROM reach "
+            "GROUP BY node HAVING least(node, min(other)) <> node), "
+            "flt AS (SELECT doc_id, source, md5(coalesce(text,'')) AS m, "
+            f"CAST(({n_tokens}) AS BIGINT) AS n_tok "
+            "FROM documents WHERE doc_id % 97 <> 0 AND lang = 'en' "
+            "AND round(0.5 * least(1.0, n_chars / 1000.0) "
+            f"+ 0.5 * least(1.0, ({n_tokens}) / 200.0), 4) >= 0.3 "
+            "AND doc_id NOT IN (SELECT doc_id FROM cont) "
+            "AND doc_id NOT IN (SELECT doc_id FROM drop_nd)), "
+            "win AS (SELECT m, min(doc_id) AS keeper FROM flt GROUP BY m), "
+            "s2 AS (SELECT flt.* FROM flt JOIN win ON flt.doc_id = win.keeper), "
+            "c AS (SELECT doc_id, source, n_tok, "
+            "coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb "
+            "FROM s2) "
+            "SELECT source, doc_id, n_tok AS n_tokens, "
+            "CAST(floor(cb / 512) AS BIGINT) AS window_id FROM c"
+        ),
         "docs_neardup_keep": (
             # connected components over the exact-Jaccard near-dup graph
             # (transitive closure; keep = component min doc_id)

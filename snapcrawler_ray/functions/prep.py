@@ -1,0 +1,158 @@
+"""The flagship end-to-end training-corpus prep pipeline.
+
+``training_corpus`` composes the suite's operators the way a real
+pretraining-data run would — language filter → quality floor →
+benchmark decontamination → exact dedup → near-dup drop → context-
+window packing — as ONE Ray pipeline with the scale-correct shape:
+
+  · one streaming corpus pass computes every per-doc predicate
+    (lang, quality, contamination probe against the broadcast
+    benchmark shingle-hash set) and the md5/token metadata;
+  · one md5-bucketed reduce picks the exact-dedup winner per content
+    hash (min doc_id among survivors);
+  · the near-dup drop set (component non-minima from the MinHash-LSH
+    pair graph — dedup-rate-sized, the standard driver artifact)
+    broadcasts and filters;
+  · one source-bucketed reduce assigns token-budget window ids.
+
+Two shuffles, two broadcasts, no O(corpus) driver state.  Fully
+SQL-expressible → the whole chain is oracled end-to-end in
+__ray_entry__ (one WITH RECURSIVE chain reusing the per-operator
+oracle fragments).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray
+
+from .agg import bucketed_combine
+from .dedup import _shingle_hashes, doc_neardup_keep
+from .io import read_table
+from .text import _WS
+
+
+def training_corpus(
+    sf_dir: str,
+    lang: str = "en",
+    min_quality: float = 0.3,
+    budget: int = 512,
+    bench_mod: int = 97,
+    k_shingle: int = 8,
+) -> pd.DataFrame:
+    """source, doc_id, n_tokens, window_id for every surviving doc."""
+    # --- broadcast artifact 1: benchmark shingle-hash set (pruned read
+    # of just the benchmark rows; O(|benchmark|) driver work)
+    def bench_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] % bench_mod == 0]
+        hs = [
+            _shingle_hashes(t or "", k_shingle)
+            for t in d["text"].fillna("")
+        ] or [np.empty(0, np.uint64)]
+        return pd.DataFrame({"h": np.unique(np.concatenate(hs))})
+
+    bench = np.unique(
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(bench_shingles, batch_format="pandas")
+        .to_pandas()["h"]
+        .to_numpy(np.uint64)
+    )
+    bench_ref = ray.put(bench)
+
+    # --- broadcast artifact 2: near-dup drop set (component non-minima)
+    ndk = doc_neardup_keep(sf_dir)
+    drop_nd = np.sort(
+        ndk.loc[ndk["doc_id"] != ndk["keep_id"], "doc_id"].to_numpy(np.int64)
+    )
+    drop_ref = ray.put(drop_nd)
+
+    # --- pass 1: all per-doc predicates + metadata in one scan
+    class Flags:
+        def __init__(self, bench_ref, drop_ref):
+            self.bench = ray.get(bench_ref)
+            self.drop = ray.get(drop_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[(df["doc_id"] % bench_mod != 0) & (df["lang"] == lang)]
+            if df.empty:
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "source": pd.Series([], dtype=object),
+                        "m": pd.Series([], dtype=object),
+                        "n_tokens": pd.Series([], dtype="int64"),
+                    }
+                )
+            t = df["text"].fillna("").str.strip()
+            n_tok = t.str.split(_WS).map(len).where(t != "", 0)
+            q = (
+                0.5 * np.minimum(1.0, df["n_chars"].astype("float64") / 1000.0)
+                + 0.5 * np.minimum(1.0, n_tok.astype("float64") / 200.0)
+            ).round(4)
+            keep = (q >= min_quality).to_numpy()
+            # decontamination probe (sorted-set membership, vectorized
+            # per doc over its unique shingles)
+            texts = df["text"].fillna("").to_numpy()
+            for i in np.flatnonzero(keep):
+                sh = np.unique(_shingle_hashes(texts[i], k_shingle))
+                pos = np.searchsorted(self.bench, sh)
+                pos[pos >= len(self.bench)] = 0
+                if len(self.bench) and bool((self.bench[pos] == sh).any()):
+                    keep[i] = False
+            # near-dup drop set
+            ids = df["doc_id"].to_numpy(np.int64)
+            if len(self.drop):
+                pos = np.searchsorted(self.drop, ids)
+                pos[pos >= len(self.drop)] = 0
+                keep &= ~(self.drop[pos] == ids)
+            d = df[keep]
+            tt = d["text"].fillna("")
+            return pd.DataFrame(
+                {
+                    "doc_id": d["doc_id"].to_numpy(np.int64),
+                    "source": d["source"].to_numpy(),
+                    "m": [
+                        hashlib.md5(x.encode("utf-8")).hexdigest() for x in tt
+                    ],
+                    "n_tokens": n_tok[keep].to_numpy(np.int64),
+                }
+            )
+
+    ds = read_table(
+        sf_dir, "documents", ["doc_id", "source", "text", "lang", "n_chars"]
+    ).map_batches(
+        Flags,
+        batch_format="pandas",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"bench_ref": bench_ref, "drop_ref": drop_ref},
+    )
+
+    # --- md5-bucketed exact-dedup winner (min doc_id per content hash)
+    def md5_winner(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["m", "doc_id"], kind="mergesort")
+        return d.groupby("m", as_index=False).head(1)
+
+    winners = bucketed_combine(ds, ["m"], md5_winner)
+
+    # --- source-bucketed window packing (exclusive running tokens // B)
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["source", "doc_id"], kind="mergesort")
+        n = d["n_tokens"].to_numpy(np.int64)
+        cum = np.cumsum(n)
+        src = d["source"].to_numpy()
+        first = np.concatenate([[True], src[1:] != src[:-1]])
+        base = np.maximum.accumulate(np.where(first, cum - n, 0))
+        cb = cum - n - base
+        return d.assign(window_id=(cb // budget).astype("int64"))[
+            ["source", "doc_id", "n_tokens", "window_id"]
+        ]
+
+    out = bucketed_combine(winners, ["source"], pack).to_pandas()
+    return (
+        out.sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "n_tokens": "int64", "window_id": "int64"})
+    )

@@ -88,6 +88,7 @@ def test_all_query_names_have_callables(contract):
         "emb_cluster_quality", "docs_stratified_sample",
         "docs_adaptive_quality", "docs_vocab_overlap", "docs_tfidf_terms",
         "docs_neardup_keep", "docs_pack_windows", "docs_weighted_sample",
+        "docs_training_corpus",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
