@@ -371,9 +371,10 @@ def oracle_sql() -> dict[str, str]:
     )
     # Exact word-3-shingle Jaccard pairs ≥ 0.6 (shared by the MinHash-LSH
     # and inverted-index pipelines: Jaccard over collision-free 64-bit
-    # shingle hashes == Jaccard over the string shingles, and at this
-    # threshold the 16-band/4-row LSH recall is 1.0 on near-identical
-    # dups — both verified value-equal to this SQL at sf0.01).  Docs with
+    # shingle hashes == Jaccard over the string shingles; the 32-band/
+    # 2-row LSH structure gives structural recall 1−(1−j²)^32 ≥
+    # 1−6.3e-7 at the 0.6 threshold on ANY corpus, candidates are then
+    # exact-Jaccard-verified).  Docs with
     # <3 tokens contribute their whole text as the single shingle, as in
     # dedup._shingle_hashes.
     jaccard_pairs = (

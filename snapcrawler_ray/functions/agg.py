@@ -36,11 +36,29 @@ def bucketed_combine(
     (keys never straddle buckets) and typically runs a pandas groupby
     over ``key_cols``.  It must not depend on which other keys share
     the bucket.
+
+    Key-dtype stability: ``hash_pandas_object`` hashes by dtype, so a
+    key that arrived as int32 in one batch and int64 in another would
+    straddle buckets.  ``add_bucket`` therefore normalizes key columns
+    to canonical dtypes (int64 / uint64 / float64; categorical →
+    object) before hashing.  Signed-vs-unsigned of the same logical
+    value still hashes differently — callers must not mix int64 and
+    uint64 representations of one key column across batches.
     """
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
         df = df.copy()
+        for c in key_cols:
+            dt = df[c].dtype
+            if isinstance(dt, pd.CategoricalDtype):
+                df[c] = df[c].astype(object)
+            elif dt.kind == "i" and dt != np.dtype(np.int64):
+                df[c] = df[c].astype(np.int64)
+            elif dt.kind == "u" and dt != np.dtype(np.uint64):
+                df[c] = df[c].astype(np.uint64)
+            elif dt.kind == "f" and dt != np.dtype(np.float64):
+                df[c] = df[c].astype(np.float64)
+        h = pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
         df["_bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
         return df
 

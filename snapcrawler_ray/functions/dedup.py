@@ -182,14 +182,22 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 def minhash_lsh_pairs(
     sf_dir: str,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     threshold: float = 0.6,
 ) -> pd.DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, jaccard ≥ threshold).
 
     shingle → minhash (actor pool) → band-bucket explode → groupby
     bucket (the shuffle: tiny band-hash keys, not text) → candidate
-    pairs → exact-Jaccard verify on the candidates only."""
+    pairs → exact-Jaccard verify on the candidates only.
+
+    Band structure 32×2 (not 16×4) makes recall at the default 0.6
+    threshold structural, not corpus-dependent: a pair at jaccard j
+    collides in some band with prob 1−(1−j²)^32 — ≥ 1−6.3e-7 at
+    j=0.6 and ≥ 0.9997 at j=0.45, vs only ~89% at j=0.6 under 16×4.
+    The extra false-positive candidates this admits are killed by the
+    exact-Jaccard verify, so the output contract (= the all-pairs SQL
+    oracle) holds on any corpus, not just near-identical dups."""
     rows_per_band = num_perm // bands
     from .io import read_table
 
@@ -236,7 +244,12 @@ def minhash_lsh_pairs(
         keep = vc[vc >= 2].index
         d = df[df["bucket"].isin(keep)][["doc_id", "bucket"]]
         if d.empty:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                }
+            )
         m = d.merge(d, on="bucket")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         return m.rename(
@@ -244,21 +257,24 @@ def minhash_lsh_pairs(
         )[["doc_a", "doc_b"]].drop_duplicates()
 
     # candidate pairs per partition; the same pair can emerge from bands
-    # landing in different partitions — deduped on the verified
-    # (result-sized) list at the end instead of paying a second
-    # all-to-all here (verify is idempotent, so duplicate candidates
-    # only cost a few redundant jaccard evaluations)
+    # landing in different partitions — the DISTINCT over the raw
+    # candidate list (which includes LSH false positives and can blow
+    # past the verified result set under band-key skew) runs as a
+    # hash-bucketed distributed reduce; only the deduplicated pair list
+    # (dedup-rate-sized, the standard driver artifact) reaches the
+    # driver.
     # exact-Jaccard verify WITHOUT materializing the corpus on the
-    # driver: broadcast the candidate doc-id set (dedup-rate-sized, the
-    # standard driver artifact), stream-filter the documents table down
-    # to candidate docs only (the one unavoidable corpus pass — no
-    # shuffle), then hash-join pair sides against that SMALL text set.
-    cand_pd = (
-        buckets.groupby("part")
-        .map_groups(part_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    # driver: broadcast the candidate doc-id set, stream-filter the
+    # documents table down to candidate docs only (the one unavoidable
+    # corpus pass — no shuffle), then hash-join pair sides against that
+    # SMALL text set.
+    from .agg import bucketed_combine
+
+    cand_pd = bucketed_combine(
+        buckets.groupby("part").map_groups(part_pairs, batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(),
+    ).to_pandas()
     if cand_pd.empty:
         return _empty_pairs()
     ids = np.unique(
@@ -514,10 +530,12 @@ def clean_corpus_keep(
             )
         t = df["text"].fillna("").str.strip()
         n_tokens = t.str.split(ws).map(len).where(t != "", 0).astype("float64")
-        q = (
+        from .text import round4_half_away
+
+        q = round4_half_away(
             0.5 * np.minimum(1.0, df["n_chars"].astype("float64") / 1000.0)
             + 0.5 * np.minimum(1.0, n_tokens / 200.0)
-        ).round(4)
+        )
         keep = df[q >= min_quality]
         return pd.DataFrame(
             {
@@ -584,6 +602,7 @@ def connected_components_distributed(
         pd.DataFrame({"node": nodes, "label": nodes})
     ).repartition(n_blocks).materialize()
     prev_sum = int(nodes.astype(object).sum())
+    converged = False
     for _ in range(max_iters):
         msgs = edges.join(
             labels, join_type="inner", num_partitions=n_blocks,
@@ -607,8 +626,18 @@ def connected_components_distributed(
             ).to_pandas()["s"].sum()
         )
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # min-label propagation needs O(component diameter) rounds; a
+        # chain-like component with diameter > max_iters would otherwise
+        # silently return labels that are NOT the component minimum
+        raise RuntimeError(
+            f"connected_components_distributed did not converge in "
+            f"{max_iters} rounds (component diameter exceeds max_iters); "
+            "raise max_iters"
+        )
     out = labels.to_pandas().astype({"node": "int64", "label": "int64"})
     return out.sort_values("node").reset_index(drop=True)
 

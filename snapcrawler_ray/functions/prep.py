@@ -88,11 +88,13 @@ def training_corpus(
                 )
             t = df["text"].fillna("").str.strip()
             n_tok = t.str.split(_WS).map(len).where(t != "", 0)
-            q = (
+            from .text import round4_half_away
+
+            q = round4_half_away(
                 0.5 * np.minimum(1.0, df["n_chars"].astype("float64") / 1000.0)
                 + 0.5 * np.minimum(1.0, n_tok.astype("float64") / 200.0)
-            ).round(4)
-            keep = (q >= min_quality).to_numpy()
+            )
+            keep = np.asarray(q >= min_quality)
             # decontamination probe (sorted-set membership, vectorized
             # per doc over its unique shingles)
             texts = df["text"].fillna("").to_numpy()

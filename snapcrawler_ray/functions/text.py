@@ -57,6 +57,14 @@ def token_counts(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+def round4_half_away(x) -> np.ndarray:
+    """Round to 4 decimals, ties away from zero — DuckDB ``round(x, 4)``
+    semantics (numpy/pandas ``round`` is half-to-even; a quality value
+    landing exactly on a .00005 tie would diverge from the SQL oracles
+    otherwise).  Shared by every quality kernel."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 10000.0 + 0.5) / 10000.0
+
+
 def quality_scores(sf_dir: str) -> "ray.data.Dataset":
     """doc_id, quality — deterministic length/token quality score."""
 
@@ -67,7 +75,9 @@ def quality_scores(sf_dir: str) -> "ray.data.Dataset":
         q = 0.5 * np.minimum(1.0, n_chars / 1000.0) + 0.5 * np.minimum(
             1.0, n_tokens / 200.0
         )
-        return pd.DataFrame({"doc_id": df["doc_id"], "quality": q.round(4)})
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "quality": round4_half_away(q)}
+        )
 
     return _docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
         f, batch_format="pandas"
