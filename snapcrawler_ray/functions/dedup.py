@@ -447,9 +447,26 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------- SimHash
 
+def _md5_u64(tokens: np.ndarray) -> np.ndarray:
+    """uint64 token hash = first 8 bytes of md5, big-endian — exactly
+    DuckDB's ``CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT)``,
+    which makes the SimHash SQL-oracle-able.  Hash once per *unique*
+    token in the batch (np.unique + inverse scatter)."""
+    uniq, inv = np.unique(tokens, return_inverse=True)
+    vals = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return vals[inv]
+
+
 def _simhash_batch(texts: pd.Series) -> np.ndarray:
-    """Vectorized 64-bit SimHash for a whole batch: one
-    ``pd.util.hash_array`` over the flattened tokens, bit-unpack to a
+    """Vectorized 64-bit SimHash for a whole batch: md5-derived token
+    hashes (SQL-expressible — see :func:`_md5_u64`), bit-unpack to a
     (n_tokens, 64) ±1 matrix, segment-sum per doc with
     ``np.add.reduceat``, sign → packed uint64.  Empty docs hash to 0."""
     import itertools
@@ -468,7 +485,7 @@ def _simhash_batch(texts: pd.Series) -> np.ndarray:
     flat = np.asarray(
         list(itertools.chain.from_iterable(toks)), dtype=object
     )
-    th = pd.util.hash_array(flat)  # uint64 per token
+    th = _md5_u64(flat)  # uint64 per token
     # (n_tokens, 64) bit matrix → ±1 contributions
     bits = np.unpackbits(
         th.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1
@@ -490,9 +507,16 @@ def simhash64(text: str) -> int:
 
 
 def simhashes(sf_dir: str) -> "ray.data.Dataset":
+    """doc_id, simhash — 64-bit SimHash emitted as the int64 two's-
+    complement view, matching the DuckDB oracle's
+    ``CAST(v - CASE WHEN v >= 2^63 THEN 2^64 ELSE 0 END AS BIGINT)``."""
+
     def f(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"doc_id": df["doc_id"], "simhash": _simhash_batch(df["text"])}
+            {
+                "doc_id": df["doc_id"],
+                "simhash": _simhash_batch(df["text"]).view(np.int64),
+            }
         )
 
     from .io import read_table
@@ -807,6 +831,119 @@ def embedding_near_dup_pairs(
         out.drop_duplicates(subset=["vec_a", "vec_b"])
         .sort_values(["vec_a", "vec_b"])
         .reset_index(drop=True)
+    )
+
+
+def embedding_near_dup_pairs_exact(
+    sf_dir: str, threshold: float = 0.4
+) -> pd.DataFrame:
+    """(vec_a < vec_b, cosine) — EXACT all-pairs cosine ≥ threshold.
+
+    The guaranteed-recall complement of
+    :func:`embedding_near_dup_pairs`: single-probe hyperplane LSH only
+    verifies same-bucket pairs, and at moderate thresholds the bucket
+    collision probability collapses ((1−θ/π)^12 ≈ 0.004 at cos 0.4), so
+    the bucketed path is a high-threshold near-dup tool only.  Here the
+    normalized matrix is broadcast once (``ray.put``, O(n·dim) — the
+    same artifact class as the kNN query matrix) and every streamed
+    batch emits its rows' qualifying pairs against it; ``vec_a < vec_b``
+    is taken from the batch side so each unordered pair appears exactly
+    once.  The O(n²) similarity work distributes across batches; at
+    corpus scale the identical kernel runs per IVF-cell block pair
+    instead of one full cross product."""
+    from .io import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)
+    all_pd = ds.to_pandas()
+    ids_all = all_pd["vec_id"].to_numpy(np.int64)
+    m_all = np.stack(all_pd["embedding"].to_numpy()).astype(np.float64)
+    m_all = m_all / np.clip(
+        np.linalg.norm(m_all, axis=1, keepdims=True), 1e-12, None
+    )
+    ref = ray.put((ids_all, m_all))
+
+    class Sweep:
+        def __init__(self, ref, t):
+            self.ids, self.m = ray.get(ref)
+            self.t = t
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["vec_id"].to_numpy(np.int64)
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+            sims = m @ self.m.T
+            bi, oj = np.nonzero(sims >= self.t)
+            a, b, s = ids[bi], self.ids[oj], sims[bi, oj]
+            keep = a < b
+            from .text import round4_half_away
+
+            return pd.DataFrame(
+                {
+                    "vec_a": a[keep],
+                    "vec_b": b[keep],
+                    "cosine": round4_half_away(s[keep]),
+                }
+            )
+
+    out = ds.map_batches(
+        Sweep,
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"ref": ref, "t": threshold},
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+    return (
+        out.astype({"vec_a": "int64", "vec_b": "int64"})
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+
+
+def _unionfind_keep(pairs: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Union-find keep-list over an edge list (columns vec_a/vec_b):
+    (id_col, keep_id = component min).  Runs on the pair list — the
+    result set of a distributed pipeline, not the corpus."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = sorted(
+        {int(v) for col in ("vec_a", "vec_b") for v in pairs[col]}
+    )
+    return pd.DataFrame(
+        {
+            id_col: pd.Series(rows, dtype="int64"),
+            "keep_id": pd.Series([find(v) for v in rows], dtype="int64"),
+        }
+    )
+
+
+def embedding_dedup_keep_exact(
+    sf_dir: str, threshold: float = 0.4
+) -> pd.DataFrame:
+    """Keep/drop list over the EXACT near-dup graph
+    (:func:`embedding_near_dup_pairs_exact`): connected components,
+    keep = min vec_id — the moderate-threshold twin of
+    :func:`embedding_dedup_keep`."""
+    return _unionfind_keep(
+        embedding_near_dup_pairs_exact(sf_dir, threshold=threshold), "vec_id"
     )
 
 

@@ -277,6 +277,34 @@ def knn_ivf(
     )
 
 
+def knn_recall_check(
+    sf_dir: str,
+    variant: str = "lsh",
+    k: int = 10,
+    n_queries: int = 5,
+    bound: float = 0.5,
+) -> pd.DataFrame:
+    """query_id, recall_ok — the machine-checked recall floor for the
+    approximate kNN paths, in a SQL-oracle-able shape: the engine runs
+    BOTH the exact broadcast-matmul top-k and the approximate variant,
+    computes per-query recall = |approx ∩ exact| / k, and emits whether
+    it meets ``bound``; the DuckDB oracle states the contract
+    (``recall_ok = true`` per query), so a recall collapse becomes a
+    driver-red value mismatch instead of an untested claim.  Both paths
+    are deterministic (fixed seeds), so the bound is stable, not flaky."""
+    exact = knn_bruteforce(sf_dir, k=k, n_queries=n_queries)
+    fn = knn_lsh if variant == "lsh" else knn_ivf
+    approx = fn(sf_dir, k=k, n_queries=n_queries)
+    rows = []
+    for qid, e in exact.groupby("query_id", sort=True):
+        es = set(e["vec_id"])
+        a = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+        rows.append((int(qid), len(es & a) / max(1, len(es)) >= bound))
+    return pd.DataFrame(rows, columns=["query_id", "recall_ok"]).astype(
+        {"query_id": "int64", "recall_ok": "bool"}
+    )
+
+
 def cluster_counts(sf_dir: str, k: int = 8) -> pd.DataFrame:
     """cluster_id, n_vecs — nearest-centroid assignment counts.
 

@@ -89,6 +89,93 @@ def approx_hourly_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
     return est.sort_values("hour").reset_index(drop=True)
 
 
+def _exact_distinct_users(
+    sf_dir: str, key: str = "event_type"
+) -> pd.DataFrame:
+    """(key, n) exact distinct-user counts, fully distributed: per-batch
+    DISTINCT (key, user) partials, one hash-bucketed reduce keyed on the
+    pair (each pair lands in exactly one bucket, so per-bucket counts
+    are partials over disjoint user sets), driver folds O(keys×buckets)
+    count rows."""
+    from .agg import bucketed_combine
+    from .io import read_table
+
+    cols = ["ts", "user_id"] if key == "hour" else [key, "user_id"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if key == "hour":
+            df = pd.DataFrame(
+                {"hour": df["ts"].dt.floor("h"), "user_id": df["user_id"]}
+            )
+        return df[[key, "user_id"]].drop_duplicates()
+
+    ds = read_table(sf_dir, "events", cols).map_batches(
+        partial, batch_format="pandas"
+    )
+    out = (
+        bucketed_combine(
+            ds,
+            [key, "user_id"],
+            lambda df: df.drop_duplicates().groupby(key, as_index=False).agg(
+                n=("user_id", "size")
+            ),
+        )
+        .to_pandas()
+        .groupby(key, as_index=False)["n"]
+        .sum()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def approx_users_check(
+    sf_dir: str, p: int = 12, tol_rel: float = 0.05, tol_abs: int = 3
+) -> pd.DataFrame:
+    """event_type, exact_users, within_tol — the machine-checked HLL
+    error bound: the engine computes the HLL estimate AND the exact
+    distributed distinct count, and emits whether
+    |approx − exact| ≤ max(tol_abs, ⌈tol_rel·exact⌉).  The DuckDB
+    oracle recomputes exact_users and states ``within_tol = true``, so
+    both the distributed exact-distinct reduce and the sketch's error
+    envelope are driver-verified values, not just tested claims."""
+    est = approx_distinct_users(sf_dir, p)
+    exact = _exact_distinct_users(sf_dir, "event_type")
+    j = exact.merge(est, on="event_type")
+    ok = (j["approx_distinct"] - j["n"]).abs() <= np.maximum(
+        tol_abs, np.ceil(tol_rel * j["n"])
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": j["event_type"],
+            "exact_users": j["n"].astype("int64"),
+            "within_tol": ok.astype(bool),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def approx_hourly_users_check(
+    sf_dir: str, p: int = 12, tol_rel: float = 0.05, tol_abs: int = 3
+) -> pd.DataFrame:
+    """hour, exact_users, within_tol — hourly twin of
+    :func:`approx_users_check` (time-windowed sketch vs the exact
+    windowed distinct)."""
+    est = approx_hourly_users(sf_dir, p)
+    exact = _exact_distinct_users(sf_dir, "hour")
+    j = exact.merge(est, on="hour")
+    ok = (j["approx_distinct"] - j["n"]).abs() <= np.maximum(
+        tol_abs, np.ceil(tol_rel * j["n"])
+    )
+    out = pd.DataFrame(
+        {
+            "hour": j["hour"],
+            "exact_users": j["n"].astype("int64"),
+            "within_tol": ok.astype(bool),
+        }
+    )
+    return out.sort_values("hour").reset_index(drop=True)
+
+
 def approx_distinct_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
     """event_type, approx_distinct — HLL-approximate distinct users per
     event type.  Per-batch register partials (≤ types × 2^p tiny int

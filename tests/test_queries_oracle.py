@@ -89,6 +89,9 @@ def test_all_query_names_have_callables(contract):
         "docs_adaptive_quality", "docs_vocab_overlap", "docs_tfidf_terms",
         "docs_neardup_keep", "docs_pack_windows", "docs_weighted_sample",
         "docs_training_corpus",
+        "docs_simhash", "emb_near_dup_exact", "emb_dedup_keep_exact",
+        "emb_knn_lsh_recall", "emb_knn_ivf_recall",
+        "events_approx_users_check", "events_approx_hourly_check",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
@@ -119,7 +122,7 @@ def test_crawl_aggregate_sql_oracles(contract, con):
 
 @pytest.mark.parametrize(
     "name",
-    ["docs_fingerprints", "docs_simhash", "emb_knn_lsh",
+    ["docs_fingerprints", "emb_knn_lsh",
      "docs_extended_images", "docs_api_harvest",
      "crawl_sitemap_frontier", "crawl_nav_scores", "media_features",
      "emb_knn_ivf", "events_approx_users", "events_approx_hourly_users",
