@@ -118,6 +118,7 @@ def main(argv: list[str] | None = None) -> int:
                 res.emissions, cfg.images,
                 out_dir=os.path.join(args.out, "accepted"),
                 max_images=cfg.limits.max_images,
+                max_bytes=int(cfg.limits.max_folder_size_mb * 2**20),
             )
             import pyarrow.compute as pc
 

@@ -27,3 +27,10 @@ def read_table(sf_dir: str, name: str, columns: list[str],
     return ray.data.read_parquet(
         path, columns=columns, override_num_blocks=n_blocks
     )
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count from the Parquet footer — no scan.  Used to pick join
+    topology (broadcast vs partitioned hash join) without executing the
+    dimension pipeline just to size it."""
+    return pq.read_metadata(f"{sf_dir}/{name}.parquet").num_rows

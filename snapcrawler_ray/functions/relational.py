@@ -103,21 +103,77 @@ class BroadcastFilterJoin:
         return df.merge(_bc_get(self.ref), how="inner", on=self.key)
 
 
+# Broadcast-side budget: a dimension above this row count is too big to
+# ``ray.put`` into every worker's heap (TPC-H customer/supplier grow
+# linearly with sf — at 100-TB scale the broadcast would be GBs per
+# worker), so the join falls back to a partitioned hash join.
+BROADCAST_ROW_LIMIT = 1_000_000
+
+
+def _dim_join(
+    fact: "ray.data.Dataset",
+    dim: "ray.data.Dataset",
+    key: str,
+    dim_rows: int,
+    max_broadcast_rows: int | None = None,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Inner-join fact⋈dim choosing topology by DIMENSION SIZE.
+
+    Under the limit: collect the dim once, ``ray.put`` it, and merge per
+    fact batch — zero row-level shuffle.  Over the limit: partitioned
+    ``Dataset.join`` (both sides hash-shuffled on the key) — the dim is
+    never materialized on the driver.  ``dim_rows`` is the BASE-table
+    footer row count (an upper bound on the filtered dim), so choosing
+    the topology costs no extra execution of the dim pipeline."""
+    limit = (
+        BROADCAST_ROW_LIMIT if max_broadcast_rows is None else max_broadcast_rows
+    )
+    if dim_rows <= limit:
+        ref = ray.put(dim.to_pandas())
+        return fact.map_batches(
+            BroadcastFilterJoin(ref, key), batch_format="pandas"
+        )
+    return fact.join(
+        dim,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(key,),
+        right_on=(key,),
+    )
+
+
 def _revenue_units(df: pd.DataFrame) -> pd.Series:
     return _cents(df["l_extendedprice"]) * (100 - _cents(df["l_discount"]))
 
 
-def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.DataFrame:
+def q3_top_orders(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    k: int = 10,
+    max_broadcast_rows: int | None = None,
+) -> pd.DataFrame:
     """Revenue per order for one market segment → deterministic top-k
-    (revenue desc, orderkey asc).  customer broadcast ⋈ orders, then
-    lineitem ⋈ orders hash join (Dataset.join)."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    cust = cust[cust["c_mktsegment"] == segment][["c_custkey"]]
-    cust_ref = ray.put(cust.rename(columns={"c_custkey": "o_custkey"}))
+    (revenue desc, orderkey asc).  customer ⋈ orders via
+    :func:`_dim_join` (broadcast under the size limit, partitioned hash
+    join above it — customer scales with sf), then lineitem ⋈ orders
+    hash join (Dataset.join)."""
+    from .io import table_rows
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        BroadcastFilterJoin(cust_ref, "o_custkey"),
-        batch_format="pandas",
+    def seg_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["c_mktsegment"] == segment, ["c_custkey"]].rename(
+            columns={"c_custkey": "o_custkey"}
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        seg_keys, batch_format="pandas"
+    )
+    orders = _dim_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust,
+        "o_custkey",
+        table_rows(sf_dir, "customer"),
+        max_broadcast_rows,
     )
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     joined = line.join(
@@ -159,18 +215,36 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.Dat
     ].reset_index(drop=True)
 
 
-def nation_revenue(sf_dir: str) -> pd.DataFrame:
-    """Revenue by customer nation: broadcast dims + fact⋈fact join."""
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust.merge(
-        nation, how="inner", left_on="c_nationkey", right_on="n_nationkey"
-    )[["c_custkey", "n_name"]]
-    cust_ref = ray.put(cust.rename(columns={"c_custkey": "o_custkey"}))
+def nation_revenue(
+    sf_dir: str, max_broadcast_rows: int | None = None
+) -> pd.DataFrame:
+    """Revenue by customer nation.  nation is constant-size (25 rows in
+    TPC-H) so it always broadcasts INTO the streaming customer scan;
+    customer scales with sf, so customer ⋈ orders goes through
+    :func:`_dim_join` (broadcast under the limit, partitioned hash join
+    above it)."""
+    from .io import table_rows
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        BroadcastFilterJoin(cust_ref, "o_custkey"),
-        batch_format="pandas",
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat_ref = ray.put(nation.rename(columns={"n_nationkey": "c_nationkey"}))
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"c_custkey": "o_custkey"})[
+            ["o_custkey", "n_name"]
+        ]
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(BroadcastFilterJoin(nat_ref, "c_nationkey"),
+                     batch_format="pandas")
+        .map_batches(project, batch_format="pandas")
+    )
+    orders = _dim_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust,
+        "o_custkey",
+        table_rows(sf_dir, "customer"),
+        max_broadcast_rows,
     )
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     joined = line.join(
@@ -192,12 +266,20 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
     return agg[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
 
 
-def q5_region_supplier_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
+def q5_region_supplier_revenue(
+    sf_dir: str,
+    region: str = "ASIA",
+    max_broadcast_rows: int | None = None,
+) -> pd.DataFrame:
     """TPC-H Q5-shaped: revenue per nation within one region where the
-    supplier and the customer share the nation (local supply).  All
-    three dimension sides (region→nation, customer, supplier) broadcast
-    via ``ray.put``; the only row-level shuffle is the orders⋈lineitem
-    hash join."""
+    supplier and the customer share the nation (local supply).
+    region→nation is constant-size (25 rows) and always broadcasts into
+    the streaming customer/supplier scans; the two sf-scaled dims
+    (customer, supplier) join their facts via :func:`_dim_join`
+    (broadcast under the size limit, partitioned hash join above it);
+    the remaining row-level shuffle is the orders⋈lineitem hash join."""
+    from .io import table_rows
+
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     nat = nation.merge(
@@ -205,28 +287,52 @@ def q5_region_supplier_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFram
         left_on="n_regionkey", right_on="r_regionkey",
     )[["n_nationkey", "n_name"]]
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust.merge(
-        nat, how="inner", left_on="c_nationkey", right_on="n_nationkey"
-    )[["c_custkey", "c_nationkey"]]
-    cust_ref = ray.put(cust.rename(columns={"c_custkey": "o_custkey"}))
-
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    supp = supp.merge(
-        nat, how="inner", left_on="s_nationkey", right_on="n_nationkey"
-    )[["s_suppkey", "s_nationkey", "n_name"]]
-    supp_ref = ray.put(supp.rename(columns={"s_suppkey": "l_suppkey"}))
-
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        BroadcastFilterJoin(cust_ref, "o_custkey"),
-        batch_format="pandas",
+    cnat_ref = ray.put(
+        nat.rename(columns={"n_nationkey": "c_nationkey"})[["c_nationkey"]]
     )
-    line = _read(
-        sf_dir, "lineitem",
-        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(
-        BroadcastFilterJoin(supp_ref, "l_suppkey"),
-        batch_format="pandas",
+
+    def cust_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"c_custkey": "o_custkey"})[
+            ["o_custkey", "c_nationkey"]
+        ]
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(BroadcastFilterJoin(cnat_ref, "c_nationkey"),
+                     batch_format="pandas")
+        .map_batches(cust_proj, batch_format="pandas")
+    )
+
+    snat_ref = ray.put(nat.rename(columns={"n_nationkey": "s_nationkey"}))
+
+    def supp_proj(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"s_suppkey": "l_suppkey"})[
+            ["l_suppkey", "s_nationkey", "n_name"]
+        ]
+
+    supp = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(BroadcastFilterJoin(snat_ref, "s_nationkey"),
+                     batch_format="pandas")
+        .map_batches(supp_proj, batch_format="pandas")
+    )
+
+    orders = _dim_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust,
+        "o_custkey",
+        table_rows(sf_dir, "customer"),
+        max_broadcast_rows,
+    )
+    line = _dim_join(
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        supp,
+        "l_suppkey",
+        table_rows(sf_dir, "supplier"),
+        max_broadcast_rows,
     )
     joined = line.join(
         orders,

@@ -393,13 +393,21 @@ def host_edges(corpus_dir: str) -> pd.DataFrame:
             }
         )
 
-    edges = (
-        _read_corpus(corpus_dir, ["url", "html"])
-        .map_batches(f, batch_format="pyarrow", batch_size=128)
-        .to_pandas()
-        .groupby(["src_host", "dst_host"], as_index=False)["weight"]
-        .sum()
-    )
+    from .agg import bucketed_combine
+
+    # the edge fold runs as a hash-bucketed distributed reduce on
+    # (src_host, dst_host) — each host pair lands in exactly one bucket,
+    # so per-bucket sums are final and the driver only concatenates the
+    # already-reduced O(hosts²)-bounded edge list
+    edges = bucketed_combine(
+        _read_corpus(corpus_dir, ["url", "html"]).map_batches(
+            f, batch_format="pyarrow", batch_size=128
+        ),
+        ["src_host", "dst_host"],
+        lambda df: df.groupby(["src_host", "dst_host"], as_index=False)[
+            "weight"
+        ].sum(),
+    ).to_pandas()
     return edges.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
 
 
@@ -435,19 +443,19 @@ def host_pagerank(
 
     r = np.full(n, 1.0 / n)
     for _ in range(n_iter):
-        ref = ray.put(r)
+        # rank vector AND out-weight vector travel via the object store
+        # (one ray.put per iteration, fetched once per task) — nothing
+        # O(hosts) is captured in the task closure
+        ref = ray.put((r, outw))
 
         def partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
-            rv = ray.get(_ref)
-            contrib = (
-                rv[df["src"].to_numpy()]
-                * df["weight"].to_numpy()
-                / outw[df["src"].to_numpy()]
-            )
-            sums = np.zeros(n)
-            np.add.at(sums, df["dst"].to_numpy(), contrib)
-            out = pd.DataFrame({"i": np.arange(n), "s": sums})
-            return out[out["s"] > 0]
+            rv, ow = ray.get(_ref)
+            src = df["src"].to_numpy()
+            contrib = rv[src] * df["weight"].to_numpy() / ow[src]
+            # SPARSE (dst, sum) partial: rows = distinct destinations in
+            # this batch, not a dense O(hosts) vector per batch
+            return pd.DataFrame({"i": df["dst"].to_numpy(), "s": contrib}) \
+                .groupby("i", as_index=False)["s"].sum()
 
         parts = edges.map_batches(partial, batch_format="pandas").to_pandas()
         inflow = np.zeros(n)

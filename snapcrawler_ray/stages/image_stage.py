@@ -32,6 +32,7 @@ class ImageFetchFilter:
         reasons, fmts, ws, hs, modes, aspects, phashes, regions = (
             [], [], [], [], [], [], [], [],
         )
+        sizes = []
         for url in urls:
             data, content_type = synth_image_bytes(url)
             if not content_type.startswith("image/"):
@@ -41,6 +42,7 @@ class ImageFetchFilter:
                      "watermark_regions": 0}
             else:
                 r = filter_image(url, data, self.cfg)
+            sizes.append(len(data))
             reasons.append(r["reason"])
             fmts.append(r["format"])
             ws.append(r["width"])
@@ -63,6 +65,9 @@ class ImageFetchFilter:
                 "aspect": pa.array(aspects, pa.float64()),
                 "phash": pa.array(np.asarray(phashes, dtype=np.uint64)),
                 "watermark_regions": pa.array(regions, pa.int32()),
+                # payload size feeds the max_folder_size_mb byte budget
+                # (reference filtering_module.py:121-129)
+                "size_bytes": pa.array(sizes, pa.int64()),
             }
         )
 

@@ -34,15 +34,49 @@ class SeenShard:
     def __init__(self, mode: str = "exact", bloom_capacity: int = 1_000_000,
                  bloom_bits_per_key: int = 12):
         self.mode = mode
-        self._sets: dict[str, set] = {}
+        # exact mode: per-namespace sorted uint64 base array + a small
+        # list of pending (unique, base-disjoint) delta arrays.  Lookups
+        # are searchsorted on the base + np.isin on the concatenated
+        # delta — no per-key Python loop; the delta merges into the base
+        # (one sort) when it outgrows max(64k, len(base)/4), so merge
+        # cost amortizes to O(log) sorts over the shard's lifetime.
+        self._exact: dict[str, dict] = {}
         self._blooms: dict[str, BloomFilter] = {}
         self._bloom_capacity = bloom_capacity
         self._bloom_bits = bloom_bits_per_key
 
-    def _ns_exact(self, ns: str) -> set:
-        if ns not in self._sets:
-            self._sets[ns] = set()
-        return self._sets[ns]
+    def _ns_exact(self, ns: str) -> dict:
+        st = self._exact.get(ns)
+        if st is None:
+            st = self._exact[ns] = {
+                "base": np.empty(0, dtype=np.uint64),
+                "pending": [],
+                "n_pending": 0,
+            }
+        return st
+
+    def _exact_contains(self, st: dict, keys: np.ndarray) -> np.ndarray:
+        base = st["base"]
+        seen = np.zeros(len(keys), dtype=bool)
+        if len(base):
+            pos = np.searchsorted(base, keys)
+            inb = pos < len(base)
+            seen[inb] = base[pos[inb]] == keys[inb]
+        if st["n_pending"]:
+            seen |= np.isin(keys, np.concatenate(st["pending"]))
+        return seen
+
+    def _exact_absorb(self, st: dict, new_keys: np.ndarray) -> None:
+        """``new_keys`` must be unique and disjoint from the state."""
+        if not len(new_keys):
+            return
+        st["pending"].append(new_keys)
+        st["n_pending"] += len(new_keys)
+        if st["n_pending"] > max(65536, len(st["base"]) >> 2):
+            st["base"] = np.sort(
+                np.concatenate([st["base"], *st["pending"]])
+            )
+            st["pending"], st["n_pending"] = [], 0
 
     def _ns_bloom(self, ns: str) -> BloomFilter:
         if ns not in self._blooms:
@@ -50,43 +84,51 @@ class SeenShard:
         return self._blooms[ns]
 
     def check_and_add(self, ns: str, keys: np.ndarray) -> np.ndarray:
-        """Boolean mask: True where the key was new (first presentation)."""
+        """Boolean mask: True where the key was new (first presentation).
+        In-batch duplicates follow first-wins: only the first occurrence
+        of a new key reports True."""
+        keys = np.asarray(keys, dtype=np.uint64)
         if self.mode == "bloom":
-            return self._ns_bloom(ns).check_and_add(np.asarray(keys, dtype=np.uint64))
-        s = self._ns_exact(ns)
-        out = np.empty(len(keys), dtype=bool)
-        for i, k in enumerate(keys):
-            k = int(k)
-            if k in s:
-                out[i] = False
-            else:
-                s.add(k)
-                out[i] = True
+            return self._ns_bloom(ns).check_and_add(keys)
+        st = self._ns_exact(ns)
+        uniq, first_idx = np.unique(keys, return_index=True)
+        new_u = ~self._exact_contains(st, uniq)
+        self._exact_absorb(st, uniq[new_u])
+        out = np.zeros(len(keys), dtype=bool)
+        out[first_idx[new_u]] = True
         return out
 
     def add(self, ns: str, keys: np.ndarray) -> int:
+        keys = np.asarray(keys, dtype=np.uint64)
         if self.mode == "bloom":
-            self._ns_bloom(ns).add(np.asarray(keys, dtype=np.uint64))
+            self._ns_bloom(ns).add(keys)
         else:
-            self._ns_exact(ns).update(int(k) for k in keys)
+            st = self._ns_exact(ns)
+            uniq = np.unique(keys)
+            self._exact_absorb(st, uniq[~self._exact_contains(st, uniq)])
         return len(keys)
 
     def contains(self, ns: str, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
         if self.mode == "bloom":
-            return self._ns_bloom(ns).contains(np.asarray(keys, dtype=np.uint64))
-        s = self._ns_exact(ns)
-        return np.fromiter((int(k) in s for k in keys), dtype=bool, count=len(keys))
+            return self._ns_bloom(ns).contains(keys)
+        return self._exact_contains(self._ns_exact(ns), keys)
 
     def count(self, ns: str) -> int:
         if self.mode == "bloom":
             return self._ns_bloom(ns).approx_count if ns in self._blooms else 0
-        return len(self._sets.get(ns, ()))
+        st = self._exact.get(ns)
+        return (len(st["base"]) + st["n_pending"]) if st else 0
 
     def dump(self) -> bytes:
         if self.mode == "bloom":
             payload = {ns: bf.dump() for ns, bf in self._blooms.items()}
         else:
-            payload = self._sets
+            payload = {
+                ns: np.sort(np.concatenate([st["base"], *st["pending"]]))
+                if st["n_pending"] else st["base"]
+                for ns, st in self._exact.items()
+            }
         return pickle.dumps({"mode": self.mode, "payload": payload})
 
     def load(self, blob: bytes) -> None:
@@ -95,7 +137,15 @@ class SeenShard:
         if self.mode == "bloom":
             self._blooms = {ns: BloomFilter.load(b) for ns, b in d["payload"].items()}
         else:
-            self._sets = d["payload"]
+            self._exact = {}
+            for ns, v in d["payload"].items():
+                if isinstance(v, set):  # pre-vectorization checkpoint
+                    v = np.sort(np.fromiter(v, dtype=np.uint64, count=len(v)))
+                self._exact[ns] = {
+                    "base": np.asarray(v, dtype=np.uint64),
+                    "pending": [],
+                    "n_pending": 0,
+                }
 
 
 class SeenFilterPool:

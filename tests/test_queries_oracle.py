@@ -106,6 +106,23 @@ def test_sql_oracle_match(contract, con, name):
                                   check_exact=False, rtol=0, atol=1e-9)
 
 
+def test_dim_join_partitioned_path_matches_broadcast(ray_session):
+    """The _dim_join topology switch: forcing the partitioned
+    ``Dataset.join`` path (max_broadcast_rows=0) must reproduce the
+    broadcast-path result exactly for every query joining an sf-scaled
+    dimension (customer/supplier grow with scale — SURVEY §2.5)."""
+    from snapcrawler_ray.functions import relational
+
+    for fn in (
+        relational.q3_top_orders,
+        relational.nation_revenue,
+        relational.q5_region_supplier_revenue,
+    ):
+        bc = fn(SF_DIR)
+        pj = fn(SF_DIR, max_broadcast_rows=0)
+        pd.testing.assert_frame_equal(bc, pj, check_dtype=False)
+
+
 def test_crawl_aggregate_sql_oracles(contract, con):
     """The crawl aggregates are SQL-oracled over the visits parquet the
     engine writes; the driver runs at sf0.01 — here we rewrite the
