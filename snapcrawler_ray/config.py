@@ -28,6 +28,14 @@ class ImageFilterConfig:
     aspect_ratio_min: float = 0.4
     aspect_ratio_max: float = 3.0
     orientation: str = "all"         # 'square' | 'vertical'/'portrait' | 'horizontal'/'landscape' | 'all'
+    # Which reference filter chain to reproduce (SURVEY §7.5 "test both
+    # where cheap").  "scrapy" (default — the engine's historical chain)
+    # = pipelines.py:109-255: orientation synonyms mapped, F9
+    # banner/logo aspect live after watermark; every config knob is
+    # live.  "parallel" = filtering_module.py:265-357 exactly:
+    # 'vertical'/'horizontal' orientation values match no branch (pass
+    # everything) and F9 is dead code (extreme-aspect images accepted).
+    chain_mode: str = "scrapy"       # 'scrapy' | 'parallel'
 
 
 @dataclass
@@ -111,6 +119,7 @@ class CrawlConfig:
                 min_side_size=img.get("min_side_size", 400),
                 color_mode=img.get("color_mode", "all"),
                 allow_logos_banners=img.get("allow_logos_banners", False),
+                chain_mode=img.get("chain_mode", "scrapy"),
                 watermark_enabled=wm.get("enabled", False),
                 watermark_sensitivity=wm.get("sensitivity", 15),
                 deduplication=img.get("deduplication", False),

@@ -113,10 +113,15 @@ def filter_image(
     if cfg.color_mode == "bw" and not is_gray:
         out["reason"] = "color"
         return out
-    # F5 orientation, with synonym mapping (pipelines.py:190-207)
-    orient = {"vertical": "portrait", "horizontal": "landscape"}.get(
-        cfg.orientation, cfg.orientation
-    )
+    # F5 orientation.  scrapy chain maps synonyms (pipelines.py:190-207);
+    # parallel chain does not (filtering_module.py:404-416 — 'vertical'
+    # matches no branch, so it passes everything)
+    if cfg.chain_mode == "parallel":
+        orient = cfg.orientation
+    else:
+        orient = {"vertical": "portrait", "horizontal": "landscape"}.get(
+            cfg.orientation, cfg.orientation
+        )
     if orient == "landscape" and w < h:
         out["reason"] = "orientation"
         return out
@@ -155,8 +160,14 @@ def filter_image(
             out["reason"] = "watermark"
             return out
 
-    # F9 banner/logo extreme aspect (pipelines.py:240-252)
-    if not cfg.allow_logos_banners and (aspect > 10 or aspect < 0.1):
+    # F9 banner/logo extreme aspect — live in the scrapy chain
+    # (pipelines.py:240-252), DEAD CODE in the parallel chain
+    # (filtering_module.py:459-466 defined but never called)
+    if (
+        cfg.chain_mode != "parallel"
+        and not cfg.allow_logos_banners
+        and (aspect > 10 or aspect < 0.1)
+    ):
         out["reason"] = "banner"
         return out
 

@@ -176,6 +176,35 @@ def _emissions_table(trace: CrawlTrace) -> pa.Table:
     )
 
 
+class _MetaStore:
+    """Arrow-native extraction-metadata store for the exact-mode replay.
+
+    The replay needs url → extraction row, but materializing every row
+    as a Python dict (``to_pylist``) puts the whole corpus's link/image
+    lists in driver heap.  Instead the absorbed Arrow tables are kept
+    as-is (their buffers stay zero-copy views of the object store) and
+    only a url → (table, row) index lives on the driver; each row is
+    converted one at a time when the replay visits its url — O(visits)
+    single-row conversions instead of O(corpus) resident dicts."""
+
+    def __init__(self):
+        self._tables: list[pa.Table] = []
+        self._index: dict[str, tuple[int, int]] = {}
+
+    def absorb(self, t: pa.Table) -> None:
+        ti = len(self._tables)
+        self._tables.append(t)
+        for ri, u in enumerate(t.column("url").to_pylist()):
+            self._index[u] = (ti, ri)  # later rounds overwrite, as before
+
+    def get(self, url: str) -> dict | None:
+        loc = self._index.get(url)
+        if loc is None:
+            return None
+        ti, ri = loc
+        return self._tables[ti].slice(ri, 1).to_pylist()[0]
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -221,7 +250,7 @@ class CrawlEngine:
         self.pool.wait_ready()
         # exact-mode replay source: url -> extraction row (None kept
         # implicit — replay's get() returns None for misses)
-        self._meta: dict[str, dict] = {}
+        self._meta = _MetaStore()
 
     # ---------------- checkpointing ----------------
 
@@ -316,8 +345,7 @@ class CrawlEngine:
         return last + 1, wave, manifest["seq_counter"]
 
     def _absorb_meta(self, t: pa.Table) -> None:
-        for row in t.to_pylist():
-            self._meta[row["url"]] = row
+        self._meta.absorb(t)
 
     # ---------------- round execution ----------------
 

@@ -1,0 +1,180 @@
+"""Conformance ORACLE: an independent re-expression of the reference
+extractor's literal control flow (crawling_module.py:264-422), written
+without looking at — or sharing constants with — the engine's
+``snapcrawler_ray/html/extract.py``.
+
+Purpose: the engine's extractor claims behavioral parity with the
+reference; hand-written fixtures (test_extract.py) pin single branches,
+but this module lets the parity be *machine-checked* side-by-side over
+whole corpora (the fixture HTML set plus a sample of the synthetic
+corpus) instead of asserted.
+
+Faithfulness notes:
+- bs4 is absent in this environment, so the oracle walks the same
+  pure-python DOM (``snapcrawler_ray.html.parser``) the engine uses.
+  Parser bugs are therefore NOT caught here — predicate, traversal,
+  absolutization, filtering and config-fallback logic are.
+- The reference's ``extract_images`` returns ``list(set(images))``
+  (hash-seed-dependent order).  The oracle returns the raw append-order
+  list with duplicates; comparisons must be done as sets (the engine
+  canonicalizes to sorted-unique — SURVEY.md §2.8).
+- ``add_image_page_to_queue`` / the extract-links visited filter are
+  evaluated against a caller-supplied ``visited`` set, mirroring the
+  reference's ``self.visited_urls`` reads at extract time.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlparse
+
+_ORACLE_IMAGE_EXTS = [
+    ".jpg", ".jpeg", ".png", ".gif", ".webp", ".svg", ".bmp", ".tiff",
+    ".ico",
+]
+
+
+def oracle_is_valid_image_url(url: str, crawling_config: dict,
+                              full_config: dict) -> bool:
+    """crawling_module.py:362-422 with the literal config-fallback chain
+    crawling.min_commons_thumb_px → images.min_side_size → 300."""
+    url_lower = url.lower()
+    parsed = urlparse(url)
+
+    if parsed.netloc.endswith("commons.wikimedia.org"):
+        path_lower = parsed.path.lower()
+        if path_lower.startswith("/wiki/file:"):
+            return False
+        if path_lower.startswith("/wiki/special:filepath/"):
+            return True
+
+    if parsed.netloc.endswith("upload.wikimedia.org"):
+        if any(url_lower.endswith(ext) for ext in _ORACLE_IMAGE_EXTS):
+            return True
+
+    if "commons.wikimedia.org" in url_lower and "/thumb/" in url_lower:
+        min_px_cfg = (
+            crawling_config.get("min_commons_thumb_px")
+            if isinstance(crawling_config, dict) else None
+        )
+        if min_px_cfg is None:
+            try:
+                images_cfg = (
+                    full_config.get("images", {})
+                    if isinstance(full_config, dict) else {}
+                )
+                min_px_cfg = images_cfg.get("min_side_size")
+            except Exception:
+                min_px_cfg = None
+        try:
+            min_px = int(min_px_cfg) if min_px_cfg is not None else 300
+        except Exception:
+            min_px = 300
+        m = re.search(r"/(\d+)px-", url_lower)
+        if m:
+            try:
+                if int(m.group(1)) < min_px:
+                    return False
+            except Exception:
+                pass
+        return True
+
+    if any(url_lower.endswith(ext) for ext in _ORACLE_IMAGE_EXTS):
+        return True
+
+    exclude_patterns = [".css", ".js", ".html", ".php", ".xml", ".json"]
+    if any(p in url_lower for p in exclude_patterns):
+        return False
+    return False
+
+
+def oracle_is_image_page_url(url: str, base_url: str) -> bool:
+    """crawling_module.py:320-331."""
+    if "commons.wikimedia.org" in base_url:
+        return "/wiki/File:" in url or "/wiki/Category:" in url
+    image_page_patterns = [
+        "/image/", "/photo/", "/picture/", "/img/", "/gallery/",
+        "image_id=", "photo_id=", "picture_id=",
+    ]
+    return any(p in url.lower() for p in image_page_patterns)
+
+
+def oracle_extract_images(
+    soup, base_url: str, crawling_config: dict | None = None,
+    full_config: dict | None = None, visited: set | None = None,
+) -> tuple[list[str], list[str]]:
+    """crawling_module.py:264-318.  Returns (images-with-dups in append
+    order, image-page queue appends).  ``soup`` is a parsed DOM root
+    exposing find_all / get / find_parent (bs4-compatible subset)."""
+    crawling_config = crawling_config or {}
+    full_config = full_config or {}
+    visited = visited if visited is not None else set()
+    images: list[str] = []
+    image_pages: list[str] = []
+
+    def valid(u: str) -> bool:
+        return oracle_is_valid_image_url(u, crawling_config, full_config)
+
+    for img in soup.find_all("img"):
+        src = img.get("src") or img.get("data-src") or img.get("data-lazy-src")
+        if src:
+            absolute_url = urljoin(base_url, src)
+            if valid(absolute_url):
+                images.append(absolute_url)
+        parent_a = img.find_parent("a")
+        if parent_a and parent_a.get("href"):
+            absolute_href = urljoin(base_url, parent_a.get("href"))
+            if valid(absolute_href):
+                images.append(absolute_href)
+            elif oracle_is_image_page_url(absolute_href, base_url):
+                # add_image_page_to_queue: visited-checked, NOT marked
+                if absolute_href not in visited:
+                    image_pages.append(absolute_href)
+
+    for element in soup.find_all(attrs={"data-file-url": True}):
+        file_url = element.get("data-file-url")
+        if file_url:
+            absolute_url = urljoin(base_url, file_url)
+            if valid(absolute_url):
+                images.append(absolute_url)
+
+    for element in soup.find_all(style=True):
+        style = element.get("style", "") or ""
+        for u in re.findall(r'url\(["\']?([^"\']+)["\']?\)', style):
+            absolute_url = urljoin(base_url, u)
+            if valid(absolute_url):
+                images.append(absolute_url)
+
+    for style_tag in soup.find_all("style"):
+        if style_tag.string:
+            for u in re.findall(
+                r'url\(["\']?([^"\']+)["\']?\)', style_tag.string
+            ):
+                absolute_url = urljoin(base_url, u)
+                if valid(absolute_url):
+                    images.append(absolute_url)
+
+    return images, image_pages
+
+
+def oracle_extract_links(
+    soup, base_url: str, start_urls: list[str],
+    visited: set | None = None,
+) -> list[str]:
+    """crawling_module.py:343-360: same-domain http(s), not-yet-visited,
+    document order with duplicates preserved."""
+    visited = visited if visited is not None else set()
+    links: list[str] = []
+    allowed_domains = [urlparse(u).netloc for u in start_urls]
+    for a_tag in soup.find_all("a", href=True):
+        href = a_tag.get("href")
+        if href:
+            absolute_url = urljoin(base_url, href)
+            parsed = urlparse(absolute_url)
+            if (
+                parsed.netloc in allowed_domains
+                and parsed.scheme in ["http", "https"]
+                and absolute_url not in visited
+            ):
+                links.append(absolute_url)
+    return links

@@ -198,3 +198,42 @@ def test_media_stage_dead_letters_foreign_audio():
     out = MediaFeatureStage()(batch)
     assert out.column("ok").to_pylist() == [False]
     assert "codec_unavailable" in out.column("error").to_pylist()[0]
+
+
+def test_chain_mode_parallel_vs_scrapy():
+    """SURVEY §7.5 reference self-divergence, both chains verdict-tested:
+    scrapy (pipelines.py) maps orientation synonyms and runs F9 banner;
+    parallel (filtering_module.py) leaves 'vertical' unmatched (passes
+    everything) and F9 is dead code."""
+    from snapcrawler_ray.imageio.png import encode_png
+
+    # extreme-aspect banner image (40:1), passes size when min disabled
+    wide = encode_png(np.zeros((20, 800, 3), np.uint8))
+    base = dict(min_side_size=0, aspect_ratio_min=0.0, aspect_ratio_max=0.0,
+                formats=("png",))
+    scrapy = ImageFilterConfig(**base, chain_mode="scrapy")
+    parallel = ImageFilterConfig(**base, chain_mode="parallel")
+    assert filter_image("https://h/x.png", wide, scrapy)["reason"] == "banner"
+    # F9 dead in the parallel chain: the banner is accepted
+    assert filter_image("https://h/x.png", wide, parallel)["reason"] == ""
+
+    # portrait image under orientation='vertical' (synonym)
+    tall = encode_png(np.zeros((64, 32, 3), np.uint8))
+    land = encode_png(np.zeros((32, 64, 3), np.uint8))
+    s_v = ImageFilterConfig(**base, orientation="vertical",
+                            chain_mode="scrapy")
+    p_v = ImageFilterConfig(**base, orientation="vertical",
+                            chain_mode="parallel")
+    # scrapy maps vertical→portrait: landscape rejected, portrait kept
+    assert filter_image("https://h/t.png", tall, s_v)["reason"] == ""
+    assert filter_image("https://h/l.png", land, s_v)["reason"] == "orientation"
+    # parallel: 'vertical' matches no branch — everything passes
+    assert filter_image("https://h/t.png", tall, p_v)["reason"] == ""
+    assert filter_image("https://h/l.png", land, p_v)["reason"] == ""
+    # canonical 'portrait' behaves identically in both chains
+    s_p = ImageFilterConfig(**base, orientation="portrait",
+                            chain_mode="scrapy")
+    p_p = ImageFilterConfig(**base, orientation="portrait",
+                            chain_mode="parallel")
+    assert filter_image("https://h/l.png", land, s_p)["reason"] == \
+        filter_image("https://h/l.png", land, p_p)["reason"] == "orientation"
