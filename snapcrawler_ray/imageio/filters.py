@@ -28,8 +28,26 @@ from .phash import phash64
 from .svg import svg_to_png
 
 
+# real MSER if OpenCV is importable (reference filtering_module.py:
+# 442-457 / pipelines.py:219-238); absent in this sandbox → tile stand-in
+try:  # pragma: no cover - environment-dependent
+    import cv2 as _cv2
+except Exception:  # pragma: no cover
+    _cv2 = None
+
+
 def detect_watermark_regions(pixels: np.ndarray) -> int:
-    """MSER-region-count stand-in: high-contrast 16×16 tile count."""
+    """Watermark text-region count.  cv2.MSER when importable (the
+    reference kernel); otherwise the high-contrast 16×16 tile stand-in."""
+    if _cv2 is not None:  # pragma: no cover - not in sandbox
+        try:
+            g = (
+                pixels.mean(axis=2) if pixels.ndim == 3 else pixels
+            ).astype(np.uint8)
+            regions, _ = _cv2.MSER_create().detectRegions(g)
+            return len(regions)
+        except Exception:
+            return 0  # cv2 errors keep the image (reference behavior)
     if pixels.ndim == 3:
         g = pixels.mean(axis=2)
     else:

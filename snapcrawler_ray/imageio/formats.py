@@ -274,6 +274,19 @@ def decode_pixels(data: bytes, info: ImageInfo | None = None, url: str = "") -> 
     if info.seed is not None:
         return gen_pixels(info.seed, info.width, info.height,
                           "L" if info.mode == "L" else "RGB")
+    # real decoder fallback (Pillow) when importable — covers genuine
+    # JPEG/WEBP/GIF payloads a real deployment would fetch; absent in
+    # this sandbox, where non-seed non-PNG/BMP payloads don't occur
+    try:  # pragma: no cover - environment-dependent
+        import io
+
+        from PIL import Image as _PILImage
+
+        img = _PILImage.open(io.BytesIO(data))
+        img = img.convert("L" if img.mode == "L" else "RGB")
+        return np.asarray(img)
+    except Exception:
+        pass
     raise NotImplementedError(
         f"no pixel decoder for {info.format} without an embedded seed "
         "(real deployments plug libjpeg/libwebp here)"

