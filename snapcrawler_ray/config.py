@@ -76,6 +76,16 @@ class ScaleConfig:
     #         (streaming fallback; useful when fetch state can't be
     #         resident, e.g. corpus >> cluster memory)
     fetch_mode: str = "pool"
+    # Frontier emission policy (scale mode only).  'bfs' (default)
+    # processes the whole wave round-synchronously — the reference-
+    # ordering-parity path.  'priority' scores the frontier
+    # (depth + per-host politeness backlog + discovery recency) and
+    # emits only the top `round_budget` URLs per round, deferring the
+    # rest — the north-star priority-queue shape for 10^10-URL
+    # frontiers where a full wave exceeds one round's fetch capacity.
+    # Coverage (the visit SET) is identical to bfs; only order differs.
+    frontier_policy: str = "bfs"     # 'bfs' | 'priority'
+    round_budget: int = 0            # 0 = unlimited (whole wave)
     extract_batch_size: int = 256
     image_batch_size: int = 64
     fetch_concurrency: int = 8
@@ -85,6 +95,9 @@ class ScaleConfig:
 class CrawlConfig:
     start_urls: tuple[str, ...] = ()
     min_commons_thumb_px: int | None = None  # fallback chain → images.min_side_size → 300
+    # reference config.yaml:132 respect_robots_txt → settings.py:34
+    # ROBOTSTXT_OBEY (Scrapy middleware); default off like the reference
+    respect_robots_txt: bool = False
     images: ImageFilterConfig = field(default_factory=ImageFilterConfig)
     limits: CrawlLimits = field(default_factory=CrawlLimits)
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
@@ -115,6 +128,7 @@ class CrawlConfig:
         return cls(
             start_urls=tuple(crawl.get("start_urls", ())),
             min_commons_thumb_px=crawl.get("min_commons_thumb_px"),
+            respect_robots_txt=crawl.get("respect_robots_txt", False),
             images=ImageFilterConfig(
                 min_side_size=img.get("min_side_size", 400),
                 color_mode=img.get("color_mode", "all"),

@@ -902,3 +902,61 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> pd.DataFrame:
     out = out.rename(columns={"token": "tok"})
     out["n_st"] = out["n_st"].astype("int64")
     return out[["source", "tok", "n_st", "s_t", "score", "rank"]]
+
+
+def boilerplate_ngrams(
+    sf_dir: str, k: int = 5, min_df: int = 2, top: int = 100
+) -> pd.DataFrame:
+    """gram, df_docs — cross-document boilerplate token k-grams: the
+    ``top`` k-grams appearing in ≥ ``min_df`` DISTINCT documents
+    (df desc, gram asc).  The CCNet/RefinedWeb-style boilerplate-
+    detection primitive: repeated spans across pages are templates /
+    navigation chrome, and this list is the removal dictionary a
+    cleaning pass would broadcast.
+
+    Shape: per-batch vectorized gram construction (flat token array +
+    stride arithmetic — no per-token python loop; the per-doc DISTINCT
+    happens before anything crosses the wire), one hash-bucketed reduce
+    over grams with per-bucket top-``top``, driver folds buckets×top
+    rows.  Same wide-aggregation topology as :func:`token_topk`, so a
+    10^9-doc gram vocabulary never assembles in one place."""
+    from .agg import bucketed_combine
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        flat, lens = _token_lists(df["text"])
+        n_grams = np.maximum(0, lens - k + 1)
+        total = int(n_grams.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"gram": pd.Series([], dtype=object),
+                 "df_docs": pd.Series([], dtype="int64")}
+            )
+        doc_idx = np.repeat(np.arange(n), n_grams)
+        doc_off = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        gram_off = np.concatenate([[0], np.cumsum(n_grams)])[:-1]
+        within = np.arange(total) - np.repeat(gram_off, n_grams)
+        starts = np.repeat(doc_off, n_grams) + within
+        s = pd.Series(flat[starts], dtype=object)
+        for j in range(1, k):
+            s = s + " " + pd.Series(flat[starts + j], dtype=object)
+        ex = pd.DataFrame({"i": doc_idx, "gram": s}).drop_duplicates()
+        return ex.groupby("gram", as_index=False).agg(df_docs=("i", "size"))
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas"
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gram", as_index=False).agg(df_docs=("df_docs", "sum"))
+        g = g[g["df_docs"] >= min_df]
+        return g.sort_values(
+            ["df_docs", "gram"], ascending=[False, True], kind="mergesort"
+        ).head(top)
+
+    out = bucketed_combine(ds, ["gram"], combine).to_pandas()
+    out = out.sort_values(
+        ["df_docs", "gram"], ascending=[False, True], kind="mergesort"
+    ).head(top)
+    out["df_docs"] = out["df_docs"].astype("int64")
+    return out.reset_index(drop=True)

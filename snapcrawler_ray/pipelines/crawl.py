@@ -214,6 +214,7 @@ class CrawlEngine:
         n_buckets: int | None = None,
         mode: str = "exact",
         checkpoint_dir: str | None = None,
+        robots_payloads: dict[str, bytes] | None = None,
     ):
         self.corpus_dir = corpus_dir
         self.seeds = list(seeds)
@@ -251,6 +252,83 @@ class CrawlEngine:
         # exact-mode replay source: url -> extraction row (None kept
         # implicit — replay's get() returns None for misses)
         self._meta = _MetaStore()
+        # robots.txt admission (reference respect_robots_txt /
+        # ROBOTSTXT_OBEY, default off).  Rules live in the politeness
+        # shards (scale path: each host's owner actor answers); the
+        # driver keeps a rules dict ONLY for the exact-mode replay
+        # predicate (verification mode is documented driver-heavy).
+        self._robots_enabled = bool(
+            self.cfg.respect_robots_txt and robots_payloads
+        )
+        self._robots_rules: dict[str, list] = {}
+        self._robots_blocked = 0
+        if self._robots_enabled:
+            from ..state.robots import parse_robots
+
+            self.politeness.set_robots_payloads(robots_payloads)
+            self._robots_rules = {
+                h: parse_robots(b) for h, b in robots_payloads.items()
+            }
+
+    def _priority_select(
+        self, wave: "Wave", budget: int
+    ) -> tuple["Wave", "Wave"]:
+        """Priority-frontier emission (scale-mode opt-in): rank the wave
+        by score = −depth − 0.1·host_backlog + 0.01·recency and emit the
+        top ``budget`` URLs this round, deferring the rest to the next
+        wave.  host_backlog is the host's politeness ``next_free``
+        virtual timestamp (backed-up hosts sink), recency is the
+        normalized discovery seq (fresh discoveries float).  Ties break
+        on seq asc, so the policy is fully deterministic.  Returns
+        (selected, deferred), each preserving in-wave relative order."""
+        from ..state.robots import url_host_path
+
+        host, _ = url_host_path(wave.urls.to_numpy(zero_copy_only=False))
+        snap = self.politeness.snapshot()
+        backlog = np.fromiter(
+            (snap.get(h, (0.0, 0.0))[1] for h in host),
+            dtype=np.float64,
+            count=len(host),
+        )
+        rec = wave.seqs.astype(np.float64) / max(
+            1.0, float(wave.seqs.max()) + 1.0
+        )
+        score = (
+            -wave.depths.astype(np.float64) - 0.1 * backlog + 0.01 * rec
+        )
+        order = np.lexsort((wave.seqs, -score))  # score desc, seq asc
+        sel = np.sort(order[:budget])
+        rest = np.sort(order[budget:])
+
+        def take(idx: np.ndarray) -> Wave:
+            return Wave(
+                wave.urls.take(pa.array(idx)),
+                wave.depths[idx],
+                wave.seqs[idx],
+                wave.hashes[idx],
+            )
+
+        return take(sel), take(rest)
+
+    def _apply_robots(self, wave: "Wave") -> "Wave":
+        """Drop robots-disallowed URLs from a wave before fetch
+        (Scrapy IgnoreRequest: no visit, no request, no politeness
+        budget consumed).  One sharded-actor round trip per wave."""
+        if not self._robots_enabled or not len(wave):
+            return wave
+        mask = self.politeness.robots_mask(
+            wave.urls.to_numpy(zero_copy_only=False)
+        )
+        if mask.all():
+            return wave
+        self._robots_blocked += int((~mask).sum())
+        sel = np.nonzero(mask)[0]
+        return Wave(
+            wave.urls.take(pa.array(sel)),
+            wave.depths[sel],
+            wave.seqs[sel],
+            wave.hashes[sel],
+        )
 
     # ---------------- checkpointing ----------------
 
@@ -442,11 +520,23 @@ class CrawlEngine:
             self.seen.add(wave.hashes, ns="sched")
 
         fetched_total = sum(m.get("fetched", 0) for m in self.metrics)
+        priority_mode = (
+            self.mode == "scale"
+            and self.cfg.scale.frontier_policy == "priority"
+            and self.cfg.scale.round_budget > 0
+        )
         r = start_round
         while len(wave):
-            depth = int(wave.depths[0])
+            # min over the wave: identical to depths[0] for uniform BFS
+            # waves; correct for priority mode's mixed-depth waves
+            depth = int(wave.depths.min())
             if max_depth > 0 and depth >= max_depth:
                 break
+            deferred = Wave.empty()
+            if priority_mode and len(wave) > self.cfg.scale.round_budget:
+                wave, deferred = self._priority_select(
+                    wave, self.cfg.scale.round_budget
+                )
             t0 = time.time()
             round_makespan = 0.0
             round_pipeline_s = 0.0
@@ -469,7 +559,11 @@ class CrawlEngine:
             round_rows = 0
             subwave = wave
             sub_idx = 0
+            round_robots_start = self._robots_blocked
             while len(subwave):
+                subwave = self._apply_robots(subwave)
+                if not len(subwave):
+                    break
                 fr = self._fetch_and_extract(subwave)
                 round_makespan += self._last_makespan
                 round_pipeline_s += self._last_pipeline_s
@@ -516,7 +610,9 @@ class CrawlEngine:
             # next wave: carried cascades (same depth, scale mode)
             # first, then links in global (seq, position) discovery
             # order, first-seen wins; MD5-dup pages contribute nothing
-            parts: list[Wave] = list(cascade_carry)
+            parts: list[Wave] = (
+                [deferred] if len(deferred) else []
+            ) + list(cascade_carry)
             lcand, lcand_depth, _k, lcand_h = _merge_candidates(link_parts)
             if len(lcand):
                 # mark seen unconditionally (reference marks at enqueue
@@ -551,6 +647,7 @@ class CrawlEngine:
                     "next_wave": len(wave_next),
                     "salted_hosts": round_salted,
                     "max_host_batch": round_max_batch,
+                    "robots_blocked": self._robots_blocked - round_robots_start,
                     "politeness_makespan_s": round(round_makespan, 3),
                     "pipeline_s": round(round_pipeline_s, 3),
                     "wall_s": round(time.time() - t0, 3),
@@ -572,11 +669,22 @@ class CrawlEngine:
             # composed after run() (image filtering) aren't starved
             self.pool.shutdown()
             self.pool = None
+            blocked = None
+            if self._robots_enabled:
+                from ..state.robots import robots_allowed, url_host_path
+
+                rules = self._robots_rules
+
+                def blocked(url: str) -> bool:
+                    h, p = url_host_path([url])
+                    return not robots_allowed(rules.get(str(h[0]), []), p)[0]
+
             trace = replay_crawl(
                 self.seeds,
                 self._meta.get,
                 max_depth=self.cfg.limits.max_depth,
                 max_requests=self.cfg.limits.max_requests,
+                blocked=blocked,
             )
             return CrawlResult(
                 visits=_visits_table(trace),

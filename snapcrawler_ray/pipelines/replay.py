@@ -50,6 +50,7 @@ def replay_crawl(
     get_page: Callable[[str], dict | None],
     max_depth: int = 5,
     max_requests: int = 0,
+    blocked: Callable[[str], bool] | None = None,
 ) -> CrawlTrace:
     """``get_page(url)`` returns the extraction row for the page —
     keys ``image_urls`` (canonical sorted-unique), ``image_page_urls``
@@ -67,6 +68,10 @@ def replay_crawl(
     while queue and (max_requests == 0 or request_count < max_requests):
         current_url, depth, cascade = queue.pop(0)
         if max_depth > 0 and depth >= max_depth:
+            continue
+        if blocked is not None and blocked(current_url):
+            # robots disallow (Scrapy IgnoreRequest): dropped before
+            # fetch — no visit row, no request counted
             continue
 
         page = get_page(current_url)

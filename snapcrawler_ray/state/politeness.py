@@ -44,6 +44,10 @@ class PolitenessShard:
         self.cfg = cfg
         # host -> [current_delay, next_free_virtual_ts]
         self.state: dict[str, list[float]] = {}
+        # host -> parsed robots rules (state/robots.py) — robots state
+        # co-lives with politeness state so each host's single owner
+        # shard answers both scheduling and admission
+        self.robots: dict[str, list] = {}
 
     def _st(self, host: str) -> list[float]:
         if host not in self.state:
@@ -78,14 +82,34 @@ class PolitenessShard:
                     delay = min(cfg.max_delay, delay * 1.5)
             st[0] = delay
 
+    def set_robots(self, hosts: list[str], rules: list[list]) -> None:
+        for h, r in zip(hosts, rules):
+            self.robots[h] = r
+
+    def robots_check(
+        self, hosts: list[str], paths: list[np.ndarray]
+    ) -> list[np.ndarray]:
+        """Per host: allow-mask for its URL paths."""
+        from .robots import robots_allowed
+
+        return [
+            robots_allowed(self.robots.get(h, []), np.asarray(p, dtype=object))
+            for h, p in zip(hosts, paths)
+        ]
+
     def snapshot(self) -> dict:
         return {h: list(v) for h, v in self.state.items()}
 
     def dump(self) -> bytes:
-        return pickle.dumps(self.state)
+        return pickle.dumps({"state": self.state, "robots": self.robots})
 
     def load(self, blob: bytes) -> None:
-        self.state = pickle.loads(blob)
+        d = pickle.loads(blob)
+        if isinstance(d, dict) and "state" in d and "robots" in d:
+            self.state = d["state"]
+            self.robots = d["robots"]
+        else:  # pre-robots checkpoint format
+            self.state = d
 
 
 def salt_heavy_hosts(
@@ -153,6 +177,56 @@ class PolitenessPool:
             for h, f, d in zip(hs, res["first_ts"], res["delay"]):
                 if h not in out:  # first sub-batch owns the host's start
                     out[h] = (f, d)
+        return out
+
+    def set_robots_payloads(self, payloads: dict[str, bytes]) -> None:
+        """Parse per-host robots.txt bodies and push each host's rules
+        to its owner shard."""
+        from .robots import parse_robots
+
+        hosts = list(payloads.keys())
+        if not hosts:
+            return
+        rules = [parse_robots(payloads[h]) for h in hosts]
+        shard_of = host_shard(hosts, self.n_shards)
+        refs = []
+        for s in range(self.n_shards):
+            hs = [h for h, sh in zip(hosts, shard_of) if sh == s]
+            rs = [r for r, sh in zip(rules, shard_of) if sh == s]
+            if hs:
+                refs.append(self.shards[s].set_robots.remote(hs, rs))
+        ray.get(refs)
+
+    def robots_mask(self, urls) -> np.ndarray:
+        """Allow-mask for a URL array: group by host, one RPC per shard
+        (each host's rules live on its single owner), scatter back."""
+        from .robots import url_host_path
+
+        urls = np.asarray(urls, dtype=object)
+        n = len(urls)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        host, path = url_host_path(urls)
+        out = np.ones(n, dtype=bool)
+        uniq_hosts, inv = np.unique(host.astype(str), return_inverse=True)
+        shard_of = host_shard(list(uniq_hosts), self.n_shards)
+        refs, groups = [], []
+        for s in range(self.n_shards):
+            hs, idxs = [], []
+            for hi in np.nonzero(shard_of == s)[0]:
+                idx = np.nonzero(inv == hi)[0]
+                hs.append(str(uniq_hosts[hi]))
+                idxs.append(idx)
+            if hs:
+                refs.append(
+                    self.shards[s].robots_check.remote(
+                        hs, [path[i] for i in idxs]
+                    )
+                )
+                groups.append(idxs)
+        for idxs, masks in zip(groups, ray.get(refs)):
+            for idx, m in zip(idxs, masks):
+                out[idx] = m
         return out
 
     def report_hosts(self, hosts: list[str], statuses: list[np.ndarray]) -> None:

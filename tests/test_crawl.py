@@ -309,3 +309,157 @@ def test_crawl_salting_bounded_batches_unchanged_visits(small_corpus):
     assert sum(m["salted_hosts"] for m in salted.metrics) > 0
     assert all(m["max_host_batch"] <= threshold for m in salted.metrics)
     assert salted.visits.to_pylist() == plain.visits.to_pylist()
+
+
+def test_robots_parse_and_match_semantics():
+    """RFC 9309 prefix subset: UA-* group selection, longest-match,
+    tie→Allow, no rules→allowed."""
+    import numpy as np
+
+    from snapcrawler_ray.state.robots import (
+        parse_robots,
+        robots_allowed,
+        url_host_path,
+    )
+
+    body = b"""
+# comment
+User-agent: googlebot
+Disallow: /only-google/
+
+User-agent: *
+Disallow: /photo/
+Allow: /photo/public/
+Disallow:
+Sitemap: https://h.example/sitemap.xml
+
+User-agent: other
+User-agent: *
+Disallow: /private
+"""
+    rules = parse_robots(body)
+    assert (False, "/only-google/") not in rules
+    assert (False, "/photo/") in rules and (True, "/photo/public/") in rules
+    assert (False, "/private") in rules
+    paths = np.array(
+        ["/photo/1", "/photo/public/2", "/page/3", "/private/x", "/"],
+        dtype=object,
+    )
+    mask = robots_allowed(rules, paths)
+    assert mask.tolist() == [False, True, True, False, True]
+    # no rules → everything allowed
+    assert robots_allowed([], paths).all()
+    h, p = url_host_path(
+        ["https://A.example:8443/photo/1?q=2", "http://b.example"]
+    )
+    assert h.tolist() == ["a.example", "b.example"]
+    assert p.tolist() == ["/photo/1", "/"]
+
+
+def test_robots_disallow_enforced(small_corpus):
+    """respect_robots_txt: /photo/ disallowed on host 0 → neither the
+    engine (exact AND scale mode) nor the independent replay oracle
+    visits those cascade pages; everything else matches the oracle
+    given the same blocked predicate."""
+    from snapcrawler_ray.sources.corpus import host_name
+    from snapcrawler_ray.state.robots import (
+        parse_robots,
+        robots_allowed,
+        url_host_path,
+    )
+
+    spec, path = small_corpus
+    seeds = seeds_for(spec, 4)
+    blocked_host = host_name(0)
+    payloads = {
+        blocked_host: b"User-agent: *\nDisallow: /photo/\n",
+    }
+    cfg = CrawlConfig(
+        start_urls=tuple(seeds),
+        limits=CrawlLimits(max_depth=3),
+        respect_robots_txt=True,
+    )
+    eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets,
+                      mode="exact", robots_payloads=payloads)
+    try:
+        res = eng.run()
+    finally:
+        eng.shutdown()
+    visits = res.visits.column("url").to_pylist()
+    assert visits, "crawl produced no visits"
+    assert not any(
+        u.startswith(f"https://{blocked_host}/photo/") for u in visits
+    )
+    # other hosts' photo pages still crawled (cascades alive)
+    assert any("/photo/" in u for u in visits)
+
+    # oracle: same replay with the same predicate
+    rules = {h: parse_robots(b) for h, b in payloads.items()}
+
+    def blocked(url):
+        h, p = url_host_path([url])
+        return not robots_allowed(rules.get(str(h[0]), []), p)[0]
+
+    corpus = _load_corpus_dict(path)
+    allowed = sorted({h for h in hosts_of(seeds) if h})
+
+    def get_page(url):
+        html = corpus.get(url)
+        return None if html is None else extract_page(html, url, allowed, 400)
+
+    oracle = replay_crawl(seeds, get_page, max_depth=3, blocked=blocked)
+    assert visits == [v["url"] for v in oracle.visits]
+
+    # scale mode: same robots-filtered coverage (set equality — scale
+    # mode's round-synchronous order is the documented deviation)
+    eng2 = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets,
+                       mode="scale", robots_payloads=payloads)
+    try:
+        res2 = eng2.run()
+    finally:
+        eng2.shutdown()
+    assert set(res2.visits.column("url").to_pylist()) == set(visits)
+    assert sum(m.get("robots_blocked", 0) for m in res2.metrics) > 0
+
+
+def test_priority_frontier_same_coverage_bounded_rounds(small_corpus):
+    """scale-mode 'priority' policy (north-star frontier queue): visit
+    SET identical to scale-BFS, every round's emitted wave is within
+    the budget, and two runs are identical (deterministic scoring)."""
+    from snapcrawler_ray.config import ScaleConfig
+
+    spec, path = small_corpus
+    seeds = seeds_for(spec, 4)
+    bfs_cfg = CrawlConfig(start_urls=tuple(seeds),
+                          limits=CrawlLimits(max_depth=3))
+    eng = CrawlEngine(path, seeds, bfs_cfg, n_buckets=spec.buckets,
+                      mode="scale")
+    try:
+        bfs = eng.run()
+        bfs_urls = set(bfs.visits.column("url").to_pylist())
+    finally:
+        eng.shutdown()
+
+    budget = 40
+    pr_cfg = CrawlConfig(
+        start_urls=tuple(seeds),
+        limits=CrawlLimits(max_depth=3),
+        scale=ScaleConfig(frontier_policy="priority", round_budget=budget),
+    )
+
+    def run_priority():
+        e = CrawlEngine(path, seeds, pr_cfg, n_buckets=spec.buckets,
+                        mode="scale")
+        try:
+            return e.run()
+        finally:
+            e.shutdown()
+
+    a = run_priority()
+    assert set(a.visits.column("url").to_pylist()) == bfs_urls
+    waves = [m["wave"] for m in a.metrics]
+    assert max(waves) <= budget
+    assert len(a.metrics) > len(bfs.metrics)  # budget stretches rounds
+    b = run_priority()
+    assert a.visits.column("url").to_pylist() == \
+        b.visits.column("url").to_pylist()

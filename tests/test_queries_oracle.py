@@ -89,7 +89,8 @@ def test_all_query_names_have_callables(contract):
         "docs_adaptive_quality", "docs_vocab_overlap", "docs_tfidf_terms",
         "docs_neardup_keep", "docs_pack_windows", "docs_weighted_sample",
         "docs_training_corpus",
-        "docs_simhash", "emb_near_dup_exact", "emb_dedup_keep_exact",
+        "docs_simhash", "docs_boilerplate_ngrams",
+        "emb_near_dup_exact", "emb_dedup_keep_exact",
         "emb_knn_lsh_recall", "emb_knn_ivf_recall",
         "events_approx_users_check", "events_approx_hourly_check",
     ],
@@ -143,7 +144,8 @@ def test_crawl_aggregate_sql_oracles(contract, con):
      "docs_extended_images", "docs_api_harvest",
      "crawl_sitemap_frontier", "crawl_nav_scores", "media_features",
      "emb_knn_ivf", "events_approx_users", "events_approx_hourly_users",
-     "emb_kmeans", "crawl_host_pagerank", "crawl_scale_visits"],
+     "emb_kmeans", "crawl_host_pagerank", "crawl_scale_visits",
+     "crawl_priority_visits", "crawl_robots_visits"],
 )
 def test_rows_only_queries_run(contract, name):
     qs, _ = contract
