@@ -267,6 +267,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 eng.shutdown()
         return _CRAWL_CACHE[key]
 
+    def web_training_corpus(sf_dir: str):
+        res, _ = _run_crawl(sf_dir)
+        _, path = _corpus_for(sf_dir)
+        return prep.web_training_corpus(res.visits, path)
+
     def crawl_priority_visits(sf_dir: str):
         """SCALE-mode crawl under the 'priority' frontier policy
         (north-star queue: depth + per-host politeness backlog +
@@ -395,6 +400,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # detection; non-vacuous — the corpus's near-dup docs share
         # hundreds of 5-grams)
         "docs_boilerplate_ngrams": lambda d: text.boilerplate_ngrams(d),
+        # the crawl×webtext bridge: training-corpus prep over the
+        # crawl's own output (ok-visits ⋈ corpus text → lang/quality
+        # gates → first-crawled-wins md5 dedup); SQL-oracled over the
+        # engine-written visits parquet + the corpus parquet
+        "web_training_corpus": web_training_corpus,
         # --- [3] representatives of r02-green families ---
         "docs_training_corpus": prep.training_corpus,
         "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
@@ -526,7 +536,34 @@ def oracle_sql() -> dict[str, str]:
     # distributed aggregation is what gets checked; visit-set parity
     # itself is enforced by the replay oracle in tests/test_crawl.py.
     visits_pq = f"read_parquet('{_oracle_tbl_dir('sf0.01')}/visits.parquet')"
+    from snapcrawler_ray.sources.corpus import CorpusSpec, corpus_path
+
+    corpus_pq = (
+        "read_parquet('"
+        + corpus_path(
+            _CORPUS_CACHE_ROOT,
+            CorpusSpec(seed=42, n_pages=2000, n_hosts=20, buckets=32),
+        )
+        + "/bucket=*/part-0.parquet')"
+    )
     return {
+        "web_training_corpus": (
+            # crawl×webtext bridge: ok-visits ⋈ corpus text → lang +
+            # quality gates → first-crawled-wins (min seq) md5 dedup
+            f"WITH v AS (SELECT seq, url FROM {visits_pq} "
+            "WHERE status = 'ok'), "
+            f"c AS (SELECT url, text, lang FROM {corpus_pq}), "
+            "j AS (SELECT v.seq, v.url, c.text FROM v JOIN c USING (url) "
+            "WHERE c.lang = 'en'), "
+            f"q AS (SELECT seq, url, {n_tokens} AS n_tokens, "
+            "round(0.5 * least(1.0, length(text) / 1000.0) + "
+            f"0.5 * least(1.0, ({n_tokens}) / 200.0), 4) AS quality, "
+            "md5(text) AS m FROM j), "
+            "f AS (SELECT * FROM q WHERE quality >= 0.05), "
+            "k AS (SELECT *, row_number() OVER (PARTITION BY m "
+            "ORDER BY seq) AS rn FROM f) "
+            "SELECT url, seq, n_tokens, quality FROM k WHERE rn = 1"
+        ),
         "crawl_depth_histogram": (
             f"SELECT depth, count(*) AS n_visits FROM {visits_pq} "
             "GROUP BY depth"

@@ -158,3 +158,86 @@ def training_corpus(
         .reset_index(drop=True)
         .astype({"doc_id": "int64", "n_tokens": "int64", "window_id": "int64"})
     )
+
+
+def web_training_corpus(
+    visits, corpus_dir: str, lang: str = "en", quality_floor: float = 0.05
+) -> "ray.data.Dataset":
+    """url, seq, n_tokens, quality — training-corpus prep over the
+    CRAWL'S OWN OUTPUT: the bridge between the two halves of the engine
+    (frontier crawl × webtext prep).  Successfully-fetched pages
+    (status 'ok') join back to the corpus text, pass the language and
+    quality gates, and exact-dedup by content md5 with FIRST-CRAWLED
+    wins (min visit seq — the crawl arrival order, exactly the
+    reference's page-level first-wins semantics lifted to corpus prep).
+
+    Scale shape: the visit table and the corpus meet in one
+    ``Dataset.join`` hash join on url (both sides O(corpus), neither
+    broadcast); per-batch kernels compute tokens/quality; one
+    md5-bucketed reduce picks winners.  Output stays a streaming
+    Dataset.
+
+    ``visits`` is the engine's visits Arrow table; ``corpus_dir`` the
+    bucketed corpus parquet dir.
+    """
+    import pyarrow as pa
+
+    from .text import round4_half_away
+
+    ok = visits.filter(
+        pa.compute.equal(visits.column("status"), "ok")
+    ).select(["seq", "url"])
+    n_blocks = max(1, min(16, ok.num_rows // 2000 + 1))
+    v_ds = ray.data.from_arrow(ok).repartition(n_blocks)
+    c_ds = ray.data.read_parquet(corpus_dir, columns=["url", "text", "lang"])
+    joined = v_ds.join(
+        c_ds,
+        join_type="inner",
+        num_partitions=8,
+        on=("url",),
+        right_on=("url",),
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["lang"] == lang]
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "url": pd.Series([], dtype=object),
+                    "seq": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "quality": pd.Series([], dtype="float64"),
+                    "m": pd.Series([], dtype=object),
+                }
+            )
+        t = df["text"].fillna("").str.strip()
+        n_tokens = t.str.split(_WS).map(len).where(t != "", 0).astype("int64")
+        n_chars = df["text"].fillna("").str.len().astype("float64")
+        q = round4_half_away(
+            0.5 * np.minimum(1.0, n_chars / 1000.0)
+            + 0.5 * np.minimum(1.0, n_tokens.astype("float64") / 200.0)
+        )
+        out = pd.DataFrame(
+            {
+                "url": df["url"],
+                "seq": df["seq"].astype("int64"),
+                "n_tokens": n_tokens,
+                "quality": q,
+                "m": [
+                    hashlib.md5(x.encode("utf-8")).hexdigest()
+                    for x in df["text"].fillna("")
+                ],
+            }
+        )
+        return out[out["quality"] >= quality_floor]
+
+    scored = joined.map_batches(score, batch_format="pandas")
+
+    def first_crawled(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("seq", kind="mergesort")
+        return df.drop_duplicates("m", keep="first")
+
+    return bucketed_combine(scored, ["m"], first_crawled).map_batches(
+        lambda df: df[["url", "seq", "n_tokens", "quality"]],
+        batch_format="pandas",
+    )

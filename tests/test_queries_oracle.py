@@ -107,6 +107,24 @@ def test_sql_oracle_match(contract, con, name):
                                   check_exact=False, rtol=0, atol=1e-9)
 
 
+def test_web_training_corpus_oracle(contract, con):
+    """The crawl×webtext bridge: Ray pipeline vs DuckDB over the
+    engine-written visits parquet + corpus parquet (paths rewritten
+    from the driver's sf0.01 to this test's sf0.001 bases)."""
+    qs, oracles = contract
+    ray_df = _canon(_to_pandas(qs["web_training_corpus"](SF_DIR)))
+    sql = (
+        oracles["web_training_corpus"]
+        .replace("sf0.01", "sf0.001")
+        .replace("_n2000_", "_n300_")
+    )
+    sql_df = _canon(con.sql(sql).df())
+    assert list(ray_df.columns) == list(sql_df.columns)
+    assert len(ray_df) == len(sql_df) and len(ray_df) > 0
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
+
+
 def test_dim_join_partitioned_path_matches_broadcast(ray_session):
     """The _dim_join topology switch: forcing the partitioned
     ``Dataset.join`` path (max_broadcast_rows=0) must reproduce the
