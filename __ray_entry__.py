@@ -400,6 +400,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # detection; non-vacuous — the corpus's near-dup docs share
         # hundreds of 5-grams)
         "docs_boilerplate_ngrams": lambda d: text.boilerplate_ngrams(d),
+        # unigram-LM perplexity-filter primitive (integer micro-nats —
+        # order-free exact sums; vocab broadcast, two corpus passes)
+        "docs_unigram_surprisal": text.unigram_surprisal,
         # the crawl×webtext bridge: training-corpus prep over the
         # crawl's own output (ok-visits ⋈ corpus text → lang/quality
         # gates → first-crawled-wins md5 dedup); SQL-oracled over the
@@ -844,6 +847,24 @@ def oracle_sql() -> dict[str, str]:
             "9223372036854775808 THEN coalesce(s.v, 0) - "
             "18446744073709551616 ELSE coalesce(s.v, 0) END AS BIGINT) "
             "AS simhash FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "docs_unigram_surprisal": (
+            # unigram LM: per-token surprisal -ln(cnt/total) rounded
+            # half-away to integer micro-nats, summed per doc (exact
+            # int64 sum — order-free).  Float op order (int/int div →
+            # ln → ×1e6 → floor(+0.5)) mirrors the engine bit-for-bit.
+            "WITH toks AS (SELECT doc_id, "
+            r"unnest(regexp_split_to_array(trim(text), '\s+')) AS tok "
+            "FROM documents WHERE trim(coalesce(text,'')) <> ''), "
+            "v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM toks GROUP BY tok), "
+            "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v), "
+            "u AS (SELECT t.doc_id, CAST(floor(-ln(v.cnt / tot.total) "
+            "* 1000000 + 0.5) AS BIGINT) AS su "
+            "FROM toks t JOIN v ON v.tok = t.tok CROSS JOIN tot) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(su) AS BIGINT) AS surprisal_u "
+            "FROM u GROUP BY doc_id"
         ),
         "docs_boilerplate_ngrams": (
             # top-100 token 5-grams by distinct-document frequency

@@ -960,3 +960,86 @@ def boilerplate_ngrams(
     ).head(top)
     out["df_docs"] = out["df_docs"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def unigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
+    """doc_id, n_tokens, surprisal_u — language-model quality scoring
+    via a corpus-trained unigram LM: per-doc total surprisal
+    Σ −ln p(token) in INTEGER MICRO-NATS (each token's surprisal is
+    individually rounded half-away to 1e-6 nats, then summed as int64 —
+    exact in any order, so the distributed sum hash-matches the SQL
+    oracle; the CCNet/KenLM-style perplexity-filter primitive with the
+    n-gram model reduced to its unigram core).
+
+    Two passes: (1) vocabulary occurrence counts fold through a
+    token-bucketed reduce (at web scale: min-count pruning before the
+    broadcast); (2) the counts broadcast once (``ray.put`` sorted
+    token array + counts) and every batch scores its docs by
+    ``searchsorted`` lookup — float op order (int/int div → ln → mul)
+    mirrors DuckDB bit-for-bit, as in :func:`tfidf_top_terms`.  Empty
+    docs are excluded (no tokens to score)."""
+    import ray as _ray
+
+    from .agg import bucketed_combine
+
+    def occ_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = _token_lists(df["text"])
+        d = pd.DataFrame({"tok": flat})
+        d = d[d["tok"] != ""]
+        return d.groupby("tok", as_index=False).agg(cnt=("tok", "size"))
+
+    vocab = (
+        bucketed_combine(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                occ_partial, batch_format="pandas"
+            ),
+            ["tok"],
+            lambda df: df.groupby("tok", as_index=False).agg(
+                cnt=("cnt", "sum")
+            ),
+        )
+        .to_pandas()
+        .sort_values("tok")
+    )
+    toks_sorted = vocab["tok"].to_numpy(dtype=object).astype(str)
+    cnts = vocab["cnt"].to_numpy(np.int64)
+    total = int(cnts.sum())
+    ref = _ray.put((toks_sorted, cnts, total))
+
+    class Score:
+        def __init__(self, ref):
+            self.toks, self.cnts, self.total = _ray.get(ref)
+            # per-token micro-nat surprisal, precomputed once per actor:
+            # -ln(cnt/total) * 1e6, rounded half-away (all values ≥ 0)
+            s = -np.log(
+                self.cnts.astype(np.float64) / np.float64(self.total)
+            )
+            self.u = np.floor(s * 1e6 + 0.5).astype(np.int64)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            flat, lens = _token_lists(df["text"])
+            n = len(df)
+            doc_idx = np.repeat(np.arange(n), lens)
+            keep = flat != ""
+            doc_idx, flat = doc_idx[keep], flat[keep]
+            pos = np.searchsorted(self.toks, flat.astype(str))
+            su = self.u[pos]
+            sums = np.zeros(n, dtype=np.int64)
+            np.add.at(sums, doc_idx, su)
+            n_toks = np.zeros(n, dtype=np.int64)
+            np.add.at(n_toks, doc_idx, 1)
+            out = pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(),
+                    "n_tokens": n_toks,
+                    "surprisal_u": sums,
+                }
+            )
+            return out[out["n_tokens"] > 0]
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Score,
+        batch_format="pandas",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"ref": ref},
+    )

@@ -90,6 +90,7 @@ def test_all_query_names_have_callables(contract):
         "docs_neardup_keep", "docs_pack_windows", "docs_weighted_sample",
         "docs_training_corpus",
         "docs_simhash", "docs_boilerplate_ngrams",
+        "docs_unigram_surprisal",
         "emb_near_dup_exact", "emb_dedup_keep_exact",
         "emb_knn_lsh_recall", "emb_knn_ivf_recall",
         "events_approx_users_check", "events_approx_hourly_check",
