@@ -108,6 +108,8 @@ def run_queries(sf_dir: str) -> dict:
         "emb_knn", "emb_near_dup", "emb_kmeans", "events_approx_users",
         "events_funnel", "events_retention", "events_value_quantiles_hist",
         "docs_training_corpus", "docs_extended_images",
+        "docs_boilerplate_ngrams", "docs_unigram_surprisal",
+        "emb_near_dup_exact",
     ]
     out = {}
     for name in bench_set:
