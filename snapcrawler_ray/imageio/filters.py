@@ -48,17 +48,32 @@ def detect_watermark_regions(pixels: np.ndarray) -> int:
             return len(regions)
         except Exception:
             return 0  # cv2 errors keep the image (reference behavior)
+    # exact-integer tile variance: gray = channel-sum/scale, and
+    # std(gray) > 60  ⇔  256·Σs² − (Σs)² > (60·scale·256)², all in
+    # overflow-safe int64 — no float mean/std over the full image
+    # narrow dtypes keep the pass memory-bandwidth-cheap: channel sums
+    # fit uint16 (≤765), tile squared-sums fit uint32 (≤1.5e8)
     if pixels.ndim == 3:
-        g = pixels.mean(axis=2)
+        s = pixels.sum(axis=2, dtype=np.uint16)
+        scale = 3
     else:
-        g = pixels.astype(np.float64)
-    h, w = g.shape
+        s = pixels.astype(np.uint16)
+        scale = 1
+    h, w = s.shape
     th, tw = max(1, h // 16), max(1, w // 16)
-    g = g[: th * 16, : tw * 16]
-    if g.size == 0:
+    s = s[: th * 16, : tw * 16]
+    if s.size == 0:
         return 0
-    tiles = g.reshape(th, 16, tw, 16).transpose(0, 2, 1, 3).reshape(th * tw, 256)
-    return int((tiles.std(axis=1) > 60).sum())
+    tiles = (
+        s.reshape(th, 16, tw, 16)
+        .transpose(0, 2, 1, 3)
+        .reshape(th * tw, 256)
+        .astype(np.uint32)
+    )
+    ssum = tiles.sum(axis=1, dtype=np.int64)
+    ssq = np.einsum("ij,ij->i", tiles, tiles).astype(np.int64)
+    thresh = (60 * scale * 256) ** 2
+    return int((256 * ssq - ssum * ssum > thresh).sum())
 
 
 def _ext_of(url: str) -> str:

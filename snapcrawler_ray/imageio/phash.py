@@ -29,20 +29,17 @@ _DCT = _dct_matrix(_N)
 
 
 def _to_gray32(pixels: np.ndarray) -> np.ndarray:
-    if pixels.ndim == 3:
-        # ITU-R 601 luma (what PIL's convert('L') uses)
-        g = (
-            0.299 * pixels[..., 0]
-            + 0.587 * pixels[..., 1]
-            + 0.114 * pixels[..., 2]
-        )
-    else:
-        g = pixels.astype(np.float64)
-    h, w = g.shape
-    # box-resample to 32×32 via index mapping (nearest on a uniform grid)
+    # sample the 32×32 grid FIRST, then luma on 1024 pixels — luma is
+    # pointwise, so this is bit-identical to luma-then-sample while
+    # doing O(32²) work instead of O(H·W)
+    h, w = pixels.shape[:2]
     ys = (np.arange(_N) * h // _N).clip(0, h - 1)
     xs = (np.arange(_N) * w // _N).clip(0, w - 1)
-    return g[np.ix_(ys, xs)]
+    p = pixels[np.ix_(ys, xs)]
+    if pixels.ndim == 3:
+        # ITU-R 601 luma (what PIL's convert('L') uses)
+        return 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+    return p.astype(np.float64)
 
 
 def phash64(pixels: np.ndarray) -> int:
