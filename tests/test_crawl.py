@@ -463,3 +463,51 @@ def test_priority_frontier_same_coverage_bounded_rounds(small_corpus):
     b = run_priority()
     assert a.visits.column("url").to_pylist() == \
         b.visits.column("url").to_pylist()
+
+
+def test_robots_differential_vs_stdlib():
+    """Differential conformance vs urllib.robotparser: single-rule
+    robots files must agree exactly (no precedence ambiguity); over
+    random multi-rule files agreement stays ≥98% — the residual is the
+    documented RFC 9309 longest-match vs legacy first-match precedence
+    on overlapping Allow/Disallow prefixes."""
+    import random
+    import urllib.robotparser
+
+    import numpy as np
+
+    from snapcrawler_ray.state.robots import parse_robots, robots_allowed
+
+    def ours(body, path):
+        return bool(
+            robots_allowed(
+                parse_robots(body), np.array([path], dtype=object)
+            )[0]
+        )
+
+    def theirs(body, path):
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(body.splitlines())
+        return rp.can_fetch("*", "https://h.example" + path)
+
+    segs = ["/a", "/b", "/photo", "/photo/pub", "/x/y", "/p"]
+    rnd = random.Random(7)
+    # single-rule files: exact agreement
+    for _ in range(500):
+        rule = f"{rnd.choice(['Allow', 'Disallow'])}: {rnd.choice(segs)}"
+        body = "User-agent: *\n" + rule + "\n"
+        path = rnd.choice(segs) + rnd.choice(["", "/1", "/pub/2"])
+        assert ours(body, path) == theirs(body, path), (body, path)
+    # random multi-rule files: ≥98% agreement
+    agree = total = 0
+    for _ in range(2000):
+        rules = [
+            f"{rnd.choice(['Allow', 'Disallow'])}: "
+            f"{rnd.choice(segs)}{rnd.choice(['', '/', '/z'])}"
+            for _ in range(rnd.randint(0, 4))
+        ]
+        body = "User-agent: *\n" + "\n".join(rules) + "\n"
+        path = rnd.choice(segs) + rnd.choice(["", "/1", "/pub/2"])
+        total += 1
+        agree += ours(body, path) == theirs(body, path)
+    assert agree / total >= 0.98, f"{agree}/{total}"
