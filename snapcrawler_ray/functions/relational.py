@@ -415,20 +415,28 @@ def events_pivot_hourly(sf_dir: str) -> pd.DataFrame:
 
 
 def events_topk_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
-    """Top-k users by total event value (sum desc, user_id asc)."""
+    """Top-k users by total event value (sum desc, user_id asc).
+    Per-batch partials, then a user-hash-bucketed reduce with top-k PER
+    BUCKET (each user lands in exactly one bucket, so bucket sums are
+    final) — the driver folds n_buckets × k rows, never the O(users)
+    aggregate (same shape as q3's per-order top-k)."""
+    from .agg import bucketed_combine
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"user_id": df["user_id"], "value_c": _cents(df["value"]), "n": 1}
         ).groupby("user_id", as_index=False).sum()
 
-    ds = _read(sf_dir, "events", ["user_id", "value"])
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .to_pandas()
-        .groupby("user_id", as_index=False)
-        .sum()
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).sum()
+        return g.sort_values(
+            ["value_c", "user_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    ds = _read(sf_dir, "events", ["user_id", "value"]).map_batches(
+        partial, batch_format="pandas"
     )
+    agg = bucketed_combine(ds, ["user_id"], bucket_topk).to_pandas()
     top = agg.sort_values(
         ["value_c", "user_id"], ascending=[False, True], kind="mergesort"
     ).head(k)
