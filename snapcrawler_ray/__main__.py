@@ -39,6 +39,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="generate the deterministic synthetic corpus")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--max-depth", type=int, default=None)
+    ap.add_argument("--robots-dir", help="dir of <host>.txt robots files "
+                    "(enables respect_robots_txt)")
+    ap.add_argument("--frontier", choices=("bfs", "priority"),
+                    default=None, help="scale-mode frontier policy")
+    ap.add_argument("--round-budget", type=int, default=None,
+                    help="max URLs emitted per round (priority policy)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -78,23 +84,41 @@ def main(argv: list[str] | None = None) -> int:
     seeds = list(args.seeds or cfg.start_urls or default_seeds)
     if not seeds:
         ap.error("no seeds: pass --seeds, config start_urls, or --synth-corpus")
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, start_urls=tuple(seeds))
     if args.max_depth is not None:
-        cfg = CrawlConfig(
-            start_urls=tuple(seeds),
-            min_commons_thumb_px=cfg.min_commons_thumb_px,
-            images=cfg.images,
-            limits=CrawlLimits(
-                max_depth=args.max_depth,
-                max_requests=cfg.limits.max_requests,
-                max_images=cfg.limits.max_images,
-                max_folder_size_mb=cfg.limits.max_folder_size_mb,
-            ),
-            politeness=cfg.politeness,
-            scale=cfg.scale,
+        cfg = dataclasses.replace(
+            cfg,
+            limits=dataclasses.replace(cfg.limits, max_depth=args.max_depth),
         )
+    if args.frontier or args.round_budget is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            scale=dataclasses.replace(
+                cfg.scale,
+                frontier_policy=args.frontier or cfg.scale.frontier_policy,
+                round_budget=(
+                    args.round_budget
+                    if args.round_budget is not None
+                    else cfg.scale.round_budget
+                ),
+            ),
+        )
+    robots_payloads = None
+    if args.robots_dir:
+        robots_payloads = {
+            os.path.splitext(f)[0]: open(
+                os.path.join(args.robots_dir, f), "rb"
+            ).read()
+            for f in sorted(os.listdir(args.robots_dir))
+            if f.endswith(".txt")
+        }
+        cfg = dataclasses.replace(cfg, respect_robots_txt=True)
 
     eng = CrawlEngine(corpus, seeds, cfg, n_buckets=n_buckets,
-                      mode=args.mode, checkpoint_dir=args.checkpoint)
+                      mode=args.mode, checkpoint_dir=args.checkpoint,
+                      robots_payloads=robots_payloads)
     t0 = time.time()
     try:
         res = eng.run(resume=args.resume)
