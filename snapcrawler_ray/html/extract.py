@@ -27,6 +27,11 @@ from urllib.parse import urljoin, urlparse
 
 from .parser import Node, parse_html
 
+# urljoin is ~25% of extract_page wall and its (base, href) inputs
+# repeat heavily (one base per page, hrefs shared across a site's
+# template) — memoize the pure function, bit-identical by construction
+_urljoin = lru_cache(maxsize=262144)(urljoin)
+
 IMAGE_EXTENSIONS = (
     ".jpg", ".jpeg", ".png", ".gif", ".webp", ".svg", ".bmp", ".tiff", ".ico",
 )
@@ -110,12 +115,12 @@ def extract_images(
     for img in root.find_all("img"):
         src = img.get("src") or img.get("data-src") or img.get("data-lazy-src")
         if src:
-            absolute = urljoin(base_url, src)
+            absolute = _urljoin(base_url, src)
             if is_valid_image_url(absolute, min_commons_thumb_px):
                 images.append(absolute)
         parent_a = img.find_parent("a")
         if parent_a and parent_a.get("href"):
-            absolute_href = urljoin(base_url, parent_a.get("href"))
+            absolute_href = _urljoin(base_url, parent_a.get("href"))
             if is_valid_image_url(absolute_href, min_commons_thumb_px):
                 images.append(absolute_href)
             elif is_image_page_url(absolute_href, base_url):
@@ -124,13 +129,13 @@ def extract_images(
     for element in root.find_all(attrs={"data-file-url": True}):
         file_url = element.get("data-file-url")
         if file_url:
-            absolute = urljoin(base_url, file_url)
+            absolute = _urljoin(base_url, file_url)
             if is_valid_image_url(absolute, min_commons_thumb_px):
                 images.append(absolute)
 
     for element in root.find_all(style=True):
         for u in _CSS_URL_RE.findall(element.get("style") or ""):
-            absolute = urljoin(base_url, u)
+            absolute = _urljoin(base_url, u)
             if is_valid_image_url(absolute, min_commons_thumb_px):
                 images.append(absolute)
 
@@ -138,7 +143,7 @@ def extract_images(
         s = style_tag.string
         if s:
             for u in _CSS_URL_RE.findall(s):
-                absolute = urljoin(base_url, u)
+                absolute = _urljoin(base_url, u)
                 if is_valid_image_url(absolute, min_commons_thumb_px):
                     images.append(absolute)
 
@@ -157,7 +162,7 @@ def extract_links(root: Node, base_url: str, allowed_domains: list[str]) -> list
     for a_tag in root.find_all("a", href=True):
         href = a_tag.get("href")
         if href:
-            absolute = urljoin(base_url, href)
+            absolute = _urljoin(base_url, href)
             netloc, scheme = _netloc_scheme(absolute)
             if netloc in allowed and scheme in ("http", "https"):
                 links.append(absolute)
