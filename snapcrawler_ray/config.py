@@ -66,7 +66,7 @@ class PolitenessConfig:
 class ScaleConfig:
     """Rebuild-only knobs (no reference equivalent)."""
     seen_shards: int = 8
-    seen_mode: str = "exact"         # 'exact' (verification) | 'bloom' (scale)
+    seen_mode: str = "exact"         # 'exact' (verification) | 'bloom' | 'cuckoo' (scale)
     bloom_bits_per_key: int = 12     # ~1e-3 fpp
     bloom_capacity: int = 1_000_000  # per shard
     corpus_buckets: int = 32         # url-hash partition count of the corpus

@@ -1,0 +1,170 @@
+"""Cuckoo filter — the deletable alternative to the Bloom seen-filter
+(the north rule names "sharded Bloom/cuckoo filter" as the URL-seen
+structure; SURVEY.md §2.4 T2).
+
+Standard (bucketized) cuckoo filter [Fan et al., CoNLL'14 public
+design]: 4-slot buckets of nonzero uint16 fingerprints, partial-key
+cuckoo hashing (i2 = i1 XOR hash(fp)), bounded eviction chains.  At 4
+slots × 16-bit fingerprints and 95% load it spends ~16.8 bits/key for
+~2.4e-4 fpp — denser than a Bloom at equal fpp, supports deletion
+(cross-round un-claiming of pHashes), and lookups touch exactly two
+cache lines.
+
+Lookups/membership are fully vectorized (two gathers over the table);
+inserts run per NEW key (the eviction chain is inherently sequential)
+— at seen-filter call sites every key inserts at most once, so the
+amortized per-URL insert cost is one small Python loop iteration on
+its owning shard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _fp_hash(fp: np.ndarray) -> np.ndarray:
+    """uint64 avalanche of a uint16 fingerprint (for i2 = i1 ^ h(fp))."""
+    h = fp.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(32)
+    return h
+
+
+class CuckooFilter:
+    BUCKET = 4
+
+    def __init__(self, capacity: int, max_kicks: int = 500):
+        n_buckets = 1
+        while n_buckets * self.BUCKET < int(capacity / 0.95):
+            n_buckets <<= 1
+        self.n_buckets = n_buckets
+        self.mask = np.uint64(n_buckets - 1)
+        self.table = np.zeros((n_buckets, self.BUCKET), dtype=np.uint16)
+        self.max_kicks = int(max_kicks)
+        self.approx_count = 0
+        self._rng = np.random.RandomState(0xC0C0)  # deterministic kicks
+
+    # ---------------- key → (fp, i1, i2) ----------------
+
+    def _parts(self, keys: np.ndarray):
+        keys = np.asarray(keys, dtype=np.uint64)
+        # avalanche first: fp/i1 come from different bit ranges of the
+        # same word, so non-uniform caller keys (small ints) must not
+        # collapse every fingerprint onto one value
+        h = keys * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(31)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(29)
+        fp = (h >> np.uint64(48)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)  # 0 marks empty slots
+        i1 = (h & self.mask).astype(np.int64)
+        i2 = ((i1.astype(np.uint64) ^ _fp_hash(fp)) & self.mask).astype(
+            np.int64
+        )
+        return fp, i1, i2
+
+    # ---------------- vectorized membership ----------------
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        fp, i1, i2 = self._parts(keys)
+        f = fp[:, None]
+        return ((self.table[i1] == f) | (self.table[i2] == f)).any(axis=1)
+
+    # ---------------- sequential insert (eviction chain) ----------------
+
+    def _insert_one(self, fp: int, i1: int, i2: int) -> None:
+        for idx in (i1, i2):
+            row = self.table[idx]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return
+        # evict: random walk bounded by max_kicks
+        idx = i1 if self._rng.randint(2) else i2
+        cur = np.uint16(fp)
+        for _ in range(self.max_kicks):
+            slot = self._rng.randint(self.BUCKET)
+            cur, self.table[idx, slot] = self.table[idx, slot], cur
+            idx = int(
+                (np.uint64(idx) ^ _fp_hash(np.array([cur]))[0]) & self.mask
+            )
+            row = self.table[idx]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur
+                return
+        raise RuntimeError(
+            f"cuckoo filter full (capacity ~{self.n_buckets * self.BUCKET}); "
+            "size shards for the keyspace"
+        )
+
+    def add(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        keys = np.asarray(keys, dtype=np.uint64)
+        new = ~self.contains(keys)
+        fp, i1, i2 = self._parts(keys[new])
+        for j in range(len(fp)):
+            self._insert_one(int(fp[j]), int(i1[j]), int(i2[j]))
+        self.approx_count += int(new.sum())
+
+    def check_and_add(self, keys: np.ndarray) -> np.ndarray:
+        """True where the key was new; in-batch duplicates first-wins."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        uniq, first_idx = np.unique(keys, return_index=True)
+        new_u = ~self.contains(uniq)
+        fp, i1, i2 = self._parts(uniq[new_u])
+        for j in range(len(fp)):
+            self._insert_one(int(fp[j]), int(i1[j]), int(i2[j]))
+        self.approx_count += int(new_u.sum())
+        out = np.zeros(len(keys), dtype=bool)
+        out[first_idx[new_u]] = True
+        return out
+
+    def delete(self, keys: np.ndarray) -> np.ndarray:
+        """Remove one stored fingerprint per present key; True where a
+        fingerprint was found and removed (the capability Bloom lacks)."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        out = np.zeros(len(keys), dtype=bool)
+        fp, i1, i2 = self._parts(keys)
+        for j in range(len(keys)):
+            for idx in (i1[j], i2[j]):
+                row = self.table[idx]
+                hit = np.nonzero(row == fp[j])[0]
+                if len(hit):
+                    row[hit[0]] = 0
+                    out[j] = True
+                    self.approx_count -= 1
+                    break
+        return out
+
+    # ---------------- checkpointing ----------------
+
+    def dump(self) -> dict:
+        return {
+            "kind": "cuckoo",
+            "table": self.table.tobytes(),
+            "n_buckets": self.n_buckets,
+            "max_kicks": self.max_kicks,
+            "approx_count": self.approx_count,
+            "rng": self._rng.get_state(),
+        }
+
+    @classmethod
+    def load(cls, d: dict) -> "CuckooFilter":
+        cf = cls.__new__(cls)
+        cf.n_buckets = d["n_buckets"]
+        cf.mask = np.uint64(cf.n_buckets - 1)
+        cf.table = (
+            np.frombuffer(d["table"], dtype=np.uint16)
+            .reshape(cf.n_buckets, cls.BUCKET)
+            .copy()
+        )
+        cf.max_kicks = d["max_kicks"]
+        cf.approx_count = d["approx_count"]
+        cf._rng = np.random.RandomState()
+        cf._rng.set_state(d["rng"])
+        return cf

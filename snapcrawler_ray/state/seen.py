@@ -78,9 +78,18 @@ class SeenShard:
             )
             st["pending"], st["n_pending"] = [], 0
 
-    def _ns_bloom(self, ns: str) -> BloomFilter:
+    def _ns_bloom(self, ns: str):
+        """Per-namespace approximate filter: Bloom (default scale mode)
+        or cuckoo (deletable, denser at equal fpp) per ``self.mode``."""
         if ns not in self._blooms:
-            self._blooms[ns] = BloomFilter(self._bloom_capacity, self._bloom_bits)
+            if self.mode == "cuckoo":
+                from .cuckoo import CuckooFilter
+
+                self._blooms[ns] = CuckooFilter(self._bloom_capacity)
+            else:
+                self._blooms[ns] = BloomFilter(
+                    self._bloom_capacity, self._bloom_bits
+                )
         return self._blooms[ns]
 
     def check_and_add(self, ns: str, keys: np.ndarray) -> np.ndarray:
@@ -88,7 +97,7 @@ class SeenShard:
         In-batch duplicates follow first-wins: only the first occurrence
         of a new key reports True."""
         keys = np.asarray(keys, dtype=np.uint64)
-        if self.mode == "bloom":
+        if self.mode != "exact":
             return self._ns_bloom(ns).check_and_add(keys)
         st = self._ns_exact(ns)
         uniq, first_idx = np.unique(keys, return_index=True)
@@ -100,7 +109,7 @@ class SeenShard:
 
     def add(self, ns: str, keys: np.ndarray) -> int:
         keys = np.asarray(keys, dtype=np.uint64)
-        if self.mode == "bloom":
+        if self.mode != "exact":
             self._ns_bloom(ns).add(keys)
         else:
             st = self._ns_exact(ns)
@@ -110,18 +119,18 @@ class SeenShard:
 
     def contains(self, ns: str, keys: np.ndarray) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.uint64)
-        if self.mode == "bloom":
+        if self.mode != "exact":
             return self._ns_bloom(ns).contains(keys)
         return self._exact_contains(self._ns_exact(ns), keys)
 
     def count(self, ns: str) -> int:
-        if self.mode == "bloom":
+        if self.mode != "exact":
             return self._ns_bloom(ns).approx_count if ns in self._blooms else 0
         st = self._exact.get(ns)
         return (len(st["base"]) + st["n_pending"]) if st else 0
 
     def dump(self) -> bytes:
-        if self.mode == "bloom":
+        if self.mode != "exact":
             payload = {ns: bf.dump() for ns, bf in self._blooms.items()}
         else:
             payload = {
@@ -134,8 +143,17 @@ class SeenShard:
     def load(self, blob: bytes) -> None:
         d = pickle.loads(blob)
         self.mode = d["mode"]
-        if self.mode == "bloom":
-            self._blooms = {ns: BloomFilter.load(b) for ns, b in d["payload"].items()}
+        if self.mode != "exact":
+            from .cuckoo import CuckooFilter
+
+            self._blooms = {
+                ns: (
+                    CuckooFilter.load(b)
+                    if isinstance(b, dict) and b.get("kind") == "cuckoo"
+                    else BloomFilter.load(b)
+                )
+                for ns, b in d["payload"].items()
+            }
         else:
             self._exact = {}
             for ns, v in d["payload"].items():

@@ -1,0 +1,92 @@
+"""Cuckoo-filter unit tests (the deletable Bloom alternative the north
+rule names for URL-seen state)."""
+
+import numpy as np
+import pytest
+
+from snapcrawler_ray.state.cuckoo import CuckooFilter
+
+
+def test_membership_and_first_wins():
+    cf = CuckooFilter(10_000)
+    rng = np.random.RandomState(1)
+    keys = rng.randint(0, 2**62, 5000).astype(np.uint64)
+    new = cf.check_and_add(keys)
+    assert new.all()
+    assert cf.contains(keys).all()
+    # re-presentation: nothing new
+    assert not cf.check_and_add(keys).any()
+    # in-batch duplicates: first occurrence wins
+    fresh = rng.randint(0, 2**62, 10).astype(np.uint64) + np.uint64(2**63)
+    batch = np.concatenate([fresh, fresh])
+    mask = cf.check_and_add(batch)
+    assert mask[:10].all() and not mask[10:].any()
+
+
+def test_no_false_negatives_low_fpp():
+    cf = CuckooFilter(50_000)
+    rng = np.random.RandomState(2)
+    ins = rng.randint(0, 2**62, 40_000).astype(np.uint64)
+    cf.add(ins)
+    assert cf.contains(ins).all()  # cuckoo filters have no false negatives
+    probe = rng.randint(0, 2**62, 40_000).astype(np.uint64) + np.uint64(2**63)
+    fpp = cf.contains(probe).mean()
+    # 4×16-bit slots: theoretical ~2.4e-4; allow generous slack
+    assert fpp < 0.005, fpp
+
+
+def test_delete_restores_absence():
+    cf = CuckooFilter(1000)
+    keys = np.arange(1, 400, dtype=np.uint64) * np.uint64(2654435761)
+    cf.add(keys)
+    victims = keys[::7]
+    assert cf.delete(victims).all()
+    # deleted keys gone (modulo other keys' colliding fingerprints)
+    assert cf.contains(victims).mean() < 0.05
+    survivors = np.setdiff1d(keys, victims)
+    assert cf.contains(survivors).all()
+
+
+def test_dump_load_roundtrip():
+    cf = CuckooFilter(5000)
+    rng = np.random.RandomState(3)
+    keys = rng.randint(0, 2**62, 3000).astype(np.uint64)
+    cf.add(keys)
+    cf2 = CuckooFilter.load(cf.dump())
+    assert cf2.contains(keys).all()
+    assert cf2.approx_count == cf.approx_count
+    np.testing.assert_array_equal(cf2.table, cf.table)
+
+
+def test_full_filter_raises():
+    cf = CuckooFilter(64)
+    keys = np.arange(1, 5000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    with pytest.raises(RuntimeError, match="full"):
+        cf.add(keys)
+
+
+def test_scale_crawl_with_cuckoo_seen(small_corpus):
+    """Scale-mode crawl with seen_mode='cuckoo' visits the same URL set
+    as the bloom path (both approximate filters stay exact at this
+    cardinality)."""
+    from snapcrawler_ray.config import CrawlConfig, CrawlLimits, ScaleConfig
+    from snapcrawler_ray.pipelines.crawl import CrawlEngine
+    from snapcrawler_ray.sources.corpus import seeds_for
+
+    spec, path = small_corpus
+    seeds = seeds_for(spec, 4)
+
+    def run(mode):
+        cfg = CrawlConfig(
+            start_urls=tuple(seeds),
+            limits=CrawlLimits(max_depth=3),
+            scale=ScaleConfig(seen_mode=mode),
+        )
+        eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets,
+                          mode="scale")
+        try:
+            return set(eng.run().visits.column("url").to_pylist())
+        finally:
+            eng.shutdown()
+
+    assert run("cuckoo") == run("bloom")
