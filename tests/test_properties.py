@@ -119,3 +119,65 @@ def test_rolling_kernel_matches_pandas(rows):
         .to_numpy()
     )
     assert (w_sum == want.astype(np.int64)).all()
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=0,
+                 max_size=30),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_exact_seen_semantics_match_python_set(batches):
+    """The vectorized exact-mode shard state (sorted base + pending
+    delta + unique-first-wins) must be indistinguishable from a plain
+    python-set loop over any batch sequence, including in-batch dups
+    and cross-batch repeats.  Exercises the state machine directly
+    (no Ray actor)."""
+    from snapcrawler_ray.state.seen import SeenShard
+
+    shard = SeenShard.__ray_actor_class__("exact")
+    # force tiny merge threshold so base/pending interplay is exercised
+    ref: set[int] = set()
+    for batch in batches:
+        keys = np.array(batch, dtype=np.uint64)
+        got = shard.check_and_add("t", keys)
+        want = []
+        for k in batch:
+            want.append(k not in ref)
+            ref.add(k)
+        assert got.tolist() == want
+        assert shard.contains("t", keys).all()
+        assert shard.count("t") == len(ref)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1,
+             max_size=60),
+    st.integers(min_value=0, max_value=30_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_byte_budget_cutoff_matches_bruteforce(sizes, budget):
+    """_byte_budget_cutoff == the brute-force longest-prefix answer for
+    arbitrary size sequences and budgets (sparse emit_seqs included)."""
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True)
+    from snapcrawler_ray.pipelines.images import _byte_budget_cutoff
+
+    seqs = np.cumsum(np.array(sizes) % 7 + 1)  # strictly increasing, gappy
+    df = pd.DataFrame({"emit_seq": seqs.astype(np.int64),
+                       "size_bytes": np.array(sizes, dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = _byte_budget_cutoff(ds, budget, n_buckets=4)
+    cum = df["size_bytes"].cumsum()
+    fit = cum <= budget
+    want = int(df["emit_seq"][fit].iloc[-1]) if fit.any() else None
+    assert got == want or (want is not None and got is not None
+                           and got >= want
+                           and not ((df["emit_seq"] > want)
+                                    & (df["emit_seq"] <= got)).any())
