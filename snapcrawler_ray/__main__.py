@@ -138,18 +138,24 @@ def main(argv: list[str] | None = None) -> int:
                            os.path.join(args.out, "visits.parquet"))
             pq.write_table(res.emissions,
                            os.path.join(args.out, "emissions.parquet"))
-            meta = run_image_pipeline(
+            run_image_pipeline(
                 res.emissions, cfg.images,
                 out_dir=os.path.join(args.out, "accepted"),
                 max_images=cfg.limits.max_images,
                 max_bytes=int(cfg.limits.max_folder_size_mb * 2**20),
             )
-            import pyarrow.compute as pc
+            import glob as _glob
 
-            n_acc = meta.map_batches(
-                lambda b: b.filter(pc.equal(b.column("reason"), "")),
-                batch_format="pyarrow",
-            ).count()
+            # count what was actually WRITTEN (the max_images/max_bytes
+            # budgets truncate the sink below the raw accepted count) —
+            # parquet footers only, no data read
+            n_acc = sum(
+                pq.read_metadata(f).num_rows
+                for f in _glob.glob(
+                    os.path.join(args.out, "accepted", "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
             print(json.dumps({"accepted_images": n_acc,
                               "out": args.out}))
     finally:

@@ -180,12 +180,12 @@ def web_training_corpus(
     ``visits`` is the engine's visits Arrow table; ``corpus_dir`` the
     bucketed corpus parquet dir.
     """
-    import pyarrow as pa
+    import pyarrow.compute as pc
 
     from .text import round4_half_away
 
     ok = visits.filter(
-        pa.compute.equal(visits.column("status"), "ok")
+        pc.equal(visits.column("status"), "ok")
     ).select(["seq", "url"])
     n_blocks = max(1, min(16, ok.num_rows // 2000 + 1))
     v_ds = ray.data.from_arrow(ok).repartition(n_blocks)

@@ -257,6 +257,15 @@ class CrawlEngine:
         # shards (scale path: each host's owner actor answers); the
         # driver keeps a rules dict ONLY for the exact-mode replay
         # predicate (verification mode is documented driver-heavy).
+        if self.cfg.respect_robots_txt and not robots_payloads:
+            # enforcing an absent rule set would silently crawl
+            # unfiltered (worse on resume: pre-crash rounds filtered,
+            # post-resume ones wouldn't) — demand the rules explicitly
+            raise ValueError(
+                "respect_robots_txt=True but no robots_payloads were "
+                "passed to CrawlEngine (use --robots-dir from the CLI); "
+                "pass the per-host robots.txt bodies or disable the flag"
+            )
         self._robots_enabled = bool(
             self.cfg.respect_robots_txt and robots_payloads
         )
@@ -671,13 +680,23 @@ class CrawlEngine:
             self.pool = None
             blocked = None
             if self._robots_enabled:
-                from ..state.robots import robots_allowed, url_host_path
+                from urllib.parse import urlsplit
+
+                from ..state.robots import robots_allowed
 
                 rules = self._robots_rules
 
                 def blocked(url: str) -> bool:
-                    h, p = url_host_path([url])
-                    return not robots_allowed(rules.get(str(h[0]), []), p)[0]
+                    # called once per replayed URL — plain urlsplit, no
+                    # pandas machinery on the driver hot path; host is
+                    # lowercased/port-stripped like url_host_path
+                    sp = urlsplit(url)
+                    r = rules.get(sp.hostname or "", [])
+                    if not r:
+                        return False
+                    return not robots_allowed(
+                        r, np.array([sp.path or "/"], dtype=object)
+                    )[0]
 
             trace = replay_crawl(
                 self.seeds,

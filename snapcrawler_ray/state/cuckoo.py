@@ -104,7 +104,10 @@ class CuckooFilter:
     def add(self, keys: np.ndarray) -> None:
         if len(keys) == 0:
             return
-        keys = np.asarray(keys, dtype=np.uint64)
+        # unique first: in-batch duplicates must not insert multiple
+        # fingerprint copies (they would inflate approx_count, waste
+        # slots toward a premature "full", and break single delete())
+        keys = np.unique(np.asarray(keys, dtype=np.uint64))
         new = ~self.contains(keys)
         fp, i1, i2 = self._parts(keys[new])
         for j in range(len(fp)):

@@ -35,6 +35,14 @@ def test_no_false_negatives_low_fpp():
     assert fpp < 0.005, fpp
 
 
+def test_add_dedupes_in_batch():
+    cf = CuckooFilter(1000)
+    cf.add(np.array([5, 5, 5, 7], dtype=np.uint64))
+    assert cf.approx_count == 2
+    assert cf.delete(np.array([5], dtype=np.uint64)).all()
+    assert not cf.contains(np.array([5], dtype=np.uint64))[0]
+
+
 def test_delete_restores_absence():
     cf = CuckooFilter(1000)
     keys = np.arange(1, 400, dtype=np.uint64) * np.uint64(2654435761)
