@@ -22,22 +22,25 @@ import pyarrow as pa
 
 def _to_gray(px: np.ndarray) -> np.ndarray:
     if px.ndim == 3:
-        return (
-            0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-        ).astype(np.float64)
+        # in-place accumulation, same left-to-right op order as
+        # 0.299a + 0.587b + 0.114c — bit-identical, fewer temporaries
+        g = 0.299 * px[..., 0]
+        g += 0.587 * px[..., 1]
+        g += 0.114 * px[..., 2]
+        return g
     return px.astype(np.float64)
 
 
 def _laplacian_var(gray: np.ndarray) -> float:
     if gray.shape[0] < 3 or gray.shape[1] < 3:
         return 0.0
-    lap = (
-        -4 * gray[1:-1, 1:-1]
-        + gray[:-2, 1:-1]
-        + gray[2:, 1:-1]
-        + gray[1:-1, :-2]
-        + gray[1:-1, 2:]
-    )
+    # in-place stencil, same accumulation order as the one-expression
+    # form (((-4c+u)+d)+l)+r — bit-identical, 1 temporary instead of 4
+    lap = -4.0 * gray[1:-1, 1:-1]
+    lap += gray[:-2, 1:-1]
+    lap += gray[2:, 1:-1]
+    lap += gray[1:-1, :-2]
+    lap += gray[1:-1, 2:]
     return float(lap.var())
 
 
@@ -67,9 +70,11 @@ def quality_score(px: np.ndarray) -> float:
     # channels, so the distinct count equals row-wise np.unique(axis=0)
     # — which lexsorts structured rows and is ~100x slower
     flat = px.reshape(-1, px.shape[-1]) if px.ndim == 3 else px.reshape(-1, 1)
-    packed = np.zeros(flat.shape[0], dtype=np.uint64)
+    # ≤4 uint8 channels always fit uint32 — half the memory traffic of
+    # the former uint64 fold, identical packed integers
+    packed = np.zeros(flat.shape[0], dtype=np.uint32)
     for ch in range(flat.shape[1]):
-        packed = (packed << np.uint64(8)) | flat[:, ch].astype(np.uint64)
+        packed = (packed << np.uint32(8)) | flat[:, ch].astype(np.uint32)
     if flat.shape[1] <= 3:
         # ≤24-bit color space: exact distinct count via a presence
         # bitmap (calloc + scatter + popcount) — same value as
