@@ -55,13 +55,15 @@ def gen_pixels(seed: int, width: int, height: int, mode: str) -> np.ndarray:
     v = np.arange(height, dtype=np.float64) / max(1, height)
     sin_u = np.sin(2 * np.pi * fx * u + px_)
     cos_v = np.cos(2 * np.pi * fy * v + py_)
-    g = (
-        127
-        + 55 * sin_u[None, :] * cos_v[:, None]
-        + (gx * u)[None, :]
-        + (gy * v)[:, None]
-    )
-    g = np.clip(g, 0, 255).astype(np.uint8)
+    # in-place accumulation preserving the original op order
+    # ((127 + (55·sin)·cos) + rampx) + rampy — bit-identical with one
+    # full-size temporary instead of four
+    g = (55 * sin_u)[None, :] * cos_v[:, None]
+    g += 127
+    g += (gx * u)[None, :]
+    g += (gy * v)[:, None]
+    np.clip(g, 0, 255, out=g)
+    g = g.astype(np.uint8)
     if mode == "L":
         return g
     # channel maps precomputed as 256-entry LUTs (bit-identical to the
