@@ -123,6 +123,11 @@ def _unfilter(stream: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
     rowlen = w * ch
     stream = stream.reshape(h, rowlen + 1)
     ftypes = stream[:, 0]
+    if not ftypes.any():
+        # every scanline filter-0 (what encode_png writes): the
+        # unfiltered data IS the payload — one contiguous slice copy,
+        # no int32 conversion or per-row loop
+        return np.ascontiguousarray(stream[:, 1:])
     data = stream[:, 1:].astype(np.int32)
     out = np.zeros((h, rowlen), dtype=np.int32)
     for y in range(h):
