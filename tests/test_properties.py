@@ -181,3 +181,56 @@ def test_byte_budget_cutoff_matches_bruteforce(sizes, budget):
                            and got >= want
                            and not ((df["emit_seq"] > want)
                                     & (df["emit_seq"] <= got)).any())
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["add", "check", "delete"]),
+            st.lists(st.integers(min_value=0, max_value=60), min_size=0,
+                     max_size=20),
+        ),
+        min_size=1, max_size=10,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_cuckoo_vs_reference_set(ops):
+    """Cuckoo filter vs a python set over arbitrary op sequences: never
+    a false negative; check_and_add first-wins matches the set exactly
+    (no false positives either at this tiny cardinality vs capacity);
+    delete removes exactly the present keys."""
+    from snapcrawler_ray.state.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(10_000)
+    ref: set[int] = set()
+    for op, vals in ops:
+        keys = np.array(vals, dtype=np.uint64)
+        if op == "add":
+            cf.add(keys)
+            ref.update(vals)
+        elif op == "check":
+            got = cf.check_and_add(keys)
+            want = []
+            for k in vals:
+                want.append(k not in ref)
+                ref.add(k)
+            assert got.tolist() == want
+        else:
+            got = cf.delete(keys)
+            want = []
+            seen_in_batch: set[int] = set()
+            for k in vals:
+                present = k in ref and k not in seen_in_batch
+                # delete removes one copy; keys are unique in the
+                # filter, so a second delete of the same key in one
+                # batch fails
+                want.append(present)
+                if present:
+                    seen_in_batch.add(k)
+                    ref.discard(k)
+            assert got.tolist() == want
+        # invariant: every reference member is contained (no false negs)
+        if ref:
+            arr = np.array(sorted(ref), dtype=np.uint64)
+            assert cf.contains(arr).all()
+        assert cf.approx_count == len(ref)
