@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": relational.events_retention,
         "events_value_quantiles": relational.events_value_quantiles,
         "events_value_quantiles_hist": relational.events_value_quantiles_hist,
+        "events_daily_anomalies": relational.events_daily_anomalies,
         "orders_rollup": relational.orders_rollup,
         "cust_no_big_order": relational.customers_without_orders,
         "docs_top_quality": lambda d: text.top_quality_per_source(d),
@@ -847,6 +848,26 @@ def oracle_sql() -> dict[str, str]:
             "9223372036854775808 THEN coalesce(s.v, 0) - "
             "18446744073709551616 ELSE coalesce(s.v, 0) END AS BIGINT) "
             "AS simhash FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "events_daily_anomalies": (
+            # |z| >= 2 daily-count outliers per event type; mean/var
+            # derive from exact integer sums and the float op order
+            # (int/int div → sqrt → int*float mult → int/float div)
+            # mirrors the engine bit-for-bit
+            "WITH d AS (SELECT date_trunc('day', ts) AS day, event_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS days, "
+            "CAST(sum(n) AS BIGINT) AS tot, "
+            "CAST(sum(n * n) AS BIGINT) AS ss FROM d GROUP BY event_type) "
+            "SELECT d.day, d.event_type, d.n, "
+            "(d.n * s.days - s.tot) / (s.days * "
+            "sqrt((s.days * s.ss - s.tot * s.tot) / "
+            "(s.days * (s.days - 1)))) AS z "
+            "FROM d JOIN s USING (event_type) "
+            "WHERE s.days >= 2 AND (s.days * s.ss - s.tot * s.tot) > 0 "
+            "AND abs((d.n * s.days - s.tot) / (s.days * "
+            "sqrt((s.days * s.ss - s.tot * s.tot) / "
+            "(s.days * (s.days - 1))))) >= 2.0"
         ),
         "docs_unigram_surprisal": (
             # unigram LM: per-token surprisal -ln(cnt/total) rounded

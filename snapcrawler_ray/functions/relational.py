@@ -1091,3 +1091,58 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"promo_revenue": [100.0 * promo_u / total_u if total_u else 0.0]}
     )
+
+
+def events_daily_anomalies(sf_dir: str, z_threshold: float = 2.0) -> pd.DataFrame:
+    """day, event_type, n, z — days whose event count deviates ≥
+    ``z_threshold`` sample standard deviations from the event type's
+    daily mean (monitoring / data-quality anomaly detection).
+
+    Exactness: daily counts reduce to integers (per-batch partials +
+    tiny driver fold over days × types); mean/variance derive from the
+    exact integer sums with the IDENTICAL float op order as the SQL
+    oracle — z = (n·days − total) / (days · sqrt((days·Σn² − total²) /
+    (days·(days−1)))) — so doubles match bit-for-bit and the ≥
+    threshold cut is driver-hash-stable."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"day": df["ts"].dt.floor("D"), "event_type": df["event_type"],
+             "n": 1}
+        ).groupby(["day", "event_type"], as_index=False).sum()
+
+    daily = (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["day", "event_type"], as_index=False)
+        .sum()
+    )
+    out_rows = []
+    for et, g in daily.groupby("event_type"):
+        n = g["n"].to_numpy(np.int64)
+        days = np.int64(len(n))
+        if days < 2:
+            continue
+        tot = np.int64(n.sum())
+        ss = np.int64((n * n).sum())
+        var_num = days * ss - tot * tot
+        denom = days * (days - np.int64(1))
+        std = np.sqrt(var_num / denom)
+        if std == 0:
+            continue
+        z = (n * days - tot) / (days * std)
+        keep = np.abs(z) >= z_threshold
+        for d, ni, zi in zip(g["day"].to_numpy()[keep], n[keep], z[keep]):
+            out_rows.append((d, et, int(ni), float(zi)))
+    out = pd.DataFrame(out_rows, columns=["day", "event_type", "n", "z"])
+    if out.empty:
+        return pd.DataFrame(
+            {"day": pd.Series([], dtype="datetime64[us]"),
+             "event_type": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype="int64"),
+             "z": pd.Series([], dtype="float64")}
+        )
+    out["day"] = out["day"].astype("datetime64[us]")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)

@@ -84,6 +84,7 @@ def test_all_query_names_have_callables(contract):
         "cust_no_big_order", "orders_rollup", "events_funnel",
         "events_retention", "part_type_stats",
         "events_value_quantiles", "events_value_quantiles_hist",
+        "events_daily_anomalies",
         "docs_top_quality", "docs_decontaminate", "emb_cluster_counts",
         "emb_cluster_quality", "docs_stratified_sample",
         "docs_adaptive_quality", "docs_vocab_overlap", "docs_tfidf_terms",
