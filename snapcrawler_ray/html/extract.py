@@ -99,8 +99,30 @@ def _is_image_page(url: str, commons_base: bool) -> bool:
     return any(p in low for p in _IMAGE_PAGE_PATTERNS)
 
 
+def _collect_nodes(root: Node):
+    """ONE pre-order walk collecting the five node sets the extractor
+    queries (what five find_all calls would return, same document
+    order) — the tree is traversed once per page instead of five
+    times."""
+    imgs, dfu, styled, style_tags, anchors = [], [], [], [], []
+    for n in root.iter_nodes():
+        nm = n.name
+        if nm == "img":
+            imgs.append(n)
+        elif nm == "style":
+            style_tags.append(n)
+        elif nm == "a" and n.attrs.get("href") is not None:
+            anchors.append(n)
+        if "data-file-url" in n.attrs:
+            dfu.append(n)
+        if n.attrs.get("style") is not None:
+            styled.append(n)
+    return imgs, dfu, styled, style_tags, anchors
+
+
 def extract_images(
-    root: Node, base_url: str, min_commons_thumb_px: int | None = None
+    root: Node, base_url: str, min_commons_thumb_px: int | None = None,
+    collected=None,
 ) -> tuple[list[str], list[str]]:
     """Returns ``(sorted unique image urls, image-page candidates)``.
 
@@ -111,8 +133,11 @@ def extract_images(
     """
     images: list[str] = []
     image_pages: list[str] = []
+    if collected is None:
+        collected = _collect_nodes(root)
+    imgs, dfu, styled, style_tags, _ = collected
 
-    for img in root.find_all("img"):
+    for img in imgs:
         src = img.get("src") or img.get("data-src") or img.get("data-lazy-src")
         if src:
             absolute = _urljoin(base_url, src)
@@ -126,20 +151,20 @@ def extract_images(
             elif is_image_page_url(absolute_href, base_url):
                 image_pages.append(absolute_href)
 
-    for element in root.find_all(attrs={"data-file-url": True}):
+    for element in dfu:
         file_url = element.get("data-file-url")
         if file_url:
             absolute = _urljoin(base_url, file_url)
             if is_valid_image_url(absolute, min_commons_thumb_px):
                 images.append(absolute)
 
-    for element in root.find_all(style=True):
+    for element in styled:
         for u in _CSS_URL_RE.findall(element.get("style") or ""):
             absolute = _urljoin(base_url, u)
             if is_valid_image_url(absolute, min_commons_thumb_px):
                 images.append(absolute)
 
-    for style_tag in root.find_all("style"):
+    for style_tag in style_tags:
         s = style_tag.string
         if s:
             for u in _CSS_URL_RE.findall(s):
@@ -150,7 +175,9 @@ def extract_images(
     return sorted(set(images)), image_pages
 
 
-def extract_links(root: Node, base_url: str, allowed_domains: list[str]) -> list[str]:
+def extract_links(
+    root: Node, base_url: str, allowed_domains: list[str], anchors=None
+) -> list[str]:
     """Document-order same-domain http(s) links (crawling_module.py:343-360).
 
     The reference also drops already-visited links here; that check is a
@@ -159,7 +186,9 @@ def extract_links(root: Node, base_url: str, allowed_domains: list[str]) -> list
     """
     links: list[str] = []
     allowed = set(allowed_domains)
-    for a_tag in root.find_all("a", href=True):
+    if anchors is None:
+        anchors = root.find_all("a", href=True)
+    for a_tag in anchors:
         href = a_tag.get("href")
         if href:
             absolute = _urljoin(base_url, href)
@@ -217,8 +246,11 @@ def extract_page(
     links (doc order, dups), text, content_md5.
     """
     root = parse_html(html)
-    images, image_pages = extract_images(root, url, min_commons_thumb_px)
-    links = extract_links(root, url, allowed_domains)
+    collected = _collect_nodes(root)
+    images, image_pages = extract_images(
+        root, url, min_commons_thumb_px, collected=collected
+    )
+    links = extract_links(root, url, allowed_domains, anchors=collected[4])
     return {
         "url": url,
         "image_urls": images,
