@@ -78,6 +78,10 @@ def _run_crawl(sf_dir: str):
     os.makedirs(d, exist_ok=True)
     pq.write_table(res.visits, os.path.join(d, "visits.parquet"))
     pq.write_table(res.emissions, os.path.join(d, "emissions.parquet"))
+    # the scheduler-oracle edge table: url → (md5, images, cascades,
+    # links); the crawl_visits/crawl_emissions/crawl_seen_set oracles
+    # re-derive the whole crawl from it with a recursive CTE
+    pq.write_table(eng.extraction_meta(), os.path.join(d, "meta.parquet"))
     _CRAWL_CACHE[key] = (res, cfg)
     return res, cfg
 
@@ -306,8 +310,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Exact-mode crawl with respect_robots_txt: /photo/ disallowed
         for the two heaviest hosts — their cascade pages disappear from
         the visit table (Scrapy IgnoreRequest semantics: no visit, no
-        request).  Rows-only; replay-oracle equality under the same
-        rules is asserted in tests/test_crawl.py."""
+        request).  SQL-oracled: the run's own extraction-meta parquet +
+        the recursive-CTE replay with the blocked predicate re-derive
+        the visit table; replay-oracle equality under the same rules is
+        additionally asserted in tests/test_crawl.py."""
         from snapcrawler_ray.config import CrawlConfig, CrawlLimits
         from snapcrawler_ray.pipelines.crawl import CrawlEngine
         from snapcrawler_ray.sources.corpus import host_name, seeds_for
@@ -330,9 +336,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 robots_payloads=payloads,
             )
             try:
-                _CRAWL_CACHE[key] = eng.run().visits
+                visits = eng.run().visits
             finally:
                 eng.shutdown()
+            import pyarrow.parquet as pq
+
+            d = _oracle_tbl_dir(sf_dir)
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                eng.extraction_meta(), os.path.join(d, "robots_meta.parquet")
+            )
+            _CRAWL_CACHE[key] = visits
         return _CRAWL_CACHE[key]
 
     # ENTRY ORDER IS DELIBERATE.  The r02 driver recorded CORRECTNESS
@@ -469,6 +483,126 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _crawl_sim_sql(meta_pq: str, seeds: list[str], max_depth: int,
+                   blocked: str | None = None) -> str:
+    """DuckDB WITH-RECURSIVE serial replay of the reference crawl loop
+    — the independent crawl-SCHEDULER oracle.
+
+    One recursion row per queue pop over the engine-written extraction
+    -meta parquet (url → md5/image/cascade/link lists), reproducing the
+    reference semantics exactly (crawling_module.py:80-189): FIFO queue
+    seeded in order, mark-seen-at-enqueue (:149-152), cascade
+    image-pages ``insert(0)``-ed per item in list order ⇒ reversed, at
+    the SAME depth (:127-145), MD5 first-visit-wins page dedup
+    (:227-234 — dup pages contribute no images/links), fetch miss = no
+    meta row.  Links past the depth cutoff are marked seen but never
+    enqueued — the replay pops-and-skips them (:99-100), so eliding the
+    pop is behavior-identical and halves the recursion depth.
+
+    ``blocked`` (optional) is a SQL predicate over ``s.queue[1].url``
+    implementing the robots-disallow drop: popped-and-skipped before
+    fetch, no visit row (Scrapy IgnoreRequest semantics).
+
+    Returns the WITH-RECURSIVE prefix ending in the ``sim`` CTE; the
+    caller appends a final SELECT (visits / emissions / seen set)."""
+    seed_vals = ", ".join(f"('{u}', {i})" for i, u in enumerate(seeds))
+    skip = f"s.queue[1].depth >= {max_depth}" if max_depth > 0 else "false"
+    if blocked:
+        skip = f"({skip} OR {blocked})"
+    enq_lnk = (
+        f"CASE WHEN cur_depth + 1 >= {max_depth} "
+        "THEN CAST([] AS VARCHAR[]) ELSE new_lnk END"
+        if max_depth > 0
+        else "new_lnk"
+    )
+    return f"""
+WITH RECURSIVE
+meta AS (SELECT * FROM read_parquet('{meta_pq}')),
+seeds(u, ord) AS (VALUES {seed_vals}),
+sim AS (
+  SELECT
+    0 AS step,
+    (SELECT list({{'url': u, 'depth': 0, 'cascade': false}} ORDER BY ord)
+     FROM seeds) AS queue,
+    (SELECT list(u ORDER BY ord) FROM seeds) AS seen,
+    CAST([] AS VARCHAR[]) AS hashes,
+    CAST(NULL AS VARCHAR) AS url, CAST(NULL AS INTEGER) AS depth,
+    CAST(NULL AS BOOLEAN) AS cascade, CAST(NULL AS VARCHAR) AS status,
+    CAST(0 AS INTEGER) AS n_images, CAST(0 AS INTEGER) AS new_links,
+    false AS visited
+  UNION ALL
+  SELECT
+    step + 1,
+    CASE WHEN skip THEN rest
+         ELSE list_reverse(list_transform(new_casc,
+                x -> {{'url': x, 'depth': cur_depth, 'cascade': true}}))
+              || rest
+              || list_transform({enq_lnk},
+                x -> {{'url': x, 'depth': cur_depth + 1, 'cascade': false}})
+    END AS queue,
+    CASE WHEN skip THEN seen ELSE seen || new_casc || new_lnk END AS seen,
+    CASE WHEN st = 'ok' THEN hashes || [md5v] ELSE hashes END AS hashes,
+    cur_url, cur_depth, cur_casc, st,
+    CAST(CASE WHEN st = 'ok' THEN coalesce(len(imgs), 0) ELSE 0 END
+         AS INTEGER),
+    CAST(coalesce(len(new_lnk), 0) AS INTEGER),
+    NOT skip
+  FROM (
+    SELECT *,
+      CASE WHEN st = 'ok'
+        THEN list_filter(ip_dedup, x -> NOT list_contains(seen, x))
+        ELSE CAST([] AS VARCHAR[]) END AS new_casc,
+      CASE WHEN st = 'ok'
+        THEN list_filter(lk_dedup, x -> NOT (list_contains(seen, x)
+          OR list_contains(list_filter(ip_dedup,
+               y -> NOT list_contains(seen, y)), x)))
+        ELSE CAST([] AS VARCHAR[]) END AS new_lnk
+    FROM (
+      SELECT
+        s.step, s.queue[2:] AS rest, s.seen, s.hashes,
+        s.queue[1].url AS cur_url, s.queue[1].depth AS cur_depth,
+        s.queue[1].cascade AS cur_casc,
+        ({skip}) AS skip,
+        CASE WHEN {skip} THEN NULL
+             WHEN m.url IS NULL THEN 'miss'
+             WHEN list_contains(s.hashes, m.content_md5) THEN 'dup'
+             ELSE 'ok' END AS st,
+        m.content_md5 AS md5v, m.image_urls AS imgs,
+        list_filter(m.image_page_urls,
+          (x, i) -> list_position(m.image_page_urls, x) = i) AS ip_dedup,
+        list_filter(m.links,
+          (x, i) -> list_position(m.links, x) = i) AS lk_dedup
+      FROM sim s LEFT JOIN meta m ON m.url = s.queue[1].url
+      WHERE len(s.queue) > 0
+    )
+  )
+)"""
+
+
+_SIM_VISITS_SELECT = (
+    " SELECT CAST(row_number() OVER (ORDER BY step) - 1 AS BIGINT) AS seq,"
+    " url, depth, cascade, status, n_images, new_links"
+    " FROM sim WHERE visited"
+)
+
+_SIM_EMISSIONS_SELECT = (
+    ", v AS (SELECT CAST(row_number() OVER (ORDER BY step) - 1 AS BIGINT)"
+    " AS seq, url, depth, status FROM sim WHERE visited),"
+    " ok AS (SELECT v.seq, v.url AS source_page, v.depth,"
+    " m.image_urls AS il FROM v JOIN meta m ON m.url = v.url"
+    " WHERE v.status = 'ok'),"
+    " e AS (SELECT seq, source_page, depth, il[g] AS iu, g"
+    " FROM ok, unnest(generate_series(1, len(il))) AS t(g))"
+    " SELECT CAST(row_number() OVER (ORDER BY seq, g) - 1 AS BIGINT)"
+    " AS emit_seq, iu AS url, source_page, depth FROM e"
+)
+
+_SIM_SEEN_SELECT = (
+    " SELECT unnest(seen) AS url FROM sim"
+    " WHERE step = (SELECT max(step) FROM sim)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     n_tokens = (
         r"CASE WHEN trim(text) = '' THEN 0 "
@@ -540,17 +674,42 @@ def oracle_sql() -> dict[str, str]:
     # distributed aggregation is what gets checked; visit-set parity
     # itself is enforced by the replay oracle in tests/test_crawl.py.
     visits_pq = f"read_parquet('{_oracle_tbl_dir('sf0.01')}/visits.parquet')"
-    from snapcrawler_ray.sources.corpus import CorpusSpec, corpus_path
+    from snapcrawler_ray.sources.corpus import (
+        CorpusSpec,
+        corpus_path,
+        host_name,
+        seeds_for,
+    )
 
+    _spec01 = CorpusSpec(seed=42, n_pages=2000, n_hosts=20, buckets=32)
     corpus_pq = (
         "read_parquet('"
-        + corpus_path(
-            _CORPUS_CACHE_ROOT,
-            CorpusSpec(seed=42, n_pages=2000, n_hosts=20, buckets=32),
-        )
+        + corpus_path(_CORPUS_CACHE_ROOT, _spec01)
         + "/bucket=*/part-0.parquet')"
     )
+    # The crawl-scheduler oracle: a recursive-CTE replay over the
+    # engine-written extraction-meta parquet re-derives visit table,
+    # image-emission order and seen set from the seeds alone (the
+    # driver runs queries() first, which writes the parquet).
+    _seeds01 = seeds_for(_spec01)
+    _sim = _crawl_sim_sql(
+        f"{_oracle_tbl_dir('sf0.01')}/meta.parquet", _seeds01, max_depth=4
+    )
+    _robots_blocked = " OR ".join(
+        f"starts_with(s.queue[1].url, 'https://{host_name(h)}/photo/')"
+        for h in (0, 1)
+    )
+    _robots_sim = _crawl_sim_sql(
+        f"{_oracle_tbl_dir('sf0.01')}/robots_meta.parquet",
+        _seeds01,
+        max_depth=4,
+        blocked=f"({_robots_blocked})",
+    )
     return {
+        "crawl_visits": _sim + _SIM_VISITS_SELECT,
+        "crawl_emissions": _sim + _SIM_EMISSIONS_SELECT,
+        "crawl_seen_set": _sim + _SIM_SEEN_SELECT,
+        "crawl_robots_visits": _robots_sim + _SIM_VISITS_SELECT,
         "web_training_corpus": (
             # crawl×webtext bridge: ok-visits ⋈ corpus text → lang +
             # quality gates → first-crawled-wins (min seq) md5 dedup

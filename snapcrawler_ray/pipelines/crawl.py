@@ -59,6 +59,11 @@ META_COLS = [
     "content_md5", "image_urls", "image_page_urls", "links",
 ]
 
+# The scheduler-oracle edge table: everything the BFS replay consumes
+ORACLE_META_COLS = [
+    "url", "content_md5", "image_urls", "image_page_urls", "links",
+]
+
 
 @dataclass
 class Wave:
@@ -791,6 +796,30 @@ class CrawlEngine:
             num_visits=num_visits,
             num_emissions=num_emissions,
         )
+
+    def extraction_meta(self) -> pa.Table:
+        """Per-page extraction metadata (url-deduped) for the crawl
+        SCHEDULER oracle: url → (content_md5, image_urls,
+        image_page_urls, links).  Written to Parquet alongside visits,
+        it is the edge table over which a DuckDB recursive-CTE replay
+        (``__ray_entry__._crawl_sim_sql``) independently re-derives the
+        visit table, seen set and depth labels from the seeds
+        (reference semantics: crawling_module.py:96-153, mark-seen-at-
+        enqueue :149-152).  Exact mode only (the store is the replay's
+        own input; duplicate fetches across rounds carry identical
+        extraction, so first-per-url wins arbitrarily)."""
+        cols = ORACLE_META_COLS
+        tables = [t.select(cols) for t in self._meta._tables]
+        if not tables:
+            return pa.schema(
+                [f for f in _base_schema() if f.name in cols]
+            ).empty_table()
+        t = pa.concat_tables(tables)
+        urls = t.column("url").to_numpy(zero_copy_only=False)
+        _, first = np.unique(urls, return_index=True)
+        if len(first) == t.num_rows:
+            return t
+        return t.take(pa.array(np.sort(first)))
 
     def shutdown(self) -> None:
         if self.pool is not None:
