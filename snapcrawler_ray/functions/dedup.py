@@ -451,8 +451,10 @@ def _md5_u64(tokens: np.ndarray) -> np.ndarray:
     """uint64 token hash = first 8 bytes of md5, big-endian — exactly
     DuckDB's ``CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT)``,
     which makes the SimHash SQL-oracle-able.  Hash once per *unique*
-    token in the batch (np.unique + inverse scatter)."""
-    uniq, inv = np.unique(tokens, return_inverse=True)
+    token in the batch (``pd.factorize`` — hash-table dedup, no object
+    sort — + inverse scatter; the md5 loop itself is µs-scale even at
+    10^5-token vocabularies)."""
+    inv, uniq = pd.factorize(tokens)
     vals = np.fromiter(
         (
             int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
@@ -467,8 +469,11 @@ def _md5_u64(tokens: np.ndarray) -> np.ndarray:
 def _simhash_batch(texts: pd.Series) -> np.ndarray:
     """Vectorized 64-bit SimHash for a whole batch: md5-derived token
     hashes (SQL-expressible — see :func:`_md5_u64`), bit-unpack to a
-    (n_tokens, 64) ±1 matrix, segment-sum per doc with
-    ``np.add.reduceat``, sign → packed uint64.  Empty docs hash to 0."""
+    (n_tokens, 64) uint8 matrix, per-doc bit-count via one int32
+    ``cumsum`` + segment difference (the r3 ``astype(int32)`` +
+    ``np.add.reduceat`` pair was 2.0 s per 270k tokens; cumsum keeps
+    the bit matrix uint8 and one memory pass), then sign of
+    2·count − len → packed uint64.  Empty docs hash to 0."""
     import itertools
 
     t = texts.fillna("").str.strip()
@@ -486,13 +491,16 @@ def _simhash_batch(texts: pd.Series) -> np.ndarray:
         list(itertools.chain.from_iterable(toks)), dtype=object
     )
     th = _md5_u64(flat)  # uint64 per token
-    # (n_tokens, 64) bit matrix → ±1 contributions
     bits = np.unpackbits(
         th.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1
-    ).astype(np.int32)
-    contrib = 2 * bits - 1
-    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    acc = np.add.reduceat(contrib, starts[nonempty], axis=0)
+    )  # (n_tokens, 64) uint8 — never widened
+    csum = np.zeros((len(flat) + 1, 64), dtype=np.int32)
+    np.cumsum(bits, axis=0, dtype=np.int32, out=csum[1:])
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    cnt = csum[ends[nonempty]] - csum[starts[nonempty]]
+    # bit set iff Σ(±1) > 0 ⇔ 2·count − n_tokens > 0
+    acc = 2 * cnt - lens[nonempty, None]
     packed = np.packbits((acc > 0).astype(np.uint8), axis=1)
     vals = packed.astype(np.uint64) @ (
         np.uint64(1) << (np.arange(7, -1, -1, dtype=np.uint64) * np.uint64(8))
@@ -521,9 +529,9 @@ def simhashes(sf_dir: str) -> "ray.data.Dataset":
 
     from .io import read_table
 
-    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        f, batch_format="pandas"
-    )
+    return read_table(
+        sf_dir, "documents", ["doc_id", "text"], rows_per_block=512
+    ).map_batches(f, batch_format="pandas")
 
 
 # -------------------------------------------------- corpus cleansing

@@ -20,10 +20,14 @@ import ray
 
 
 def read_table(sf_dir: str, name: str, columns: list[str],
-               blocks: int = 32) -> "ray.data.Dataset":
+               blocks: int = 32,
+               rows_per_block: int = 2000) -> "ray.data.Dataset":
+    """``rows_per_block`` tunes the block split for the stage's per-row
+    cost: CPU-heavy kernels (SimHash, shingling) pass a smaller value
+    so the map stage fans out across cores even on small tables."""
     path = f"{sf_dir}/{name}.parquet"
     n = pq.read_metadata(path).num_rows  # footer only — no scan
-    n_blocks = max(1, min(blocks, n // 2000 + 1))
+    n_blocks = max(1, min(blocks, n // rows_per_block + 1))
     return ray.data.read_parquet(
         path, columns=columns, override_num_blocks=n_blocks
     )
