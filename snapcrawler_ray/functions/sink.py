@@ -26,15 +26,20 @@ import ray
 _PART = "_part"
 
 
-def _done_parts(out_dir: str) -> set[int]:
+def _done_parts(out_dir: str, run_tag: str) -> set[int]:
+    """Partitions whose _SUCCESS marker exists AND carries the current
+    run tag.  A marker from a run with a different config counts as
+    stale, not done — otherwise a re-run into the same out dir with a
+    changed config would silently keep the previous run's rows."""
     if not os.path.isdir(out_dir):
         return set()
     done = set()
     for d in os.listdir(out_dir):
-        if d.startswith(f"{_PART}=") and os.path.exists(
-            os.path.join(out_dir, d, "_SUCCESS")
-        ):
-            done.add(int(d.split("=", 1)[1]))
+        marker = os.path.join(out_dir, d, "_SUCCESS")
+        if d.startswith(f"{_PART}=") and os.path.exists(marker):
+            with open(marker) as f:
+                if f.read() == run_tag:
+                    done.add(int(d.split("=", 1)[1]))
     return done
 
 
@@ -43,6 +48,7 @@ def write_partitioned(
     out_dir: str,
     key_col: str,
     n_parts: int = 32,
+    run_tag: str = "",
 ) -> dict:
     """Write ``ds`` under ``out_dir/_part=K/`` and return
     ``{"written": [...], "skipped": [...]}`` partition ids.
@@ -50,8 +56,11 @@ def write_partitioned(
     Re-running after a partial failure skips every partition whose
     ``_SUCCESS`` marker exists and rewrites the rest (partial dirs
     without a marker are removed first — a crashed writer may have
-    left some of their files)."""
-    done = _done_parts(out_dir)
+    left some of their files).  ``run_tag`` (e.g. a config hash) is
+    stamped into the markers: a resume with a DIFFERENT tag treats
+    previously-finished partitions as stale and rewrites them, so a
+    changed filter config can never leave a stale mix in the output."""
+    done = _done_parts(out_dir, run_tag)
     if os.path.isdir(out_dir):
         for d in os.listdir(out_dir):
             if d.startswith(f"{_PART}=") and int(d.split("=", 1)[1]) not in done:
@@ -73,8 +82,8 @@ def write_partitioned(
             if d.startswith(f"{_PART}="):
                 k = int(d.split("=", 1)[1])
                 if k not in done:
-                    with open(os.path.join(out_dir, d, "_SUCCESS"), "w"):
-                        pass
+                    with open(os.path.join(out_dir, d, "_SUCCESS"), "w") as f:
+                        f.write(run_tag)
                     written.append(k)
     return {"written": sorted(written), "skipped": sorted(done)}
 

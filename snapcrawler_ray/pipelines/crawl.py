@@ -694,13 +694,17 @@ class CrawlEngine:
                 def blocked(url: str) -> bool:
                     # called once per replayed URL — plain urlsplit, no
                     # pandas machinery on the driver hot path; host is
-                    # lowercased/port-stripped like url_host_path
+                    # lowercased/port-stripped and the match target is
+                    # path + '?' + query, both like url_host_path
                     sp = urlsplit(url)
                     r = rules.get(sp.hostname or "", [])
                     if not r:
                         return False
+                    target = sp.path or "/"
+                    if sp.query:
+                        target += "?" + sp.query
                     return not robots_allowed(
-                        r, np.array([sp.path or "/"], dtype=object)
+                        r, np.array([target], dtype=object)
                     )[0]
 
             trace = replay_crawl(

@@ -26,21 +26,37 @@ from ..stages.image_stage import ImageFetchFilter, MaterializeAccepted
 from ..state.seen import SeenFilterPool
 
 
-def _byte_budget_cutoff(
-    accepted: "ray.data.Dataset", max_bytes: int, n_buckets: int = 256
-) -> int | None:
-    """Largest emit_seq S such that accepted emissions with
-    emit_seq ≤ S fit the byte budget; None if not even the first fits.
+def _byte_budget_keep(
+    accepted: "ray.data.Dataset", max_bytes: int, chain_mode: str,
+    n_buckets: int = 256,
+) -> tuple[int | None, np.ndarray]:
+    """Which accepted emissions the folder-byte cap keeps, per the
+    ``chain_mode``-selected reference semantics.  Returns
+    ``(prefix_end, tail_keep)``: keep every row with emit_seq ≤
+    prefix_end plus the explicit emit_seqs in tail_keep (prefix_end
+    None ⇒ prefix empty).
 
-    Rebuild of the reference's folder-size stop (stop saving once the
-    cumulative size cap is hit, filtering_module.py:121-129; emission
-    order = arrival order).  A shared counter actor would grant bytes in
-    task-arrival order — nondeterministic across runs — so the cap is
-    instead a deterministic PREFIX SUM over emit_seq: per-bucket byte
-    sums fold to the driver (O(n_buckets) rows), the boundary bucket is
-    refined exactly (O(accepted/n_buckets) rows), and everything else
-    stays distributed."""
+    - ``'parallel'`` (filtering_module.py:126-128): the consumer loop
+      breaks when ``current >= cap``, checked AFTER each save — the
+      crossing image IS saved.  Keep = shortest prefix whose byte sum
+      reaches the cap, crossing image included; tail_keep empty.
+    - ``'scrapy'`` (pipelines.py:300): an image is dropped iff
+      ``spent + size > cap`` but processing CONTINUES, so later smaller
+      images can still be accepted.  Keep = greedy fold in emit_seq
+      order — a pure prefix up to the first drop (found distributed),
+      then a driver-side greedy over the remaining (emit_seq,
+      size_bytes) pairs.  The driver scan is O(rows past the first
+      drop) over two int64 columns — the honest cost of the reference's
+      inherently serial rule; at scale the cap is per output folder
+      (partition), which bounds the tail.
+
+    Both modes are deterministic prefix-sum reductions, never a shared
+    grant-order counter: per-bucket byte sums fold to the driver
+    (O(n_buckets) rows), the boundary bucket is refined exactly, and
+    everything before it stays distributed."""
     import pandas as pd
+
+    empty = np.empty(0, dtype=np.int64)
 
     def rng_partial(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -51,7 +67,7 @@ def _byte_budget_cutoff(
 
     rng = accepted.map_batches(rng_partial, batch_format="pandas").to_pandas()
     if rng.empty:
-        return None
+        return None, empty
     lo, hi = int(rng["lo"].min()), int(rng["hi"].max())
     width = max(1, (hi - lo + n_buckets) // n_buckets)
 
@@ -69,27 +85,52 @@ def _byte_budget_cutoff(
         .reset_index(drop=True)
     )
     cum = sums["sz"].cumsum()
-    over = (cum > max_bytes).to_numpy()
+    # first bucket where the fold's behavior can deviate from
+    # keep-everything: parallel stops at cum >= cap, scrapy first
+    # drops at cum > cap
+    over = (
+        (cum >= max_bytes) if chain_mode == "parallel" else (cum > max_bytes)
+    ).to_numpy()
     if not over.any():
-        return hi
+        return hi, empty
     i = int(np.argmax(over))
     b_star = int(sums["b"].iloc[i])
     spent_before = int(cum.iloc[i - 1]) if i > 0 else 0
-    blo, bhi = lo + b_star * width, lo + (b_star + 1) * width
+    blo = lo + b_star * width
+    bhi = lo + (b_star + 1) * width
 
-    def in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        m = (df["emit_seq"] >= blo) & (df["emit_seq"] < bhi)
+    def tail_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (df["emit_seq"] >= blo) & (df["emit_seq"] < bhi)
+            if chain_mode == "parallel"
+            else (df["emit_seq"] >= blo)
+        )
         return df.loc[m, ["emit_seq", "size_bytes"]]
 
     rows = (
-        accepted.map_batches(in_bucket, batch_format="pandas")
+        accepted.map_batches(tail_rows, batch_format="pandas")
         .to_pandas()
         .sort_values("emit_seq")
     )
-    fit = (rows["size_bytes"].cumsum() <= max_bytes - spent_before).to_numpy()
-    if not fit.any():
-        return blo - 1 if b_star > 0 else None
-    return int(rows["emit_seq"].to_numpy()[fit][-1])
+    seqs = rows["emit_seq"].to_numpy(np.int64)
+    sizes = rows["size_bytes"].to_numpy(np.int64)
+    prefix_end = blo - 1 if b_star > 0 else None
+    if chain_mode == "parallel":
+        # save while current < cap entering the save; the save that
+        # crosses is the last one kept
+        prev_cum = spent_before + np.cumsum(sizes) - sizes
+        fit = prev_cum < max_bytes
+        if fit.any():
+            return int(seqs[fit][-1]), empty
+        return prefix_end, empty
+    # scrapy: greedy skip-and-continue over the tail
+    spent = spent_before
+    keep: list[int] = []
+    for s, z in zip(seqs.tolist(), sizes.tolist()):
+        if spent + z <= max_bytes:
+            keep.append(s)
+            spent += z
+    return prefix_end, np.asarray(keep, dtype=np.int64)
 
 
 def run_image_pipeline(
@@ -204,23 +245,39 @@ def run_image_pipeline(
         # pin the accepted set: the cutoff makes three passes and the
         # sink a fourth — without this each pass re-runs the dedup join
         accepted = accepted.materialize()
-        cutoff = _byte_budget_cutoff(accepted, max_bytes)
-        if cutoff is None:
+        prefix_end, tail_keep = _byte_budget_keep(
+            accepted, max_bytes, cfg.chain_mode
+        )
+        if prefix_end is None and not len(tail_keep):
             accepted = accepted.limit(0)
         else:
+            _pfx = -1 if prefix_end is None else prefix_end
+
+            def budget_filter(b: pa.Table) -> pa.Table:
+                seq = b.column("emit_seq").to_numpy(zero_copy_only=False)
+                m = seq <= _pfx
+                if len(tail_keep):
+                    m |= np.isin(seq, tail_keep)
+                return b.filter(pa.array(m))
+
             accepted = accepted.map_batches(
-                lambda b, _c=cutoff: b.filter(
-                    pc.less_equal(b.column("emit_seq"), pa.scalar(_c))
-                ),
-                batch_format="pyarrow",
-                batch_size=4096,
+                budget_filter, batch_format="pyarrow", batch_size=4096
             )
     if out_dir is not None:
         # resumable sink: emit_seq-hash partition dirs + _SUCCESS
         # markers, so a re-run after a partial failure skips finished
-        # partitions instead of rewriting one giant output
+        # partitions instead of rewriting one giant output.  The
+        # markers carry a config fingerprint — resuming with different
+        # filters/limits invalidates finished partitions instead of
+        # silently keeping the previous run's rows (ADVICE-r3).
+        import hashlib
+        from dataclasses import asdict
+
         from ..functions.sink import write_partitioned
 
+        run_tag = hashlib.md5(
+            repr((sorted(asdict(cfg).items()), max_images, max_bytes)).encode()
+        ).hexdigest()
         write_partitioned(
             accepted.map_batches(
                 MaterializeAccepted().__call__,
@@ -230,5 +287,6 @@ def run_image_pipeline(
             out_dir,
             "emit_seq",
             n_parts=16,
+            run_tag=run_tag,
         )
     return meta

@@ -34,7 +34,18 @@ def _fp_hash(fp: np.ndarray) -> np.ndarray:
 class CuckooFilter:
     BUCKET = 4
 
-    def __init__(self, capacity: int, max_kicks: int = 500):
+    def __init__(self, capacity: int, max_kicks: int = 500,
+                 delete_safe: bool = False):
+        """``delete_safe``: standard multiset insertion — add() inserts
+        a fingerprint copy even when contains() is already true, so a
+        later delete() of a colliding key can never turn a still-live
+        key into a false negative (the reason standard cuckoo filters
+        insert unconditionally).  The default (False) is the SEEN-
+        FILTER mode: keys insert at most once (callers drop keys the
+        filter reports seen, so re-presentation must not accrete
+        copies across rounds), and delete() is refused because a
+        fingerprint+bucket collision (~fpp ≈ 2.4e-4) would break the
+        no-false-negative invariant un-claiming relies on."""
         n_buckets = 1
         while n_buckets * self.BUCKET < int(capacity / 0.95):
             n_buckets <<= 1
@@ -42,6 +53,7 @@ class CuckooFilter:
         self.mask = np.uint64(n_buckets - 1)
         self.table = np.zeros((n_buckets, self.BUCKET), dtype=np.uint16)
         self.max_kicks = int(max_kicks)
+        self.delete_safe = bool(delete_safe)
         self.approx_count = 0
         self._rng = np.random.RandomState(0xC0C0)  # deterministic kicks
 
@@ -108,28 +120,45 @@ class CuckooFilter:
         # fingerprint copies (they would inflate approx_count, waste
         # slots toward a premature "full", and break single delete())
         keys = np.unique(np.asarray(keys, dtype=np.uint64))
-        new = ~self.contains(keys)
+        if self.delete_safe:
+            new = np.ones(len(keys), dtype=bool)  # multiset: always insert
+        else:
+            new = ~self.contains(keys)
         fp, i1, i2 = self._parts(keys[new])
         for j in range(len(fp)):
             self._insert_one(int(fp[j]), int(i1[j]), int(i2[j]))
         self.approx_count += int(new.sum())
 
     def check_and_add(self, keys: np.ndarray) -> np.ndarray:
-        """True where the key was new; in-batch duplicates first-wins."""
+        """True where the key was new; in-batch duplicates first-wins.
+        In delete_safe mode already-seen keys STILL insert a copy (the
+        return value is unchanged), keeping later delete() sound."""
         keys = np.asarray(keys, dtype=np.uint64)
         uniq, first_idx = np.unique(keys, return_index=True)
         new_u = ~self.contains(uniq)
-        fp, i1, i2 = self._parts(uniq[new_u])
+        ins = np.ones(len(uniq), dtype=bool) if self.delete_safe else new_u
+        fp, i1, i2 = self._parts(uniq[ins])
         for j in range(len(fp)):
             self._insert_one(int(fp[j]), int(i1[j]), int(i2[j]))
-        self.approx_count += int(new_u.sum())
+        self.approx_count += int(ins.sum())
         out = np.zeros(len(keys), dtype=bool)
         out[first_idx[new_u]] = True
         return out
 
     def delete(self, keys: np.ndarray) -> np.ndarray:
         """Remove one stored fingerprint per present key; True where a
-        fingerprint was found and removed (the capability Bloom lacks)."""
+        fingerprint was found and removed (the capability Bloom lacks).
+        Only sound in delete_safe mode: with insertion dedup a key whose
+        fingerprint+buckets collided with an already-stored key was
+        never physically inserted, and deleting the stored twin would
+        make the skipped key a false negative."""
+        if not self.delete_safe:
+            raise RuntimeError(
+                "delete() requires CuckooFilter(delete_safe=True): with "
+                "insertion dedup, deleting a key whose fingerprint "
+                "collided (~2.4e-4) with another would false-negative "
+                "the survivor"
+            )
         keys = np.asarray(keys, dtype=np.uint64)
         out = np.zeros(len(keys), dtype=bool)
         fp, i1, i2 = self._parts(keys)
@@ -152,6 +181,7 @@ class CuckooFilter:
             "table": self.table.tobytes(),
             "n_buckets": self.n_buckets,
             "max_kicks": self.max_kicks,
+            "delete_safe": self.delete_safe,
             "approx_count": self.approx_count,
             "rng": self._rng.get_state(),
         }
@@ -167,6 +197,7 @@ class CuckooFilter:
             .copy()
         )
         cf.max_kicks = d["max_kicks"]
+        cf.delete_safe = bool(d.get("delete_safe", False))
         cf.approx_count = d["approx_count"]
         cf._rng = np.random.RandomState()
         cf._rng.set_state(d["rng"])

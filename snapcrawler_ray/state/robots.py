@@ -5,9 +5,10 @@ Rebuild of the reference's ``respect_robots_txt`` switch
 scrapy mode by Scrapy's RobotsTxtMiddleware; default **off**, matching
 the reference).  Semantics implemented: the RFC 9309 prefix subset —
 rules from every ``User-agent: *`` group, longest-match wins, tie goes
-to Allow, no rules ⇒ allowed.  Wildcards (``*``/``$``) are not
-supported (documented boundary; the reference's Protego backend does
-support them).
+to Allow, no rules ⇒ allowed; rules match against path + ``'?' +
+query`` (so ``Disallow: /search?q=`` works).  Wildcards (``*``/``$``)
+are not supported (documented boundary; the reference's Protego
+backend does support them).
 
 Rule state lives WITH the per-host politeness state in the
 :class:`~snapcrawler_ray.state.politeness.PolitenessShard` actors —
@@ -76,12 +77,15 @@ def robots_allowed(rules: list[Rule], paths: np.ndarray) -> np.ndarray:
 
 
 def url_host_path(urls) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized (host, path) split for http(s) URLs (object arrays)."""
+    """Vectorized (host, match-target) split for http(s) URLs (object
+    arrays).  The second element is the robots MATCH TARGET — path
+    plus ``'?' + query`` when a query string is present — because RFC
+    9309 (and the reference's Protego backend) match rules like
+    ``Disallow: /search?q=`` against path+query, not the bare path."""
     import pandas as pd
 
     s = pd.Series(np.asarray(urls, dtype=object), dtype=object).astype(str)
     rest = s.str.replace(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "", regex=True)
     host = rest.str.split("/", n=1).str[0].str.split(":").str[0].str.lower()
     path = "/" + rest.str.split("/", n=1).str[1].fillna("")
-    path = path.str.split("?", n=1).str[0]
     return host.to_numpy(dtype=object), path.to_numpy(dtype=object)

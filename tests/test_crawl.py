@@ -353,7 +353,16 @@ Disallow: /private
         ["https://A.example:8443/photo/1?q=2", "http://b.example"]
     )
     assert h.tolist() == ["a.example", "b.example"]
-    assert p.tolist() == ["/photo/1", "/"]
+    # match target keeps the query string (RFC 9309 / Protego)
+    assert p.tolist() == ["/photo/1?q=2", "/"]
+    # query-string rules are matchable (ADVICE-r3: they could never
+    # fire when the target was the bare path)
+    qrules = parse_robots(b"User-agent: *\nDisallow: /search?q=\n")
+    qmask = robots_allowed(
+        qrules,
+        np.array(["/search?q=x", "/search", "/search?p=1"], dtype=object),
+    )
+    assert qmask.tolist() == [False, True, True]
 
 
 def test_robots_disallow_enforced(small_corpus):

@@ -36,7 +36,7 @@ def test_no_false_negatives_low_fpp():
 
 
 def test_add_dedupes_in_batch():
-    cf = CuckooFilter(1000)
+    cf = CuckooFilter(1000, delete_safe=True)
     cf.add(np.array([5, 5, 5, 7], dtype=np.uint64))
     assert cf.approx_count == 2
     assert cf.delete(np.array([5], dtype=np.uint64)).all()
@@ -44,7 +44,7 @@ def test_add_dedupes_in_batch():
 
 
 def test_delete_restores_absence():
-    cf = CuckooFilter(1000)
+    cf = CuckooFilter(1000, delete_safe=True)
     keys = np.arange(1, 400, dtype=np.uint64) * np.uint64(2654435761)
     cf.add(keys)
     victims = keys[::7]

@@ -5,6 +5,7 @@ oracle/golden tests that pin specific values.  No Ray session needed.
 
 import numpy as np
 import pandas as pd
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -155,32 +156,51 @@ def test_exact_seen_semantics_match_python_set(batches):
 @given(
     st.lists(st.integers(min_value=1, max_value=500), min_size=1,
              max_size=60),
-    st.integers(min_value=0, max_value=30_000),
+    st.integers(min_value=1, max_value=30_000),
 )
 @settings(max_examples=60, deadline=None)
-def test_byte_budget_cutoff_matches_bruteforce(sizes, budget):
-    """_byte_budget_cutoff == the brute-force longest-prefix answer for
-    arbitrary size sequences and budgets (sparse emit_seqs included)."""
+def test_byte_budget_keep_matches_reference_folds(sizes, budget):
+    """_byte_budget_keep reproduces BOTH reference byte-cap folds for
+    arbitrary size sequences and budgets (sparse emit_seqs included):
+    'parallel' saves until current >= cap checked AFTER each save
+    (filtering_module.py:126-128 — the crossing image is saved);
+    'scrapy' drops iff spent + size > cap and CONTINUES
+    (pipelines.py:300 — later smaller images still fit)."""
     import ray
     import ray.data
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=4, include_dashboard=False,
                  ignore_reinit_error=True)
-    from snapcrawler_ray.pipelines.images import _byte_budget_cutoff
+    from snapcrawler_ray.pipelines.images import _byte_budget_keep
 
     seqs = np.cumsum(np.array(sizes) % 7 + 1)  # strictly increasing, gappy
     df = pd.DataFrame({"emit_seq": seqs.astype(np.int64),
                        "size_bytes": np.array(sizes, dtype=np.int64)})
     ds = ray.data.from_pandas(df).repartition(3)
-    got = _byte_budget_cutoff(ds, budget, n_buckets=4)
-    cum = df["size_bytes"].cumsum()
-    fit = cum <= budget
-    want = int(df["emit_seq"][fit].iloc[-1]) if fit.any() else None
-    assert got == want or (want is not None and got is not None
-                           and got >= want
-                           and not ((df["emit_seq"] > want)
-                                    & (df["emit_seq"] <= got)).any())
+
+    def kept(mode):
+        prefix_end, tail = _byte_budget_keep(ds, budget, mode, n_buckets=4)
+        pfx = -1 if prefix_end is None else prefix_end
+        m = (df["emit_seq"] <= pfx) | df["emit_seq"].isin(tail)
+        return df["emit_seq"][m].tolist()
+
+    # reference fold, parallel chain
+    want_par, cur = [], 0
+    for s, z in zip(seqs.tolist(), sizes):
+        if cur >= budget:
+            break
+        want_par.append(int(s))
+        cur += z
+    assert kept("parallel") == want_par
+
+    # reference fold, scrapy chain
+    want_scr, spent = [], 0
+    for s, z in zip(seqs.tolist(), sizes):
+        if spent + z <= budget:
+            want_scr.append(int(s))
+            spent += z
+    assert kept("scrapy") == want_scr
 
 
 @given(
@@ -194,43 +214,80 @@ def test_byte_budget_cutoff_matches_bruteforce(sizes, budget):
     )
 )
 @settings(max_examples=50, deadline=None)
-def test_cuckoo_vs_reference_set(ops):
-    """Cuckoo filter vs a python set over arbitrary op sequences: never
-    a false negative; check_and_add first-wins matches the set exactly
-    (no false positives either at this tiny cardinality vs capacity);
-    delete removes exactly the present keys."""
+def test_cuckoo_vs_reference_multiset(ops):
+    """delete_safe cuckoo filter vs a python MULTISET over arbitrary op
+    sequences (standard cuckoo semantics: every add inserts a copy even
+    if already contained, which is what keeps delete() sound under
+    fingerprint collisions): never a false negative; check_and_add
+    first-wins reports newness vs pre-batch membership; delete removes
+    one copy per present key."""
+    from collections import Counter
+
     from snapcrawler_ray.state.cuckoo import CuckooFilter
 
-    cf = CuckooFilter(10_000)
-    ref: set[int] = set()
+    cf = CuckooFilter(10_000, delete_safe=True)
+    ref: Counter = Counter()
     for op, vals in ops:
         keys = np.array(vals, dtype=np.uint64)
         if op == "add":
             cf.add(keys)
-            ref.update(vals)
+            for k in set(vals):  # add() dedups in-batch
+                ref[k] += 1
         elif op == "check":
             got = cf.check_and_add(keys)
-            want = []
+            want, seen_in_batch = [], set()
             for k in vals:
-                want.append(k not in ref)
-                ref.add(k)
+                want.append(ref[k] == 0 and k not in seen_in_batch)
+                seen_in_batch.add(k)
+            for k in seen_in_batch:  # one copy per unique key
+                ref[k] += 1
             assert got.tolist() == want
         else:
             got = cf.delete(keys)
             want = []
-            seen_in_batch: set[int] = set()
             for k in vals:
-                present = k in ref and k not in seen_in_batch
-                # delete removes one copy; keys are unique in the
-                # filter, so a second delete of the same key in one
-                # batch fails
+                present = ref[k] > 0
                 want.append(present)
                 if present:
-                    seen_in_batch.add(k)
-                    ref.discard(k)
+                    ref[k] -= 1
             assert got.tolist() == want
-        # invariant: every reference member is contained (no false negs)
-        if ref:
-            arr = np.array(sorted(ref), dtype=np.uint64)
+        # invariant: every live reference member is contained
+        live = sorted(k for k, c in ref.items() if c > 0)
+        if live:
+            arr = np.array(live, dtype=np.uint64)
             assert cf.contains(arr).all()
-        assert cf.approx_count == len(ref)
+        assert cf.approx_count == sum(ref.values())
+
+
+def test_cuckoo_seen_mode_refuses_delete():
+    from snapcrawler_ray.state.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(1000)
+    cf.add(np.array([1, 2], dtype=np.uint64))
+    with pytest.raises(RuntimeError, match="delete_safe"):
+        cf.delete(np.array([1], dtype=np.uint64))
+
+
+def test_cuckoo_delete_safe_survives_fingerprint_collision():
+    """The ADVICE-r3 scenario: keys A != B with the same fingerprint
+    and same primary bucket.  In delete_safe mode both physically
+    insert, so deleting A leaves B contained; in seen mode B's insert
+    would have been skipped and delete is refused outright."""
+    from snapcrawler_ray.state.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(64, delete_safe=True)
+    rng = np.random.RandomState(9)
+    keys = rng.randint(1, 2**62, 300_000).astype(np.uint64)
+    fp, i1, _ = cf._parts(keys)
+    pair_key = fp.astype(np.uint64) << np.uint64(32) | i1.astype(np.uint64)
+    order = np.argsort(pair_key, kind="stable")
+    dup = np.nonzero(
+        (np.diff(pair_key[order]) == 0)
+        & (np.diff(keys[order]) != 0)
+    )[0]
+    assert len(dup), "no fp+bucket collision found; widen the search"
+    a, b = keys[order[dup[0]]], keys[order[dup[0] + 1]]
+    cf.add(np.array([a], dtype=np.uint64))
+    cf.add(np.array([b], dtype=np.uint64))  # contained, still inserts
+    assert cf.delete(np.array([a], dtype=np.uint64))[0]
+    assert cf.contains(np.array([b], dtype=np.uint64))[0]  # no false neg

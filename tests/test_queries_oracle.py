@@ -319,6 +319,46 @@ def test_write_partitioned_resume_skips_finished(ray_session, tmp_path):
     pd.testing.assert_frame_equal(back[["doc_id", "payload"]], src)
 
 
+def test_write_partitioned_config_change_invalidates(ray_session, tmp_path):
+    """ADVICE-r3: a re-run into the same out dir with a DIFFERENT
+    run_tag (config hash) must rewrite every partition — stale rows
+    from the previous config never survive into the new output."""
+    import ray
+
+    from snapcrawler_ray.functions.sink import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "sink")
+    old = pd.DataFrame(
+        {"doc_id": np.arange(100, dtype=np.int64),
+         "payload": ["old"] * 100}
+    )
+    r1 = write_partitioned(
+        ray.data.from_pandas(old).repartition(2), out, "doc_id",
+        n_parts=4, run_tag="cfg-A",
+    )
+    assert sorted(r1["written"]) == list(range(4))
+    # same tag: everything skipped
+    r_same = write_partitioned(
+        ray.data.from_pandas(old).repartition(2), out, "doc_id",
+        n_parts=4, run_tag="cfg-A",
+    )
+    assert r_same["written"] == [] and r_same["skipped"] == list(range(4))
+    # changed tag (e.g. different max_bytes): full rewrite, no stale mix
+    new = pd.DataFrame(
+        {"doc_id": np.arange(60, dtype=np.int64), "payload": ["new"] * 60}
+    )
+    r2 = write_partitioned(
+        ray.data.from_pandas(new).repartition(2), out, "doc_id",
+        n_parts=4, run_tag="cfg-B",
+    )
+    assert sorted(r2["written"]) == list(range(4)) and r2["skipped"] == []
+    back = read_partitioned(out).to_pandas()
+    assert len(back) == 60 and (back["payload"] == "new").all()
+
+
 def test_connected_components_distributed_matches_unionfind(ray_session):
     """Min-label propagation == union-find on a graph with a long chain
     (worst case for propagation rounds), a star, and singleton pairs."""
