@@ -309,9 +309,12 @@ def minhash_lsh_pairs(
             .reset_index(drop=True)
         )
 
+    from .io import join_partitions
+
+    n_join = join_partitions(len(cand_pd), lo=4)
     cand_ds = ray.data.from_pandas(cand_pd).repartition(4)
     j1 = cand_ds.join(
-        cand_docs, join_type="inner", num_partitions=4,
+        cand_docs, join_type="inner", num_partitions=n_join,
         on=("doc_a",), right_on=("doc_id",),
     ).map_batches(
         lambda df: df.rename(columns={"text": "text_a"})[
@@ -320,7 +323,7 @@ def minhash_lsh_pairs(
         batch_format="pandas",
     ).materialize()
     j2 = j1.join(
-        cand_docs, join_type="inner", num_partitions=4,
+        cand_docs, join_type="inner", num_partitions=n_join,
         on=("doc_b",), right_on=("doc_id",),
     )
 
@@ -842,8 +845,102 @@ def embedding_near_dup_pairs(
     )
 
 
+# Above this row count embedding_near_dup_pairs_exact switches from the
+# full-matrix broadcast sweep to the IVF-cell block-pair kernel (no
+# O(n·dim) ray.put; per-task memory is two cells)
+_BLOCKED_SWEEP_MIN_ROWS = 100_000
+
+
+@ray.remote
+def _sweep_cell_pair(
+    block_a: tuple, block_b: tuple, t: float, same: bool
+) -> pd.DataFrame:
+    """Qualifying cosine pairs between two normalized cell blocks.
+    Same-cell: canonical order comes free from ``a < b``.  Cross-cell:
+    each unordered pair appears exactly once in the cross product, so
+    it is emitted as (min, max)."""
+    from .text import round4_half_away
+
+    ids_a, ma = block_a
+    ids_b, mb = block_b
+    sims = ma @ mb.T
+    ai, bj = np.nonzero(sims >= t)
+    a, b, s = ids_a[ai], ids_b[bj], sims[ai, bj]
+    if same:
+        keep = a < b
+        a, b, s = a[keep], b[keep], s[keep]
+    else:
+        a, b = np.minimum(a, b), np.maximum(a, b)
+    return pd.DataFrame(
+        {"vec_a": a, "vec_b": b, "cosine": round4_half_away(s)}
+    )
+
+
+def _blocked_exact_pairs(
+    ids_all: np.ndarray, m_all: np.ndarray, threshold: float,
+    n_cells: int | None = None,
+) -> pd.DataFrame:
+    """The 100-TB shape of the exact all-pairs sweep: vectors are
+    IVF-partitioned (nearest of C deterministic centroids), each cell
+    is its own object-store block, and one Ray task per surviving cell
+    pair does the block cross product.  Cell pairs are EXACTLY pruned
+    by the triangle inequality on normalized vectors: members of cells
+    (i, j) satisfy ||x−y|| ≥ ||c_i−c_j|| − r_i − r_j, and cosine ≥ t ⇔
+    ||x−y|| ≤ √(2−2t), so a pair of far-apart cells provably contains
+    no qualifying pair and is skipped — recall stays 1.0 by
+    construction, unlike probe-limited IVF search.  No full-matrix
+    broadcast: per-task memory is two cells, ~2·(n/C)·dim."""
+    n = len(ids_all)
+    order = np.argsort(ids_all, kind="stable")
+    ids_all, m_all = ids_all[order], m_all[order]
+    C = n_cells or max(2, min(256, int(np.sqrt(n / 2048.0)) + 2))
+    cent_idx = np.linspace(0, n - 1, C).astype(np.int64)
+    cents = m_all[cent_idx]
+    assign = np.argmax(m_all @ cents.T, axis=1)
+    cell_refs: dict[int, "ray.ObjectRef"] = {}
+    radii: dict[int, float] = {}
+    for c in range(C):
+        idx = np.nonzero(assign == c)[0]
+        if not len(idx):
+            continue
+        sub = m_all[idx]
+        radii[c] = float(np.max(np.linalg.norm(sub - cents[c], axis=1)))
+        cell_refs[c] = ray.put((ids_all[idx], sub))
+    d_lim = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
+    cells = sorted(cell_refs)
+    tasks = []
+    for x, i in enumerate(cells):
+        for j in cells[x:]:
+            if i != j:
+                cd = float(np.linalg.norm(cents[i] - cents[j]))
+                if cd - radii[i] - radii[j] > d_lim:
+                    continue  # provably no qualifying pair
+            tasks.append(
+                _sweep_cell_pair.remote(
+                    cell_refs[i], cell_refs[j], threshold, i == j
+                )
+            )
+    # observability (and test hook): how much the prune saved
+    _blocked_exact_pairs.last_stats = {
+        "cells": len(cells),
+        "pairs_swept": len(tasks),
+        "pairs_total": len(cells) * (len(cells) + 1) // 2,
+    }
+    parts = [p for p in ray.get(tasks) if len(p)]
+    if not parts:
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+    return pd.concat(parts, ignore_index=True)
+
+
 def embedding_near_dup_pairs_exact(
-    sf_dir: str, threshold: float = 0.4
+    sf_dir: str, threshold: float = 0.4,
+    blocked_min_rows: int = _BLOCKED_SWEEP_MIN_ROWS,
 ) -> pd.DataFrame:
     """(vec_a < vec_b, cosine) — EXACT all-pairs cosine ≥ threshold.
 
@@ -851,14 +948,16 @@ def embedding_near_dup_pairs_exact(
     :func:`embedding_near_dup_pairs`: single-probe hyperplane LSH only
     verifies same-bucket pairs, and at moderate thresholds the bucket
     collision probability collapses ((1−θ/π)^12 ≈ 0.004 at cos 0.4), so
-    the bucketed path is a high-threshold near-dup tool only.  Here the
-    normalized matrix is broadcast once (``ray.put``, O(n·dim) — the
-    same artifact class as the kNN query matrix) and every streamed
-    batch emits its rows' qualifying pairs against it; ``vec_a < vec_b``
-    is taken from the batch side so each unordered pair appears exactly
-    once.  The O(n²) similarity work distributes across batches; at
-    corpus scale the identical kernel runs per IVF-cell block pair
-    instead of one full cross product."""
+    the bucketed path is a high-threshold near-dup tool only.
+
+    Two kernels, same result: below ``blocked_min_rows`` the normalized
+    matrix is broadcast once (``ray.put``, O(n·dim) — the same artifact
+    class as the kNN query matrix) and every streamed batch emits its
+    rows' qualifying pairs against it, ``vec_a < vec_b`` taken from the
+    batch side.  At or above it, :func:`_blocked_exact_pairs` runs the
+    IVF-cell block-pair sweep with exact triangle-inequality cell
+    pruning — no full-matrix broadcast anywhere, per-task memory two
+    cells."""
     from .io import read_table
 
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)
@@ -868,6 +967,15 @@ def embedding_near_dup_pairs_exact(
     m_all = m_all / np.clip(
         np.linalg.norm(m_all, axis=1, keepdims=True), 1e-12, None
     )
+    if len(ids_all) >= blocked_min_rows:
+        out = _blocked_exact_pairs(ids_all, m_all, threshold)
+        if out.empty:
+            return out
+        return (
+            out.astype({"vec_a": "int64", "vec_b": "int64"})
+            .sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True)
+        )
     ref = ray.put((ids_all, m_all))
 
     class Sweep:

@@ -190,10 +190,12 @@ def web_training_corpus(
     n_blocks = max(1, min(16, ok.num_rows // 2000 + 1))
     v_ds = ray.data.from_arrow(ok).repartition(n_blocks)
     c_ds = ray.data.read_parquet(corpus_dir, columns=["url", "text", "lang"])
+    from .io import dir_rows, join_partitions
+
     joined = v_ds.join(
         c_ds,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=join_partitions(ok.num_rows, dir_rows(corpus_dir)),
         on=("url",),
         right_on=("url",),
     )

@@ -116,7 +116,7 @@ def _dim_join(
     key: str,
     dim_rows: int,
     max_broadcast_rows: int | None = None,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Inner-join fact⋈dim choosing topology by DIMENSION SIZE.
 
@@ -134,10 +134,12 @@ def _dim_join(
         return fact.map_batches(
             BroadcastFilterJoin(ref, key), batch_format="pandas"
         )
+    from .io import join_partitions
+
     return fact.join(
         dim,
         join_type="inner",
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or join_partitions(dim_rows),
         on=(key,),
         right_on=(key,),
     )
@@ -158,7 +160,7 @@ def q3_top_orders(
     :func:`_dim_join` (broadcast under the size limit, partitioned hash
     join above it — customer scales with sf), then lineitem ⋈ orders
     hash join (Dataset.join)."""
-    from .io import table_rows
+    from .io import join_partitions, table_rows
 
     def seg_keys(df: pd.DataFrame) -> pd.DataFrame:
         return df.loc[df["c_mktsegment"] == segment, ["c_custkey"]].rename(
@@ -179,7 +181,7 @@ def q3_top_orders(
     joined = line.join(
         orders,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=join_partitions(table_rows(sf_dir, "lineitem")),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -223,7 +225,7 @@ def nation_revenue(
     customer scales with sf, so customer ⋈ orders goes through
     :func:`_dim_join` (broadcast under the limit, partitioned hash join
     above it)."""
-    from .io import table_rows
+    from .io import join_partitions, table_rows
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nat_ref = ray.put(nation.rename(columns={"n_nationkey": "c_nationkey"}))
@@ -250,7 +252,7 @@ def nation_revenue(
     joined = line.join(
         orders,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=join_partitions(table_rows(sf_dir, "lineitem")),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -278,7 +280,7 @@ def q5_region_supplier_revenue(
     (customer, supplier) join their facts via :func:`_dim_join`
     (broadcast under the size limit, partitioned hash join above it);
     the remaining row-level shuffle is the orders⋈lineitem hash join."""
-    from .io import table_rows
+    from .io import join_partitions, table_rows
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
@@ -337,7 +339,7 @@ def q5_region_supplier_revenue(
     joined = line.join(
         orders,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=join_partitions(table_rows(sf_dir, "lineitem")),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

@@ -419,10 +419,12 @@ def cluster_quality(sf_dir: str, k: int = 8) -> pd.DataFrame:
         sf_dir, "documents", ["doc_id", "text", "n_chars"]
     ).map_batches(qual, batch_format="pandas")
 
+    from .io import join_partitions, table_rows
+
     joined = assign.join(
         docs,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=join_partitions(table_rows(sf_dir, "documents")),
         on=("vec_id",),
         right_on=("doc_id",),
     )

@@ -223,12 +223,16 @@ def run_image_pipeline(
             df.loc[dup, "reason"] = "dup"
             return df
 
+        from ..functions.io import join_partitions
+
         meta = meta.map_batches(
             add_key, batch_format="pyarrow", batch_size=4096
         ).join(
             winners,
             join_type="left_outer",
-            num_partitions=8,
+            # winners is materialized (count is free) and scales 1:1
+            # with the unique-hash population, a lower bound on meta
+            num_partitions=join_partitions(winners.count()),
             on=("phash_i",),
         ).map_batches(mark_dups, batch_format="pandas")
 

@@ -144,6 +144,57 @@ def test_dim_join_partitioned_path_matches_broadcast(ray_session):
         pd.testing.assert_frame_equal(bc, pj, check_dtype=False)
 
 
+def test_blocked_exact_neardup_matches_broadcast(ray_session):
+    """The IVF-cell block-pair kernel (the 100-TB path, forced here
+    with blocked_min_rows=1) reproduces the broadcast full-matrix sweep
+    exactly — the triangle-inequality cell pruning is provably
+    lossless, so pair set AND cosines must be identical."""
+    from snapcrawler_ray.functions import dedup
+
+    bc = dedup.embedding_near_dup_pairs_exact(SF_DIR, threshold=0.4)
+    bl = dedup.embedding_near_dup_pairs_exact(
+        SF_DIR, threshold=0.4, blocked_min_rows=1
+    )
+    assert len(bc) > 0  # non-vacuous at this threshold
+    pd.testing.assert_frame_equal(bc, bl)
+    # keep-list twin agrees too
+    keep_bc = dedup.embedding_dedup_keep_exact(SF_DIR)
+    keep_bl = dedup._unionfind_keep(bl, "vec_id")
+    pd.testing.assert_frame_equal(keep_bc, keep_bl)
+
+
+def test_blocked_exact_neardup_prunes_far_cells(ray_session):
+    """Synthetic two-island geometry: many cells, high threshold — the
+    triangle-inequality prune must skip most cross-cell sweeps while
+    the result still equals the brute-force answer."""
+    from snapcrawler_ray.functions import dedup
+
+    rng = np.random.RandomState(11)
+    # two tight orthogonal islands + per-vector jitter
+    base = np.zeros((2, 32))
+    base[0, 0] = 1.0
+    base[1, 16] = 1.0
+    n_half = 300
+    m = np.concatenate(
+        [
+            base[0] + 0.01 * rng.randn(n_half, 32),
+            base[1] + 0.01 * rng.randn(n_half, 32),
+        ]
+    )
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = np.arange(len(m), dtype=np.int64)
+    t = 0.9
+    got = dedup._blocked_exact_pairs(ids, m, t, n_cells=12)
+    stats = dedup._blocked_exact_pairs.last_stats
+    assert stats["pairs_swept"] < stats["pairs_total"], stats
+    # brute force reference
+    sims = m @ m.T
+    ai, bj = np.nonzero(np.triu(sims >= t, k=1))
+    got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+    assert got_pairs == set(zip(ids[ai], ids[bj]))
+    assert len(got_pairs) > 0
+
+
 def test_crawl_aggregate_sql_oracles(contract, con):
     """The crawl aggregates are SQL-oracled over the visits parquet the
     engine writes; the driver runs at sf0.01 — here we rewrite the
