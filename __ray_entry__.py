@@ -39,6 +39,19 @@ def _corpus_for(sf_dir: str):
 
 
 _CRAWL_CACHE: dict[str, Any] = {}
+
+# T12 rotation profiles (shape of reference config.yaml crawling.
+# user_agents — public browser UA strings, list truncated to 4)
+_UA_PROFILES = (
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/139.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/139.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/138.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:134.0) "
+    "Gecko/20100101 Firefox/134.0",
+)
 # Crawl outputs are also written here as Parquet so the crawl aggregate
 # queries get real DuckDB oracles (SQL over the same base table the
 # engine produced; the driver runs them at sf0.01).
@@ -190,6 +203,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["n"] = out["n"].astype("int64")
         out["total_images"] = out["total_images"].astype("int64")
         return out.sort_values("status").reset_index(drop=True)
+
+    def crawl_ua_counts(sf_dir: str):
+        """T12 User-Agent rotation (reference middlewares.py:10-29 +
+        config.yaml crawling.user_agents): exact-mode crawl with a
+        4-profile UA list; per-agent request counts.  The rotation is
+        the deterministic hash choice documented in CrawlConfig;
+        SQL-oracled (like crawl_status_counts) over the run's own
+        visits parquet — the rotation column + aggregation is what the
+        driver checks; actor-side tally parity is asserted in
+        tests/test_crawl.py::test_user_agent_rotation."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray
+
+        from snapcrawler_ray.config import CrawlConfig, CrawlLimits
+        from snapcrawler_ray.pipelines.crawl import CrawlEngine
+        from snapcrawler_ray.sources.corpus import seeds_for
+
+        key = "ua_" + str(_sf_of(sf_dir))
+        if key not in _CRAWL_CACHE:
+            spec, path = _corpus_for(sf_dir)
+            seeds = seeds_for(spec)
+            cfg = CrawlConfig(
+                start_urls=tuple(seeds),
+                limits=CrawlLimits(max_depth=4),
+                user_agents=_UA_PROFILES,
+            )
+            eng = CrawlEngine(
+                path, seeds, cfg, n_buckets=spec.buckets, mode="exact"
+            )
+            try:
+                visits = eng.run().visits
+            finally:
+                eng.shutdown()
+            d = _oracle_tbl_dir(sf_dir)
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(visits, os.path.join(d, "visits_ua.parquet"))
+            _CRAWL_CACHE[key] = visits
+        visits = _CRAWL_CACHE[key]
+        n_blocks = max(1, min(16, visits.num_rows // 2000 + 1))
+        out = (
+            ray.data.from_arrow(visits)
+            .repartition(n_blocks)
+            .map_batches(
+                lambda df: df.groupby("user_agent", as_index=False).agg(
+                    n=("url", "size")
+                ),
+                batch_format="pandas",
+            )
+            .to_pandas()
+            .groupby("user_agent", as_index=False)["n"].sum()
+        )
+        out["n"] = out["n"].astype("int64")
+        return out.sort_values("user_agent").reset_index(drop=True)
 
     def crawl_host_visits(sf_dir: str):
         # per-host visit counts (politeness / skew observability)
@@ -375,6 +442,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # coverage/oracle parity asserted in tests/test_crawl.py)
         "crawl_priority_visits": crawl_priority_visits,
         "crawl_robots_visits": crawl_robots_visits,
+        # T12 UA rotation (new in r4): per-agent request histogram of a
+        # rotation-enabled run, SQL-oracled over its visits parquet
+        "crawl_ua_counts": crawl_ua_counts,
         # --- [1] library-operator pipelines — no driver row in r02 ---
         "docs_extended_images": docs_extended_images,
         "docs_api_harvest": docs_api_harvest,
@@ -735,6 +805,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT status, count(*) AS n, "
             "CAST(sum(n_images) AS BIGINT) AS total_images "
             f"FROM {visits_pq} GROUP BY status"
+        ),
+        "crawl_ua_counts": (
+            "SELECT user_agent, count(*) AS n FROM "
+            f"read_parquet('{_oracle_tbl_dir('sf0.01')}/visits_ua.parquet') "
+            "GROUP BY user_agent"
         ),
         "crawl_host_visits": (
             "SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "

@@ -98,6 +98,17 @@ class CrawlConfig:
     # reference config.yaml:132 respect_robots_txt → settings.py:34
     # ROBOTSTXT_OBEY (Scrapy middleware); default off like the reference
     respect_robots_txt: bool = False
+    # T12: User-Agent rotation list (reference config.yaml
+    # crawling.user_agents → middlewares.py:10-29
+    # RotateUserAgentMiddleware).  The reference picks
+    # ``random.choice(user_agents)`` per request; this engine is
+    # deterministic end-to-end, so the per-request choice is
+    # ``user_agents[url_hash64(url) % len(user_agents)]`` — same
+    # rotation semantics (every request gets one header from the
+    # configured list, uniformly spread), replayable.  Empty tuple =
+    # middleware disabled, exactly like the reference's from_crawler
+    # returning None on an empty list.
+    user_agents: tuple[str, ...] = ()
     images: ImageFilterConfig = field(default_factory=ImageFilterConfig)
     limits: CrawlLimits = field(default_factory=CrawlLimits)
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
@@ -129,6 +140,7 @@ class CrawlConfig:
             start_urls=tuple(crawl.get("start_urls", ())),
             min_commons_thumb_px=crawl.get("min_commons_thumb_px"),
             respect_robots_txt=crawl.get("respect_robots_txt", False),
+            user_agents=tuple(crawl.get("user_agents") or ()),
             images=ImageFilterConfig(
                 min_side_size=img.get("min_side_size", 400),
                 color_mode=img.get("color_mode", "all"),

@@ -154,9 +154,9 @@ class CrawlResult:
         return self._seen_urls
 
 
-def _visits_table(trace: CrawlTrace) -> pa.Table:
+def _visits_table(trace: CrawlTrace, user_agents: tuple = ()) -> pa.Table:
     v = trace.visits
-    return pa.table(
+    t = pa.table(
         {
             "seq": pa.array([x["seq"] for x in v], pa.int64()),
             "url": pa.array([x["url"] for x in v], pa.string()),
@@ -167,6 +167,14 @@ def _visits_table(trace: CrawlTrace) -> pa.Table:
             "new_links": pa.array([x["new_links"] for x in v], pa.int32()),
         }
     )
+    if user_agents:
+        # T12: same pure per-request choice the fetch actor applied
+        from ..stages.fetch import user_agent_column
+
+        t = t.append_column(
+            "user_agent", user_agent_column(t.column("url"), user_agents)
+        )
+    return t
 
 
 def _emissions_table(trace: CrawlTrace) -> pa.Table:
@@ -248,7 +256,11 @@ class CrawlEngine:
         self.pool = FetchPool(
             self.corpus_dir, self.n_buckets, self.allowed_domains,
             self.cfg.resolved_thumb_px,
+            user_agents=self.cfg.user_agents,
         )
+        # T12 rotation tally: per-UA-index request counts, summed over
+        # the lookup summaries (every scheduled request, hit or miss)
+        self.ua_counts = np.zeros(len(self.cfg.user_agents), np.int64)
         # Block until the pool's corpus partitions are resident —
         # actor spawn + partition load is cluster provisioning (the
         # HTTP-session / connection-pool analogue), not per-round
@@ -455,6 +467,9 @@ class CrawlEngine:
         for l in looks:
             for h2, c in l["host_counts"].items():
                 host_counts[h2] = host_counts.get(h2, 0) + c
+            ua = l.get("ua_counts")
+            if ua is not None and len(ua):
+                self.ua_counts += ua
         sched = self.politeness.schedule_hosts(
             list(host_counts.keys()), list(host_counts.values())
         )
@@ -715,7 +730,7 @@ class CrawlEngine:
                 blocked=blocked,
             )
             return CrawlResult(
-                visits=_visits_table(trace),
+                visits=_visits_table(trace, self.cfg.user_agents),
                 emissions=_emissions_table(trace),
                 seen_urls=trace.seen_urls(),
                 metrics=self.metrics,
@@ -738,6 +753,7 @@ class CrawlEngine:
         ckpt_dir = self.checkpoint_dir
         num_visits = int(sum(m.get("fetched", 0) for m in self.metrics))
         num_emissions = int(sum(m.get("images", 0) for m in self.metrics))
+        uas = self.cfg.user_agents
 
         def build():
             import pyarrow.compute as pc
@@ -779,6 +795,12 @@ class CrawlEngine:
                     "new_links": pa.array(np.zeros(n, dtype=np.int32)),
                 }
             )
+            if uas:
+                from ..stages.fetch import user_agent_column
+
+                visits = visits.append_column(
+                    "user_agent", user_agent_column(meta.column("url"), uas)
+                )
             live = meta.filter(pc.invert(dup_col)) if n else meta
             flat_urls = pc.list_flatten(live.column("image_urls"))
             parents = pc.list_parent_indices(live.column("image_urls"))

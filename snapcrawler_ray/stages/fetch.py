@@ -45,6 +45,29 @@ def touched_buckets(urls, n_buckets: int) -> list[int]:
     return sorted(set((h % np.uint64(n_buckets)).astype(int).tolist()))
 
 
+def user_agent_idx(hashes: np.ndarray, n_agents: int) -> np.ndarray:
+    """T12 rotation (reference middlewares.py:10-29): per-request
+    User-Agent index into the configured list.  The reference's
+    ``random.choice`` is replaced by ``url_hash64(url) % n`` — one
+    header per request, uniform over the list, deterministic so the
+    exact-mode replay and the visit table agree with what the fetch
+    actor actually attached."""
+    return (hashes % np.uint64(n_agents)).astype(np.int64)
+
+
+def user_agent_column(urls, user_agents: tuple) -> pa.Array:
+    """Arrow string column of the rotated User-Agent per url — the same
+    pure choice the fetch actor applies at request time, recomputed at
+    visit-table build so no extra column rides through extraction meta
+    or checkpoints."""
+    arr = urls.to_numpy(zero_copy_only=False) if hasattr(
+        urls, "to_numpy"
+    ) else np.asarray(urls, dtype=object)
+    idx = user_agent_idx(url_hash64(arr), len(user_agents))
+    lut = np.asarray(user_agents, dtype=object)
+    return pa.array(lut[idx], pa.string())
+
+
 def bucket_paths(corpus_dir: str, buckets: list[int]) -> list[str]:
     paths = []
     for b in buckets:
@@ -193,10 +216,16 @@ class FetchExtractShard:
        (summary, meta_table) — callers keep the table as a ref."""
 
     def __init__(self, paths: list[str], allowed_domains: list[str],
-                 min_commons_thumb_px: int):
+                 min_commons_thumb_px: int,
+                 user_agents: tuple = ()):
         import pyarrow.parquet as pq
 
         from .extract_stage import ExtractPages
+
+        # T12: per-request UA rotation — applied at request time (here),
+        # tallied in the lookup summary; the visit table recomputes the
+        # identical pure choice (user_agent_column)
+        self.user_agents = tuple(user_agents)
 
         cols = ["url", "url_hash", "html"]
         if paths:
@@ -244,6 +273,17 @@ class FetchExtractShard:
         host_counts = {
             str(h): int(c) for h, c in zip(hosts_u, hosts_c) if h
         }
+        # T12: every request in the slice (hit or miss) gets one rotated
+        # User-Agent header; the per-index tally goes back in the
+        # summary so the engine's metrics expose the rotation
+        ua_counts = (
+            np.bincount(
+                user_agent_idx(hashes, len(self.user_agents)),
+                minlength=len(self.user_agents),
+            )
+            if self.user_agents
+            else np.empty(0, np.int64)
+        )
         pos = np.searchsorted(self.hashes, hashes)
         pos_c = np.clip(pos, 0, max(len(self.hashes) - 1, 0))
         hit = (
@@ -265,6 +305,7 @@ class FetchExtractShard:
             return {"n_found": 0, "seqs": np.empty(0, np.int64),
                     "md5h": np.empty(0, np.uint64),
                     "host_counts": host_counts, "host_codes": {},
+                    "ua_counts": ua_counts,
                     "t_busy": _time.time() - _t0}
         sub = self.tbl.take(pa.array(pos_c[hit_idx]))
         kept = sub.column("url").to_pylist()
@@ -298,6 +339,7 @@ class FetchExtractShard:
             "md5h": _h64(np.asarray(md5s, dtype=object)),
             "host_counts": host_counts,
             "host_codes": host_codes,
+            "ua_counts": ua_counts,
             "t_busy": _time.time() - _t0,
         }
 
@@ -509,7 +551,8 @@ class FetchPool:
 
     def __init__(self, corpus_dir: str, n_buckets: int,
                  allowed_domains: list[str], min_commons_thumb_px: int,
-                 pool_size: int | None = None):
+                 pool_size: int | None = None,
+                 user_agents: tuple = ()):
         cpus = int(ray.cluster_resources().get("CPU", 8))
         if pool_size is None:
             # one actor per CPU: actors hold whole num_cpus=1 slots so
@@ -525,7 +568,7 @@ class FetchPool:
             self.actors.append(
                 FetchExtractShard.remote(
                     bucket_paths(corpus_dir, buckets), allowed_domains,
-                    min_commons_thumb_px,
+                    min_commons_thumb_px, user_agents=user_agents,
                 )
             )
         self._token_ctr = 0
