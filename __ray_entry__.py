@@ -146,9 +146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def crawl_image_verdicts(sf_dir: str):
         meta = _image_meta(sf_dir)
-        import pyarrow.compute as pc
-
-        t = meta.to_pandas().sort_values("emit_seq").reset_index(drop=True)
+        # distributed range-partition sort; only the sorted result is
+        # collected (the driver-contract return type is pandas)
+        t = meta.sort("emit_seq").to_pandas().reset_index(drop=True)
         # uint64 phash → stable int64 view for the driver's hashing
         t["phash"] = t["phash"].astype("uint64").astype("int64", errors="ignore")
         return t
