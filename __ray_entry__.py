@@ -313,14 +313,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def crawl_scale_visits(sf_dir: str):
         """The SCALE-mode (Bloom shards, no replay) visit table — the
-        10^10-design path made driver-visible: rows-only, but its
-        determinism across invocations is the check (scale-mode
-        ordering is round-synchronous deterministic; exact-vs-scale
-        coverage parity is asserted in tests/test_crawl.py)."""
+        10^10-design path, SQL-ORACLED on the (url, depth, status,
+        n_images) projection: the recursive-CTE replay of the exact
+        reference loop re-derives coverage, depth labels, MD5-dup
+        statuses and per-page image counts independently; scale mode
+        must reproduce all four despite its round-synchronous ordering
+        deviation.  Projected out (ordering-attribution artifacts,
+        asserted locally instead): seq, cascade flag, new_links
+        (round-merged cascades re-attribute both), and fetch-miss rows
+        (scale mode records visits only for fetched pages)."""
         from snapcrawler_ray.config import CrawlConfig, CrawlLimits
         from snapcrawler_ray.pipelines.crawl import CrawlEngine
         from snapcrawler_ray.sources.corpus import seeds_for
 
+        _run_crawl(sf_dir)  # writes the exact-mode meta.parquet oracle base
         key = "scale_" + str(_sf_of(sf_dir))
         if key not in _CRAWL_CACHE:
             spec, path = _corpus_for(sf_dir)
@@ -336,7 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _CRAWL_CACHE[key] = res.visits
             finally:
                 eng.shutdown()
-        return _CRAWL_CACHE[key]
+        return _visits_projection(_CRAWL_CACHE[key])
 
     def web_training_corpus(sf_dir: str):
         res, _ = _run_crawl(sf_dir)
@@ -346,13 +352,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def crawl_priority_visits(sf_dir: str):
         """SCALE-mode crawl under the 'priority' frontier policy
         (north-star queue: depth + per-host politeness backlog +
-        discovery recency, budget 256 URLs/round).  Rows-only; the
-        visit-SET equality with BFS scale mode and the per-round budget
-        bound are asserted in tests/test_crawl.py."""
+        discovery recency, budget 256 URLs/round).  SQL-ORACLED on the
+        same (url, depth, status, n_images) projection as
+        crawl_scale_visits — the priority policy defers visits across
+        rounds but must converge to the identical visit set, depth
+        labels, dup statuses and image counts as the serial reference
+        replay; the per-round budget bound is asserted in
+        tests/test_crawl.py."""
         from snapcrawler_ray.config import CrawlConfig, CrawlLimits, ScaleConfig
         from snapcrawler_ray.pipelines.crawl import CrawlEngine
         from snapcrawler_ray.sources.corpus import seeds_for
 
+        _run_crawl(sf_dir)  # writes the exact-mode meta.parquet oracle base
         key = "priority_" + str(_sf_of(sf_dir))
         if key not in _CRAWL_CACHE:
             spec, path = _corpus_for(sf_dir)
@@ -371,7 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _CRAWL_CACHE[key] = eng.run().visits
             finally:
                 eng.shutdown()
-        return _CRAWL_CACHE[key]
+        return _visits_projection(_CRAWL_CACHE[key])
 
     def crawl_robots_visits(sf_dir: str):
         """Exact-mode crawl with respect_robots_txt: /photo/ disallowed
@@ -663,6 +674,24 @@ _SIM_SEEN_SELECT = (
     " WHERE step = (SELECT max(step) FROM sim)"
 )
 
+# scale/priority-mode projection: coverage + depth labels + MD5-dup
+# statuses + image counts, minus the ordering-attribution columns
+# (seq/cascade/new_links) and fetch-miss rows (no visit row in scale
+# mode).  Sorted by url on both sides.
+_SIM_PROJECTION_SELECT = (
+    " SELECT url, depth, status, n_images FROM sim"
+    " WHERE visited AND status <> 'miss' ORDER BY url"
+)
+
+
+def _visits_projection(visits: "Any") -> "Any":
+    """(url, depth, status, n_images) sorted by url — the scale/
+    priority-mode oracle projection (see _SIM_PROJECTION_SELECT)."""
+    import pyarrow.compute as pc
+
+    t = visits.select(["url", "depth", "status", "n_images"])
+    return t.take(pc.sort_indices(t, sort_keys=[("url", "ascending")]))
+
 
 def oracle_sql() -> dict[str, str]:
     n_tokens = (
@@ -771,6 +800,11 @@ def oracle_sql() -> dict[str, str]:
         "crawl_emissions": _sim + _SIM_EMISSIONS_SELECT,
         "crawl_seen_set": _sim + _SIM_SEEN_SELECT,
         "crawl_robots_visits": _robots_sim + _SIM_VISITS_SELECT,
+        # scale/priority modes: same serial replay, projected onto the
+        # ordering-free columns (see the queries() docstrings; misses
+        # have no scale-mode visit row)
+        "crawl_scale_visits": _sim + _SIM_PROJECTION_SELECT,
+        "crawl_priority_visits": _sim + _SIM_PROJECTION_SELECT,
         "web_training_corpus": (
             # crawl×webtext bridge: ok-visits ⋈ corpus text → lang +
             # quality gates → first-crawled-wins (min seq) md5 dedup
