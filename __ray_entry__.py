@@ -111,7 +111,11 @@ def _image_meta(sf_dir: str):
 
         res, cfg = _run_crawl(sf_dir)
         _META_CACHE[key] = run_image_pipeline(
-            res.emissions, cfg.images
+            res.emissions,
+            cfg.images,
+            # pre-dedup dump → the crawl_image_verdicts SQL oracle
+            # re-derives the distributed F7 dup decision from it
+            predup_oracle_dir=_oracle_tbl_dir(sf_dir),
         ).materialize()
     return _META_CACHE[key]
 
@@ -145,6 +149,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return res.emissions
 
     def crawl_image_verdicts(sf_dir: str):
+        """Full per-image verdict table.  SQL-ORACLED: the pipeline
+        dumps its pre-dedup per-image table (image_predup.parquet) and
+        DuckDB independently re-derives the distributed F7 decision —
+        min-emit_seq winner per phash, losers re-marked 'dup' — that
+        the engine computes as a bucketed reduce + hash join.  The
+        per-image attribute/reason kernels feeding both sides are
+        conformance-tested locally (tests/test_images.py,
+        verdict-sequence oracle + exact-integer kernel parity)."""
         meta = _image_meta(sf_dir)
         # distributed range-partition sort; only the sorted result is
         # collected (the driver-contract return type is pandas)
@@ -805,6 +817,28 @@ def oracle_sql() -> dict[str, str]:
         # have no scale-mode visit row)
         "crawl_scale_visits": _sim + _SIM_PROJECTION_SELECT,
         "crawl_priority_visits": _sim + _SIM_PROJECTION_SELECT,
+        # F7 global dedup re-derived from the engine-written pre-dedup
+        # table: winner = min(emit_seq) per phash over every phash≠0
+        # row (watermark rejects included — reference set-membership
+        # claims on sight, filtering_module.py:335-342), losers 'dup'.
+        # phash emitted as the int64 two's-complement view to match the
+        # queries() column.
+        "crawl_image_verdicts": (
+            "WITH pre AS (SELECT * FROM read_parquet('"
+            f"{_oracle_tbl_dir('sf0.01')}/image_predup.parquet')), "
+            "w AS (SELECT phash, min(emit_seq) AS ws FROM pre "
+            "WHERE phash <> 0 GROUP BY phash) "
+            "SELECT p.emit_seq, p.url, p.source_page, p.depth, "
+            "CASE WHEN p.phash <> 0 AND p.emit_seq <> w.ws THEN 'dup' "
+            "ELSE p.reason END AS reason, "
+            "p.format, p.width, p.height, p.mode, p.aspect, "
+            "CAST(CASE WHEN p.phash >= 9223372036854775808 "
+            "THEN p.phash - 18446744073709551616 "
+            "ELSE p.phash END AS BIGINT) AS phash, "
+            "p.watermark_regions, p.size_bytes "
+            "FROM pre p LEFT JOIN w ON p.phash = w.phash "
+            "ORDER BY p.emit_seq"
+        ),
         "web_training_corpus": (
             # crawl×webtext bridge: ok-visits ⋈ corpus text → lang +
             # quality gates → first-crawled-wins (min seq) md5 dedup

@@ -142,10 +142,18 @@ def run_image_pipeline(
     batch_size: int = 64,
     max_images: int = 0,
     max_bytes: int = 0,
+    predup_oracle_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """Returns the full per-image verdict Dataset (one row per emission,
     with ``reason`` '' = accepted).  If ``out_dir`` is set, accepted
-    rows (with regenerated bytes) are written there as Parquet."""
+    rows (with regenerated bytes) are written there as Parquet.
+
+    ``predup_oracle_dir``: write the PRE-dedup per-image table to
+    ``image_predup.parquet`` there, so an external SQL oracle can
+    independently re-derive the distributed F7 decision (min-emit_seq
+    winner per phash over every phash≠0 row, losers — including
+    post-phash watermark rejects — re-marked 'dup') and compare it to
+    this pipeline's bucketed-reduce + join implementation."""
     # from_arrow yields ONE block; split it so the stage actually fans
     # out (block count bounds task parallelism in Ray Data)
     n_blocks = max(1, min(emissions.num_rows // batch_size + 1, 256))
@@ -159,6 +167,17 @@ def run_image_pipeline(
         batch_format="pyarrow",
         batch_size=batch_size,
     ).materialize()
+
+    if predup_oracle_dir is not None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(predup_oracle_dir, exist_ok=True)
+        pq.write_table(
+            pa.concat_tables(ray.get(meta.to_arrow_refs())),
+            os.path.join(predup_oracle_dir, "image_predup.parquet"),
+        )
 
     if cfg.deduplication:
         import pandas as pd
