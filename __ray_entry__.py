@@ -503,8 +503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": text.weighted_sample,
         "docs_token_topk": lambda d: text.token_topk(d),
         "docs_token_topk_mg": lambda d: text.token_topk_mg(d),
-        # rows-only: rolling 64-bit fingerprint (hash-function-defined;
-        # the md5 twin docs_fingerprints_norm is the oracled form)
+        # rolling 64-bit fingerprint over md5 token hashes — SQL-oracled
+        # (DuckDB list_reduce fold in hugeint arithmetic)
         "docs_fingerprints": text.fingerprints,
         "emb_knn_lsh": lambda d: similarity.knn_lsh(d, k=10, n_queries=5),
         "emb_knn_ivf": lambda d: similarity.knn_ivf(d, k=10, n_queries=5),
@@ -951,6 +951,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(array_to_string("
             r"regexp_split_to_array(trim(coalesce(text,'')), '\s+'), ' ')) "
             "AS fingerprint FROM documents"
+        ),
+        # rolling polynomial fingerprint: h = OFFSET; h = (h·B + md5_64
+        # (token)) mod 2^64 per token — list_reduce fold in hugeint
+        # arithmetic (max intermediate ≈ 2^104 « hugeint range), then
+        # the int64 two's-complement view to match the engine column
+        "docs_fingerprints": (
+            "SELECT doc_id, CAST(r - CASE WHEN r >= 9223372036854775808 "
+            "THEN 18446744073709551616 ELSE 0 END AS BIGINT) "
+            "AS fingerprint FROM ("
+            "SELECT doc_id, list_reduce("
+            "list_prepend(CAST(14695981039346656037 AS HUGEINT), "
+            "list_transform("
+            r"regexp_split_to_array(trim(coalesce(text,'')), '\s+'), "
+            "t -> CAST(CAST(concat('0x', substr(md5(t), 1, 16)) "
+            "AS UBIGINT) AS HUGEINT))), "
+            "(a, x) -> (a * 1099511628211 + x) % 18446744073709551616"
+            ") AS r FROM documents)"
         ),
         "docs_ngram_jaccard": jaccard_pairs,
         "docs_minhash_pairs": jaccard_pairs,

@@ -259,13 +259,18 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
 
 
 def fingerprints(sf_dir: str) -> "ray.data.Dataset":
-    """doc_id, fingerprint — 64-bit rolling polynomial hash over token
-    hashes (document fingerprint; rows-only check).
+    """doc_id, fingerprint — 64-bit rolling polynomial hash over
+    md5-derived token hashes (document fingerprint; SQL-oracled).
 
     fp = OFFSET·B^n + Σ th_i·B^(n-1-i)  (mod 2^64) — the closed form of
-    ``h = h·B + th_i``, so the whole batch vectorizes: one
-    ``pd.util.hash_array`` over the flattened tokens, a power lookup
-    per position, and a segmented ``np.add.reduceat``."""
+    ``h = h·B + th_i``, so the whole batch vectorizes: md5-low-64 per
+    *unique* token (dedup._md5_u64 — the same SQL-expressible basis as
+    SimHash, so DuckDB replays the fold with ``list_reduce`` over
+    hugeint arithmetic), a power lookup per position, and a segmented
+    ``np.add.reduceat`` (uint64 wrap ≡ mod 2^64).  Emitted as the int64
+    two's-complement view to match the oracle's BIGINT."""
+    from .dedup import _md5_u64
+
     B = np.uint64(1099511628211)
     OFFSET = np.uint64(14695981039346656037)
 
@@ -273,9 +278,9 @@ def fingerprints(sf_dir: str) -> "ray.data.Dataset":
         n = len(df)
         if n == 0:
             return pd.DataFrame({"doc_id": df["doc_id"],
-                                 "fingerprint": np.empty(0, np.uint64)})
+                                 "fingerprint": np.empty(0, np.int64)})
         flat, lens = _token_lists(df["text"])
-        th = pd.util.hash_array(flat)  # uint64, C-speed
+        th = _md5_u64(flat)  # uint64 md5 prefix, hashed per unique token
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
         pos_in_doc = np.arange(len(flat)) - np.repeat(starts, lens)
         exp = np.repeat(lens, lens) - 1 - pos_in_doc
@@ -287,7 +292,8 @@ def fingerprints(sf_dir: str) -> "ray.data.Dataset":
             terms = th * pw[exp]
             sums = np.add.reduceat(terms, starts)
             fps = OFFSET * pw[lens] + sums
-        return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": fps})
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "fingerprint": fps.view(np.int64)})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 

@@ -91,7 +91,7 @@ def test_all_query_names_have_callables(contract):
         "docs_neardup_keep", "docs_pack_windows", "docs_weighted_sample",
         "docs_training_corpus",
         "docs_simhash", "docs_boilerplate_ngrams",
-        "docs_unigram_surprisal",
+        "docs_unigram_surprisal", "docs_fingerprints",
         "emb_near_dup_exact", "emb_dedup_keep_exact",
         "emb_knn_lsh_recall", "emb_knn_ivf_recall",
         "events_approx_users_check", "events_approx_hourly_check",
@@ -195,6 +195,21 @@ def test_blocked_exact_neardup_prunes_far_cells(ray_session):
     assert len(got_pairs) > 0
 
 
+def test_crawl_mode_and_verdict_sql_oracles(contract, con):
+    """The r4 oracles: scale/priority visit projections vs the
+    recursive-CTE replay, and the image verdict table vs the DuckDB
+    re-derivation of the F7 dup decision over the engine-written
+    pre-dedup parquet.  Driver path sf0.01 rewritten to sf0.001."""
+    qs, oracles = contract
+    for name in ["crawl_scale_visits", "crawl_priority_visits",
+                 "crawl_image_verdicts"]:
+        ray_df = _canon(_to_pandas(qs[name](SF_DIR)))  # writes the base
+        sql = oracles[name].replace("sf0.01", "sf0.001")
+        sql_df = _canon(con.sql(sql).df())
+        assert list(ray_df.columns) == list(sql_df.columns), name
+        pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False)
+
+
 def test_crawl_aggregate_sql_oracles(contract, con):
     """The crawl aggregates are SQL-oracled over the visits parquet the
     engine writes; the driver runs at sf0.01 — here we rewrite the
@@ -211,12 +226,11 @@ def test_crawl_aggregate_sql_oracles(contract, con):
 
 @pytest.mark.parametrize(
     "name",
-    ["docs_fingerprints", "emb_knn_lsh",
+    ["emb_knn_lsh",
      "docs_extended_images", "docs_api_harvest",
      "crawl_sitemap_frontier", "crawl_nav_scores", "media_features",
      "emb_knn_ivf", "events_approx_users", "events_approx_hourly_users",
-     "emb_kmeans", "crawl_host_pagerank", "crawl_scale_visits",
-     "crawl_priority_visits", "crawl_robots_visits"],
+     "emb_kmeans", "crawl_host_pagerank", "crawl_robots_visits"],
 )
 def test_rows_only_queries_run(contract, name):
     qs, _ = contract
