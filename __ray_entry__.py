@@ -320,8 +320,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return webops.media_features()
 
     def crawl_host_pagerank(sf_dir: str):
+        """Exact-integer PageRank (see webops.host_pagerank).  SQL-
+        ORACLED: the edge list is written to Parquet and DuckDB unrolls
+        the same 20 fixed-point integer iterations — the distributed
+        power iteration (broadcast rank vector + sparse partial sums)
+        must match the serial SQL replay bit for bit.  The HTML
+        link-graph extraction feeding both sides is conformance-tested
+        locally."""
         _, path = _corpus_for(sf_dir)
-        return webops.host_pagerank(path)
+        return webops.host_pagerank(
+            path,
+            edges_out=os.path.join(
+                _oracle_tbl_dir(sf_dir), "host_edges.parquet"
+            ),
+        )
 
     def crawl_scale_visits(sf_dir: str):
         """The SCALE-mode (Bloom shards, no replay) visit table — the
@@ -696,6 +708,48 @@ _SIM_PROJECTION_SELECT = (
 )
 
 
+def _pagerank_sql(edges_pq: str, n_iter: int = 20) -> str:
+    """Serial DuckDB replay of webops.host_pagerank's exact-integer
+    fixed-point iteration, unrolled n_iter times over the engine-
+    written edge parquet (damping 17/20, SCALE fixed-point, per-edge
+    floor division — every operation is int64/BIGINT so the replay is
+    bit-identical regardless of summation order)."""
+    from snapcrawler_ray.functions.webops import PAGERANK_SCALE as S
+
+    parts = [
+        # every CTE MATERIALIZED: DuckDB would otherwise inline each
+        # reference, re-scanning the parquet per iteration and expanding
+        # the unrolled chain exponentially
+        f"WITH e AS MATERIALIZED (SELECT * FROM read_parquet('{edges_pq}'))",
+        "hosts AS MATERIALIZED (SELECT DISTINCT h FROM "
+        "(SELECT src_host AS h FROM e UNION ALL SELECT dst_host FROM e))",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM hosts)",
+        "ow AS MATERIALIZED (SELECT src_host AS h, sum(weight) AS w "
+        "FROM e GROUP BY 1)",
+        f"r0 AS MATERIALIZED (SELECT h, {S} // n AS v "
+        "FROM hosts CROSS JOIN nn)",
+    ]
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        parts += [
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(v), 0) AS d "
+            f"FROM r{p} LEFT JOIN ow USING (h) WHERE ow.w IS NULL)",
+            f"i{k} AS MATERIALIZED (SELECT e.dst_host AS h, "
+            f"sum((r.v * e.weight) // ow.w) AS s "
+            f"FROM e JOIN r{p} r ON r.h = e.src_host "
+            "JOIN ow ON ow.h = e.src_host GROUP BY 1)",
+            f"r{k} AS MATERIALIZED (SELECT hosts.h, (3 * {S}) // (20 * n) + "
+            f"(17 * (coalesce(i{k}.s, 0) + d // n)) // 20 AS v "
+            f"FROM hosts LEFT JOIN i{k} USING (h) "
+            f"CROSS JOIN d{k} CROSS JOIN nn)",
+        ]
+    return (
+        ", ".join(parts)
+        + f' SELECT h AS host, CAST(v AS DOUBLE) / {S} AS "rank",'
+        f" CAST(v AS BIGINT) AS rank_scaled FROM r{n_iter} ORDER BY host"
+    )
+
+
 def _visits_projection(visits: "Any") -> "Any":
     """(url, depth, status, n_images) sorted by url — the scale/
     priority-mode oracle projection (see _SIM_PROJECTION_SELECT)."""
@@ -864,6 +918,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT status, count(*) AS n, "
             "CAST(sum(n_images) AS BIGINT) AS total_images "
             f"FROM {visits_pq} GROUP BY status"
+        ),
+        "crawl_host_pagerank": _pagerank_sql(
+            f"{_oracle_tbl_dir('sf0.01')}/host_edges.parquet"
         ),
         "crawl_ua_counts": (
             "SELECT user_agent, count(*) AS n FROM "

@@ -411,18 +411,44 @@ def host_edges(corpus_dir: str) -> pd.DataFrame:
     return edges.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
 
 
+#: fixed-point scale for the exact-integer PageRank (rank ≈ v / SCALE)
+PAGERANK_SCALE = 10**12
+
+
 def host_pagerank(
-    corpus_dir: str, n_iter: int = 20, damping: float = 0.85
+    corpus_dir: str, n_iter: int = 20, edges_out: str | None = None
 ) -> pd.DataFrame:
-    """host, rank — weighted PageRank over the host link graph (the
-    iterative graph-analytics shape: edge Dataset × per-iteration
-    broadcast rank vector, partial destination sums folded on the
-    driver — driver state is O(hosts), never the edge list; same
-    topology as the k-means loop).  Dangling mass redistributes
-    uniformly; deterministic (no randomness, fixed iteration count);
-    tests assert parity with a single-process numpy power iteration
-    and that ranks sum to 1."""
+    """host, rank, rank_scaled — weighted PageRank over the host link
+    graph (the iterative graph-analytics shape: edge Dataset ×
+    per-iteration broadcast rank vector, partial destination sums
+    folded on the driver — driver state is O(hosts), never the edge
+    list; same topology as the k-means loop).
+
+    EXACT-INTEGER semantics (damping fixed at 17/20 = 0.85), so the
+    result is order-free — per-edge contributions are int64 floor
+    divisions and integer sums commute — and therefore independently
+    SQL-replayable (the DuckDB oracle unrolls the same n_iter
+    fixed-point iterations over the edge parquet this function writes
+    to ``edges_out``):
+
+        v0_i  = SCALE // n
+        c_e   = (v_src · w_e) // outw_src          per edge, floored
+        v'_i  = (3·SCALE) // (20·n)                (1−d)/n term
+              + (17·(inflow_i + D // n)) // 20     d·(inflow+dangling)
+        D     = Σ v_j over dangling hosts (outw_j = 0)
+
+    The floor losses bound |Σ rank − 1| ≤ n_iter·(|E|+n+2)/SCALE —
+    ~1e-6 at corpus scale; the float column is v / SCALE."""
     edges_pd = host_edges(corpus_dir)
+    if edges_out is not None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(edges_out), exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(
+            edges_pd[["src_host", "dst_host", "weight"]]
+        ), edges_out)
     hosts = np.unique(
         np.concatenate([edges_pd["src_host"].to_numpy(),
                         edges_pd["dst_host"].to_numpy()])
@@ -430,18 +456,20 @@ def host_pagerank(
     idx = {h: i for i, h in enumerate(hosts)}
     n = len(hosts)
     if n == 0:
-        return pd.DataFrame({"host": [], "rank": []})
+        return pd.DataFrame({"host": [], "rank": [], "rank_scaled": []})
     edges_pd = edges_pd.assign(
         src=edges_pd["src_host"].map(idx).astype(np.int64),
         dst=edges_pd["dst_host"].map(idx).astype(np.int64),
     )
-    outw = np.zeros(n)
-    np.add.at(outw, edges_pd["src"].to_numpy(), edges_pd["weight"].to_numpy())
+    outw = np.zeros(n, dtype=np.int64)
+    np.add.at(outw, edges_pd["src"].to_numpy(),
+              edges_pd["weight"].to_numpy(np.int64))
     edges = ray.data.from_pandas(
         edges_pd[["src", "dst", "weight"]]
     ).repartition(4)
 
-    r = np.full(n, 1.0 / n)
+    scale = PAGERANK_SCALE
+    r = np.full(n, scale // n, dtype=np.int64)
     for _ in range(n_iter):
         # rank vector AND out-weight vector travel via the object store
         # (one ray.put per iteration, fetched once per task) — nothing
@@ -451,19 +479,25 @@ def host_pagerank(
         def partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
             rv, ow = ray.get(_ref)
             src = df["src"].to_numpy()
-            contrib = rv[src] * df["weight"].to_numpy() / ow[src]
+            # per-EDGE floor division: partition-independent, so the
+            # partial sums commute exactly (int64 end to end)
+            contrib = (rv[src] * df["weight"].to_numpy(np.int64)) // ow[src]
             # SPARSE (dst, sum) partial: rows = distinct destinations in
             # this batch, not a dense O(hosts) vector per batch
             return pd.DataFrame({"i": df["dst"].to_numpy(), "s": contrib}) \
                 .groupby("i", as_index=False)["s"].sum()
 
         parts = edges.map_batches(partial, batch_format="pandas").to_pandas()
-        inflow = np.zeros(n)
+        inflow = np.zeros(n, dtype=np.int64)
         if len(parts):
             np.add.at(inflow, parts["i"].to_numpy(np.int64),
-                      parts["s"].to_numpy())
-        dangling = r[outw == 0].sum()
-        r = (1 - damping) / n + damping * (inflow + dangling / n)
+                      parts["s"].to_numpy(np.int64))
+        dangling = int(r[outw == 0].sum())
+        r = (3 * scale) // (20 * n) + (17 * (inflow + dangling // n)) // 20
 
-    out = pd.DataFrame({"host": hosts, "rank": np.round(r, 10)})
+    out = pd.DataFrame({
+        "host": hosts,
+        "rank": r.astype(np.float64) / scale,
+        "rank_scaled": r,
+    })
     return out.sort_values("host").reset_index(drop=True)

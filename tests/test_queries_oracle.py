@@ -202,7 +202,7 @@ def test_crawl_mode_and_verdict_sql_oracles(contract, con):
     pre-dedup parquet.  Driver path sf0.01 rewritten to sf0.001."""
     qs, oracles = contract
     for name in ["crawl_scale_visits", "crawl_priority_visits",
-                 "crawl_image_verdicts"]:
+                 "crawl_image_verdicts", "crawl_host_pagerank"]:
         ray_df = _canon(_to_pandas(qs[name](SF_DIR)))  # writes the base
         sql = oracles[name].replace("sf0.01", "sf0.001")
         sql_df = _canon(con.sql(sql).df())
@@ -230,7 +230,7 @@ def test_crawl_aggregate_sql_oracles(contract, con):
      "docs_extended_images", "docs_api_harvest",
      "crawl_sitemap_frontier", "crawl_nav_scores", "media_features",
      "emb_knn_ivf", "events_approx_users", "events_approx_hourly_users",
-     "emb_kmeans", "crawl_host_pagerank", "crawl_robots_visits"],
+     "emb_kmeans", "crawl_robots_visits"],
 )
 def test_rows_only_queries_run(contract, name):
     qs, _ = contract
@@ -654,33 +654,54 @@ def test_hll_hourly_within_bound(contract, con):
 
 
 def test_host_pagerank_matches_power_iteration(ray_session):
-    """Distributed PageRank == single-process numpy power iteration
-    from the same edge list; ranks sum to 1."""
+    """Distributed exact-integer PageRank: (a) bit-identical to a
+    single-process integer replay from the same edge list, (b) within
+    the documented floor-loss envelope of the true float power
+    iteration, (c) ranks sum to 1 up to that envelope."""
     import __ray_entry__ as e
-    from snapcrawler_ray.functions.webops import host_edges, host_pagerank
+    from snapcrawler_ray.functions.webops import (
+        PAGERANK_SCALE, host_edges, host_pagerank,
+    )
 
     _, path = e._corpus_for(SF_DIR)
     got = host_pagerank(path, n_iter=20)
-    assert abs(got["rank"].sum() - 1.0) < 1e-9
 
     edges = host_edges(path)
     hosts = np.unique(np.concatenate(
         [edges["src_host"].to_numpy(), edges["dst_host"].to_numpy()]))
     idx = {h: i for i, h in enumerate(hosts)}
     n = len(hosts)
-    W = np.zeros((n, n))
-    for r_ in edges.itertuples():
-        W[idx[r_.src_host], idx[r_.dst_host]] += r_.weight
-    outw = W.sum(1)
-    r = np.full(n, 1.0 / n)
-    d = 0.85
+    S = PAGERANK_SCALE
+    src = edges["src_host"].map(idx).to_numpy()
+    dst = edges["dst_host"].map(idx).to_numpy()
+    w = edges["weight"].to_numpy(np.int64)
+    outw = np.zeros(n, np.int64)
+    np.add.at(outw, src, w)
+    # (a) exact integer replay — must match bit for bit
+    ri = np.full(n, S // n, np.int64)
+    for _ in range(20):
+        contrib = (ri[src] * w) // outw[src]
+        inflow = np.zeros(n, np.int64)
+        np.add.at(inflow, dst, contrib)
+        dang = int(ri[outw == 0].sum())
+        ri = (3 * S) // (20 * n) + (17 * (inflow + dang // n)) // 20
+    want = pd.DataFrame({"host": hosts, "rank_scaled": ri})
+    want = want.sort_values("host").reset_index(drop=True)
+    assert got["rank_scaled"].tolist() == want["rank_scaled"].tolist()
+    assert (got["rank"] == got["rank_scaled"] / S).all()
+
+    # floor-loss envelope: n_iter·(|E| + n + 2)/SCALE
+    eps = 20 * (len(edges) + n + 2) / S
+    assert abs(got["rank"].sum() - 1.0) < eps
+    # (b) true float power iteration within the same envelope
+    rf = np.full(n, 1.0 / n)
     for _ in range(20):
         contrib = np.zeros(n)
-        nz = outw > 0
-        contrib += (W[nz] / outw[nz, None] * r[nz, None]).sum(0)
-        dangling = r[~nz].sum()
-        r = (1 - d) / n + d * (contrib + dangling / n)
-    want = pd.DataFrame({"host": hosts, "rank": np.round(r, 10)})
-    want = want.sort_values("host").reset_index(drop=True)
-    pd.testing.assert_frame_equal(got, want, check_exact=False,
-                                  rtol=0, atol=1e-9)
+        np.add.at(contrib, dst, rf[src] * w / outw[src])
+        dangling = rf[outw == 0].sum()
+        rf = 0.15 / n + 0.85 * (contrib + dangling / n)
+    assert np.abs(
+        got["rank"].to_numpy()
+        - pd.DataFrame({"host": hosts, "r": rf})
+        .sort_values("host")["r"].to_numpy()
+    ).max() < eps
