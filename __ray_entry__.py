@@ -299,12 +299,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return webops.extended_images(path)
 
     def docs_api_harvest(sf_dir: str):
+        """M11 AJAX/JSON harvest.  SQL-ORACLED: DuckDB replays the
+        recursive key-restricted JSON walk (WITH RECURSIVE over
+        json_keys/json_extract, keys image/thumbnail/photo/picture,
+        ext-filtered leaves) and the non-JSON regex fallback over the
+        engine-written payload parquet."""
         spec, _ = _corpus_for(sf_dir)
-        return webops.api_harvest(spec)
+        return webops.api_harvest(
+            spec,
+            payloads_out=os.path.join(
+                _oracle_tbl_dir(sf_dir), "api_payloads.parquet"
+            ),
+        )
 
     def crawl_sitemap_frontier(sf_dir: str):
+        """S6/M17 sitemap source.  SQL-ORACLED: the fetched payload
+        table is dumped to Parquet and DuckDB regex-replays the
+        urlset / sitemapindex / robots-Sitemap-line parse plus the
+        >0.3 priority enqueue filter against the ElementTree path."""
         spec, _ = _corpus_for(sf_dir)
-        return webops.sitemap_frontier(spec)
+        return webops.sitemap_frontier(
+            spec,
+            payloads_out=os.path.join(
+                _oracle_tbl_dir(sf_dir), "sitemap_payloads.parquet"
+            ),
+        )
 
     def crawl_nav_scores(sf_dir: str):
         _, path = _corpus_for(sf_dir)
@@ -750,6 +769,61 @@ def _pagerank_sql(edges_pq: str, n_iter: int = 20) -> str:
     )
 
 
+def _api_harvest_sql(payloads_pq: str) -> str:
+    """DuckDB replay of jsonx.extract_images_from_api_payload over the
+    engine-written payload parquet: a WITH RECURSIVE walk over
+    json_keys/json_extract reproduces html.extended._from_json's
+    key-restricted descent (string leaves under image/thumbnail/photo/
+    picture, ext-checked un-stripped), plus the _URL_RE regex fallback
+    (query-stripped ext check) for non-JSON bodies."""
+    exts = (".jpg", ".jpeg", ".png", ".gif", ".webp", ".avif", ".svg",
+            ".bmp", ".tiff", ".ico", ".heic", ".heif")
+
+    def ext_pred(col: str) -> str:
+        return "(" + " OR ".join(
+            f"lower({col}) LIKE '%{e}'" for e in exts
+        ) + ")"
+
+    url_re = (
+        "https?://[^\\s\"''<>]+?\\.(?:jpg|jpeg|png|gif|webp|svg)"
+        "(?:\\?[^\\s\"''<>]*)?"
+    )
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT url AS source_url, decode(body) AS b
+  FROM read_parquet('{payloads_pq}')),
+walk(source_url, k, node) AS (
+  SELECT source_url, '', b::JSON FROM p WHERE json_valid(b)
+  UNION ALL
+  SELECT source_url,
+    CASE WHEN json_type(node) = 'OBJECT' THEN el ELSE '' END,
+    CASE WHEN json_type(node) = 'OBJECT'
+         THEN json_extract(node, '$."' || el || '"')
+         ELSE json_extract(node, '$[' || el || ']') END
+  FROM walk, unnest(
+    CASE WHEN json_type(node) = 'OBJECT' THEN json_keys(node)
+         WHEN json_type(node) = 'ARRAY' THEN list_transform(
+           range(CAST(json_array_length(node) AS BIGINT)),
+           x -> CAST(x AS VARCHAR))
+         ELSE [] END) AS u(el)),
+harvest AS (
+  SELECT source_url, json_extract_string(node, '$') AS image_url
+  FROM walk
+  WHERE lower(k) IN ('image', 'thumbnail', 'photo', 'picture')
+    AND json_type(node) = 'VARCHAR'
+    AND {ext_pred("json_extract_string(node, '$')")}),
+fallback AS (
+  SELECT source_url, unnest(regexp_extract_all(b, '{url_re}', 0))
+    AS image_url
+  FROM p WHERE NOT json_valid(b)),
+fb AS (
+  SELECT source_url, image_url FROM fallback
+  WHERE {ext_pred("split_part(image_url, '?', 1)")})
+SELECT DISTINCT source_url, image_url FROM (
+  SELECT * FROM harvest UNION ALL SELECT * FROM fb)
+ORDER BY source_url, image_url"""
+
+
 def _visits_projection(visits: "Any") -> "Any":
     """(url, depth, status, n_images) sorted by url — the scale/
     priority-mode oracle projection (see _SIM_PROJECTION_SELECT)."""
@@ -921,6 +995,44 @@ def oracle_sql() -> dict[str, str]:
         ),
         "crawl_host_pagerank": _pagerank_sql(
             f"{_oracle_tbl_dir('sf0.01')}/host_edges.parquet"
+        ),
+        "docs_api_harvest": _api_harvest_sql(
+            f"{_oracle_tbl_dir('sf0.01')}/api_payloads.parquet"
+        ),
+        # M17 parse replayed with regex extraction over the engine-
+        # written payloads: urlset <url> elements (priority default 0.5
+        # when the tag is absent, pages kept only above 0.3),
+        # sitemapindex <sitemap> locs and robots.txt 'Sitemap:' lines as
+        # (url, 1.0) 'sitemap' rows
+        "crawl_sitemap_frontier": (
+            "WITH p AS (SELECT url AS source_url, decode(body) AS b "
+            "FROM read_parquet('"
+            f"{_oracle_tbl_dir('sf0.01')}/sitemap_payloads.parquet')), "
+            "pages AS (SELECT source_url, "
+            "regexp_extract(el, '<loc>(.*?)</loc>', 1) AS url, "
+            "'page' AS kind, "
+            "CASE WHEN el LIKE '%<priority>%' THEN CAST(regexp_extract("
+            "el, '<priority>(.*?)</priority>', 1) AS DOUBLE) "
+            "ELSE 0.5 END AS priority "
+            "FROM (SELECT source_url, unnest(regexp_extract_all("
+            "b, '<url>.*?</url>')) AS el FROM p "
+            "WHERE b LIKE '%<urlset%')), "
+            "sitemaps AS (SELECT source_url, "
+            "regexp_extract(el, '<loc>(.*?)</loc>', 1) AS url, "
+            "'sitemap' AS kind, 1.0 AS priority "
+            "FROM (SELECT source_url, unnest(regexp_extract_all("
+            "b, '<sitemap>.*?</sitemap>')) AS el FROM p "
+            "WHERE b LIKE '%<sitemapindex%')), "
+            "robots AS (SELECT source_url, "
+            "trim(substr(trim(l), 9)) AS url, 'sitemap' AS kind, "
+            "1.0 AS priority "
+            "FROM (SELECT source_url, unnest(string_split(b, chr(10))) "
+            "AS l FROM p WHERE source_url LIKE '%robots.txt%' "
+            "AND b NOT LIKE '%<urlset%' AND b NOT LIKE '%<sitemapindex%') "
+            "WHERE lower(trim(l)) LIKE 'sitemap:%') "
+            "SELECT * FROM pages WHERE priority > 0.3 "
+            "UNION ALL SELECT * FROM sitemaps "
+            "UNION ALL SELECT * FROM robots"
         ),
         "crawl_ua_counts": (
             "SELECT user_agent, count(*) AS n FROM "

@@ -95,11 +95,22 @@ def synth_api_payloads(spec) -> pa.Table:
     )
 
 
-def api_harvest(spec) -> "ray.data.Dataset":
-    """(source_url, image_url) rows harvested from API payloads."""
+def api_harvest(spec, payloads_out: str | None = None) -> "ray.data.Dataset":
+    """(source_url, image_url) rows harvested from API payloads.
+
+    ``payloads_out``: dump the payload table to Parquet so an external
+    SQL oracle can replay the recursive JSON walk (DuckDB WITH
+    RECURSIVE over json_keys/json_extract) + regex fallback."""
     from .jsonx import api_payload_flat_map
 
     t = synth_api_payloads(spec)
+    if payloads_out is not None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(payloads_out), exist_ok=True)
+        pq.write_table(t, payloads_out)
     n_blocks = max(1, min(8, t.num_rows // 8 + 1))
     return ray.data.from_arrow(t).repartition(n_blocks).map_batches(
         api_payload_flat_map, batch_format="pyarrow"
@@ -154,12 +165,20 @@ def synth_sitemap_payloads(spec) -> pa.Table:
     )
 
 
-def sitemap_frontier(spec, min_priority: float = 0.3) -> "ray.data.Dataset":
+def sitemap_frontier(
+    spec, min_priority: float = 0.3, payloads_out: str | None = None
+) -> "ray.data.Dataset":
     """Frontier rows (url, priority) from every sitemap/robots payload:
     parse → priority filter (reference filters > 0.3 at enqueue,
     navigation_module.py:563).  Sitemap-index/robots rows surface as
     (sitemap_url, 1.0) 'sitemap' kind rows so the probe chain is
-    visible too."""
+    visible too.
+
+    ``payloads_out``: write the fetched (url, body) payload table to
+    Parquet so an external SQL oracle can replay the urlset/
+    sitemapindex/robots parse + priority filter independently (DuckDB
+    regex extraction over the same payloads this ElementTree path
+    consumes)."""
     from ..sources.sitemap import parse_sitemap
 
     def f(batch: pa.Table) -> pa.Table:
@@ -184,6 +203,13 @@ def sitemap_frontier(spec, min_priority: float = 0.3) -> "ray.data.Dataset":
         )
 
     t = synth_sitemap_payloads(spec)
+    if payloads_out is not None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(payloads_out), exist_ok=True)
+        pq.write_table(t, payloads_out)
     n_blocks = max(1, min(8, t.num_rows // 8 + 1))
     return ray.data.from_arrow(t).repartition(n_blocks).map_batches(
         f, batch_format="pyarrow"

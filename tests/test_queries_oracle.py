@@ -202,7 +202,8 @@ def test_crawl_mode_and_verdict_sql_oracles(contract, con):
     pre-dedup parquet.  Driver path sf0.01 rewritten to sf0.001."""
     qs, oracles = contract
     for name in ["crawl_scale_visits", "crawl_priority_visits",
-                 "crawl_image_verdicts", "crawl_host_pagerank"]:
+                 "crawl_image_verdicts", "crawl_host_pagerank",
+                 "crawl_sitemap_frontier", "docs_api_harvest"]:
         ray_df = _canon(_to_pandas(qs[name](SF_DIR)))  # writes the base
         sql = oracles[name].replace("sf0.01", "sf0.001")
         sql_df = _canon(con.sql(sql).df())
@@ -227,8 +228,8 @@ def test_crawl_aggregate_sql_oracles(contract, con):
 @pytest.mark.parametrize(
     "name",
     ["emb_knn_lsh",
-     "docs_extended_images", "docs_api_harvest",
-     "crawl_sitemap_frontier", "crawl_nav_scores", "media_features",
+     "docs_extended_images",
+     "crawl_nav_scores", "media_features",
      "emb_knn_ivf", "events_approx_users", "events_approx_hourly_users",
      "emb_kmeans", "crawl_robots_visits"],
 )
