@@ -473,11 +473,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ENTRY ORDER IS DELIBERATE.  The driver records CORRECTNESS rows
     # for exactly the first 50 dict entries each round, so the contract
     # is rotated per round by verification priority.  r04 ordering:
-    # (1) the crawl scheduler rows that are NEWLY SQL-ORACLED this round
-    #     (recursive-CTE replay over the engine-written edge table) plus
-    #     the oracled crawl aggregates whose engine code changed this
-    #     round (UA rotation, byte-cap chains, distributed verdict
-    #     sort) — re-verified against fresh oracles;
+    # (1) everything NEWLY SQL-ORACLED this round: the crawl scheduler
+    #     rows (recursive-CTE replay over the engine-written edge
+    #     table), the scale/priority projections, the image verdict
+    #     table (pre-dedup dump + SQL F7 re-derivation), exact-integer
+    #     PageRank (unrolled-CTE replay), sitemap frontier and JSON API
+    #     harvest (payload dumps + SQL parse replays), plus the oracled
+    #     crawl aggregates whose engine code changed this round (UA
+    #     rotation, byte-cap chains, distributed verdict sort);
     # (2) every entry whose green driver row exists only in r02 (r03's
     #     50 rows skipped them) — re-recorded so r03∪r04 alone covers
     #     the full contract;
@@ -508,6 +511,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_scale_visits": crawl_scale_visits,
         "crawl_priority_visits": crawl_priority_visits,
         "docs_api_harvest": docs_api_harvest,
+        "crawl_host_pagerank": crawl_host_pagerank,
+        "crawl_sitemap_frontier": crawl_sitemap_frontier,
         # --- [2] green only in r02 — re-recorded this round ---
         "events_rolling": lambda d: relational.events_rolling_window(d),
         "events_asof": lambda d: relational.events_asof_milestones(d),
@@ -553,9 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_hourly_users": sketch.approx_hourly_users,
         "events_pivot_hourly": relational.events_pivot_hourly,
         # --- [3] r03-green remainder (CORRECTNESS_r03 rows stand) ---
-        "crawl_host_pagerank": crawl_host_pagerank,
         "docs_extended_images": docs_extended_images,
-        "crawl_sitemap_frontier": crawl_sitemap_frontier,
         "crawl_nav_scores": crawl_nav_scores,
         "images_analysis": images_analysis,
         "media_features": media_features,
