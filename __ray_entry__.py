@@ -513,6 +513,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_api_harvest": docs_api_harvest,
         "crawl_host_pagerank": crawl_host_pagerank,
         "crawl_sitemap_frontier": crawl_sitemap_frontier,
+        # new in r4: the HLL register table itself under the hard
+        # oracle — md5-basis hashing (shared with SimHash/fingerprints)
+        # lets DuckDB recompute every (event_type, bucket) max-rank
+        # bit-for-bit; the approx_* estimates' error envelopes remain
+        # separately driver-checked via events_approx_*_check
+        "events_hll_registers": lambda d: sketch.hll_registers(d),
         # --- [2] green only in r02 — re-recorded this round ---
         "events_rolling": lambda d: relational.events_rolling_window(d),
         "events_asof": lambda d: relational.events_asof_milestones(d),
@@ -1421,6 +1427,23 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_ivf_recall": (
             "SELECT vec_id AS query_id, true AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"
+        ),
+        # The HLL register table itself, recomputed independently:
+        # hash = md5-prefix uint64 of str(user_id) (the engine's
+        # _md5_u64 basis), bucket = top p=12 bits, rank over the low
+        # 52 bits via floor(log2) — exact in doubles since w < 2^53 —
+        # with the w=0 sentinel case at 53.  A single register off by
+        # one anywhere is a driver-red value mismatch.
+        "events_hll_registers": (
+            "WITH h AS (SELECT event_type, "
+            "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), "
+            "1, 16)) AS UBIGINT) AS hv FROM events), "
+            "r AS (SELECT event_type, CAST(hv >> 52 AS BIGINT) AS reg, "
+            "CASE WHEN (hv & 4503599627370495) = 0 THEN 53 "
+            "ELSE 52 - CAST(floor(log2(CAST(hv & 4503599627370495 "
+            "AS DOUBLE))) AS BIGINT) END AS rank FROM h) "
+            "SELECT event_type, reg, CAST(max(rank) AS BIGINT) "
+            "AS register FROM r GROUP BY event_type, reg"
         ),
         # HLL error envelope: exact_users double-checks the distributed
         # exact-distinct reduce; within_tol states the sketch bound

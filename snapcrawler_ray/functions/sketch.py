@@ -9,9 +9,15 @@ table per key and the combine is embarrassingly tree-shaped (Flajolet
 et al. 2007, the public HLL construction; bias correction per the
 original paper's small/large-range regimes).
 
-Determinism: hashing is ``pandas.util.hash_array`` (fixed-key SipHash,
-stable across processes/nodes/runs), so the sketch — and therefore the
-estimate — is bit-reproducible, which the tests assert alongside the
+Determinism: hashing is the md5-prefix uint64 basis shared with
+SimHash/fingerprints (``dedup._md5_u64`` — first 8 bytes of
+``md5(str(user))``, big-endian), so the sketch — and therefore the
+estimate — is bit-reproducible across processes/nodes/runs AND
+SQL-reproducible: DuckDB recomputes the exact register table with
+``CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 16)) AS
+UBIGINT)``, which puts the distributed register computation itself
+under the driver's hard oracle (``events_hll_registers``), not just
+the error envelope.  Tests assert bit-reproducibility alongside the
 error bound (~1.04/sqrt(2^p) relative standard error).
 """
 
@@ -35,13 +41,51 @@ def _lzc64(x: np.ndarray) -> np.ndarray:
 
 
 def hll_partial(keys: np.ndarray, values: np.ndarray, p: int) -> pd.DataFrame:
-    """(key, reg, rank) max-rank partials for one batch."""
-    h = pd.util.hash_array(values).astype(np.uint64)
+    """(key, reg, rank) max-rank partials for one batch.
+
+    The rank construction ``lzc((h << p) | 1 << (p-1)) + 1`` equals the
+    SQL form ``CASE WHEN w = 0 THEN 64-p+1 ELSE (64-p) -
+    floor(log2(w)) END`` over the low ``64-p`` bits ``w``: the sentinel
+    bit caps the count at exactly the w=0 case, and at p ≥ 12 the
+    remainder fits in 52 bits, so DuckDB's double-precision ``log2`` is
+    exact on it."""
+    from .dedup import _md5_u64
+
+    h = _md5_u64(np.asarray(values).astype(str))
     reg = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
     rank = _lzc64(rest) + 1
     df = pd.DataFrame({"key": keys, "reg": reg, "rank": rank})
     return df.groupby(["key", "reg"], as_index=False).agg(rank=("rank", "max"))
+
+
+def hll_registers(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """event_type, reg, register — the merged HLL register table per
+    event type, exactly as the estimator consumes it.  This is the
+    sketch kernel itself under the hard oracle: DuckDB independently
+    recomputes every (type, bucket) max-rank from ``md5(user_id)`` and
+    the driver value-hash must match bit-for-bit.  Same distributed
+    topology as :func:`approx_distinct_users` (per-batch partials
+    bounded by types × 2^p small int rows, one max-merge)."""
+    from .io import read_table
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = hll_partial(
+            df["event_type"].to_numpy(), df["user_id"].to_numpy(), p
+        )
+        return part.rename(columns={"key": "event_type"})
+
+    ds = read_table(sf_dir, "events", ["event_type", "user_id"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    merged = (
+        ds.to_pandas()
+        .groupby(["event_type", "reg"], as_index=False)
+        .agg(register=("rank", "max"))
+    )
+    merged["reg"] = merged["reg"].astype("int64")
+    merged["register"] = merged["register"].astype("int64")
+    return merged.sort_values(["event_type", "reg"]).reset_index(drop=True)
 
 
 def hll_estimate(regs: pd.DataFrame, p: int) -> pd.DataFrame:

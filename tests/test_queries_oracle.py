@@ -95,6 +95,7 @@ def test_all_query_names_have_callables(contract):
         "emb_near_dup_exact", "emb_dedup_keep_exact",
         "emb_knn_lsh_recall", "emb_knn_ivf_recall",
         "events_approx_users_check", "events_approx_hourly_check",
+        "events_hll_registers",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
