@@ -487,6 +487,16 @@ def host_pagerank(
         src=edges_pd["src_host"].map(idx).astype(np.int64),
         dst=edges_pd["dst_host"].map(idx).astype(np.int64),
     )
+    # int64 safety: per-edge contribution is rank·weight before the
+    # floor division, rank ≤ SCALE — a weight above 2^63/SCALE (~9.2e6
+    # links between one host pair) would wrap silently.  Fail loudly;
+    # the fix at that scale is pre-normalizing weights per source host.
+    max_w = int(edges_pd["weight"].max()) if len(edges_pd) else 0
+    if max_w > (2**63 - 1) // PAGERANK_SCALE:
+        raise OverflowError(
+            f"edge weight {max_w} would overflow the fixed-point "
+            "contribution product; pre-scale host_edges weights"
+        )
     outw = np.zeros(n, dtype=np.int64)
     np.add.at(outw, edges_pd["src"].to_numpy(),
               edges_pd["weight"].to_numpy(np.int64))

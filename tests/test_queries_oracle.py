@@ -707,3 +707,20 @@ def test_host_pagerank_matches_power_iteration(ray_session):
         - pd.DataFrame({"host": hosts, "r": rf})
         .sort_values("host")["r"].to_numpy()
     ).max() < eps
+
+
+def test_host_pagerank_overflow_guard(ray_session, tmp_path, monkeypatch):
+    """An edge weight above 2^63/SCALE must fail loudly (silent int64
+    wrap in the fixed-point contribution product), not corrupt ranks."""
+    import pandas as pd
+    import pytest
+
+    from snapcrawler_ray.functions import webops
+
+    big = pd.DataFrame(
+        {"src_host": ["a"], "dst_host": ["b"],
+         "weight": [(2**63 - 1) // webops.PAGERANK_SCALE + 1]}
+    )
+    monkeypatch.setattr(webops, "host_edges", lambda _: big)
+    with pytest.raises(OverflowError):
+        webops.host_pagerank("unused", n_iter=1)
