@@ -78,14 +78,35 @@ def hll_registers(sf_dir: str, p: int = 12) -> pd.DataFrame:
     ds = read_table(sf_dir, "events", ["event_type", "user_id"]).map_batches(
         partial, batch_format="pandas"
     )
-    merged = (
-        ds.to_pandas()
-        .groupby(["event_type", "reg"], as_index=False)
-        .agg(register=("rank", "max"))
+    merged = _merge_registers(ds, "event_type").rename(
+        columns={"key": "event_type", "rank": "register"}
     )
     merged["reg"] = merged["reg"].astype("int64")
     merged["register"] = merged["register"].astype("int64")
     return merged.sort_values(["event_type", "reg"]).reset_index(drop=True)
+
+
+def _merge_registers(ds: "ray.data.Dataset", key_col: str) -> pd.DataFrame:
+    """Distributed max-merge of per-batch register partials.
+
+    Partial rows are tiny per batch (≤ keys × 2^p) but their TOTAL is
+    O(batches × keys × 2^p) — pulling them all to the driver is fine at
+    sf-scale and wrong at 100 TB, so the fold is a hash-bucketed reduce
+    on (key, reg): every register cell lands in exactly one bucket,
+    per-bucket pandas max is the global max, and the driver only
+    concatenates the O(keys × 2^p) merged rows."""
+    from .agg import bucketed_combine
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby([key_col, "reg"], as_index=False).agg(
+            rank=("rank", "max")
+        )
+
+    return (
+        bucketed_combine(ds, [key_col, "reg"], combine)
+        .to_pandas()
+        .rename(columns={key_col: "key"})
+    )
 
 
 def hll_estimate(regs: pd.DataFrame, p: int) -> pd.DataFrame:
@@ -123,12 +144,7 @@ def approx_hourly_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
     ds = read_table(sf_dir, "events", ["ts", "user_id"]).map_batches(
         partial, batch_format="pandas"
     )
-    merged = (
-        ds.to_pandas()
-        .groupby(["hour", "reg"], as_index=False)
-        .agg(rank=("rank", "max"))
-        .rename(columns={"hour": "key"})
-    )
+    merged = _merge_registers(ds, "hour")
     est = hll_estimate(merged, p).rename(columns={"key": "hour"})
     return est.sort_values("hour").reset_index(drop=True)
 
@@ -238,11 +254,6 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
     ds = read_table(sf_dir, "events", ["event_type", "user_id"]).map_batches(
         partial, batch_format="pandas"
     )
-    merged = (
-        ds.to_pandas()
-        .groupby(["event_type", "reg"], as_index=False)
-        .agg(rank=("rank", "max"))
-        .rename(columns={"event_type": "key"})
-    )
+    merged = _merge_registers(ds, "event_type")
     est = hll_estimate(merged, p).rename(columns={"key": "event_type"})
     return est.sort_values("event_type").reset_index(drop=True)
