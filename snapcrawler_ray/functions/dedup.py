@@ -851,18 +851,37 @@ def embedding_near_dup_pairs(
 _BLOCKED_SWEEP_MIN_ROWS = 100_000
 
 
+def _empty_vec_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        }
+    )
+
+
 @ray.remote
-def _sweep_cell_pair(
-    block_a: tuple, block_b: tuple, t: float, same: bool
+def _sweep_cell_files(
+    path_a: str, path_b: str, t: float, same: bool
 ) -> pd.DataFrame:
-    """Qualifying cosine pairs between two normalized cell blocks.
-    Same-cell: canonical order comes free from ``a < b``.  Cross-cell:
-    each unordered pair appears exactly once in the cross product, so
-    it is emitted as (min, max)."""
+    """Qualifying cosine pairs between two spilled cell files (already
+    normalized).  Same-cell: canonical order comes free from ``a < b``.
+    Cross-cell: each unordered pair appears exactly once in the cross
+    product, so it is emitted as (min, max)."""
+    import pyarrow.parquet as pq
+
     from .text import round4_half_away
 
-    ids_a, ma = block_a
-    ids_b, mb = block_b
+    def load(p):
+        tbl = pq.read_table(p)
+        return (
+            tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64),
+            np.stack(tbl.column("embedding").to_numpy(zero_copy_only=False)),
+        )
+
+    ids_a, ma = load(path_a)
+    ids_b, mb = load(path_b) if path_b != path_a else (ids_a, ma)
     sims = ma @ mb.T
     ai, bj = np.nonzero(sims >= t)
     a, b, s = ids_a[ai], ids_b[bj], sims[ai, bj]
@@ -876,66 +895,159 @@ def _sweep_cell_pair(
     )
 
 
-def _blocked_exact_pairs(
-    ids_all: np.ndarray, m_all: np.ndarray, threshold: float,
-    n_cells: int | None = None,
+def _blocked_exact_pairs_ds(
+    ds: "ray.data.Dataset", threshold: float,
+    n_cells: int | None = None, spill_dir: str | None = None,
 ) -> pd.DataFrame:
-    """The 100-TB shape of the exact all-pairs sweep: vectors are
-    IVF-partitioned (nearest of C deterministic centroids), each cell
-    is its own object-store block, and one Ray task per surviving cell
-    pair does the block cross product.  Cell pairs are EXACTLY pruned
-    by the triangle inequality on normalized vectors: members of cells
-    (i, j) satisfy ||x−y|| ≥ ||c_i−c_j|| − r_i − r_j, and cosine ≥ t ⇔
-    ||x−y|| ≤ √(2−2t), so a pair of far-apart cells provably contains
-    no qualifying pair and is skipped — recall stays 1.0 by
-    construction, unlike probe-limited IVF search.  No full-matrix
-    broadcast: per-task memory is two cells, ~2·(n/C)·dim."""
-    n = len(ids_all)
-    order = np.argsort(ids_all, kind="stable")
-    ids_all, m_all = ids_all[order], m_all[order]
+    """The 100-TB shape of the exact all-pairs sweep, driver-light end
+    to end: NOTHING O(n·dim) ever sits on the driver or in one task.
+
+    1. **Centroids** (one pass): C deterministic target ids evenly
+       spaced over [min, max] vec_id; each batch nominates its nearest
+       row per target (ties → smaller id), the driver folds the ≤
+       C-per-batch candidates to C centroid rows and normalizes them —
+       driver state C×dim.
+    2. **Assign + spill** (one pass + one shuffle): every batch
+       normalizes its vectors and labels them with the nearest
+       centroid; ``groupby(cell).map_groups`` co-locates each cell,
+       writes it to its own Parquet file, and returns one (cell, path,
+       n, radius) stats row.  Per-task memory is one cell (~n/C·dim —
+       the same bound the sweep needs anyway).
+    3. **Pruned pair sweep**: cell pairs are EXACTLY pruned by the
+       triangle inequality on normalized vectors — members of cells
+       (i, j) satisfy ||x−y|| ≥ ||c_i−c_j|| − r_i − r_j, and cosine ≥ t
+       ⇔ ||x−y|| ≤ √(2−2t) — so a far-apart pair provably contains no
+       qualifying pair and is skipped (recall 1.0 by construction,
+       unlike probe-limited IVF search).  One Ray task per surviving
+       pair reads the two cell files and does the cross product.
+
+    The spill directory (default a fresh tempdir under /tmp) is
+    removed on success; at cluster scale point ``spill_dir`` at shared
+    storage so sweep tasks on other nodes can read the cells."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = ds.count()
+    if n == 0:
+        _blocked_exact_pairs_ds.last_stats = {
+            "cells": 0, "pairs_swept": 0, "pairs_total": 0,
+        }
+        return _empty_vec_pairs()
     C = n_cells or max(2, min(256, int(np.sqrt(n / 2048.0)) + 2))
-    cent_idx = np.linspace(0, n - 1, C).astype(np.int64)
-    cents = m_all[cent_idx]
-    assign = np.argmax(m_all @ cents.T, axis=1)
-    cell_refs: dict[int, "ray.ObjectRef"] = {}
-    radii: dict[int, float] = {}
-    for c in range(C):
-        idx = np.nonzero(assign == c)[0]
-        if not len(idx):
-            continue
-        sub = m_all[idx]
-        radii[c] = float(np.max(np.linalg.norm(sub - cents[c], axis=1)))
-        cell_refs[c] = ray.put((ids_all[idx], sub))
+
+    def _norm(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        ids = df["vec_id"].to_numpy(np.int64)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+        return ids, m
+
+    # ---- pass 1: centroid candidates --------------------------------
+    rng = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"lo": [df["vec_id"].min()], "hi": [df["vec_id"].max()]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    lo, hi = int(rng["lo"].min()), int(rng["hi"].max())
+    targets = np.unique(np.linspace(lo, hi, C).round().astype(np.int64))
+
+    def cand(df: pd.DataFrame) -> pd.DataFrame:
+        ids, m = _norm(df)
+        rows = []
+        for ti, t in enumerate(targets):
+            d = np.abs(ids - t)
+            # deterministic tie-break: min (distance, id)
+            j = np.lexsort((ids, d))[0]
+            rows.append((ti, int(d[j]), int(ids[j]), m[j]))
+        return pd.DataFrame(
+            rows, columns=["target", "dist", "vec_id", "embedding"]
+        )
+
+    cpd = ds.map_batches(cand, batch_format="pandas").to_pandas()
+    cpd = cpd.sort_values(["target", "dist", "vec_id"], kind="mergesort")
+    cpd = cpd.drop_duplicates("target", keep="first")
+    cpd = cpd.drop_duplicates("vec_id", keep="first")
+    cents = np.stack(cpd["embedding"].to_numpy())
+    cents_ref = ray.put(cents)
+
+    # ---- pass 2: assign + per-cell spill -----------------------------
+    spill = spill_dir or tempfile.mkdtemp(prefix="snapray_blockpairs_")
+    os.makedirs(spill, exist_ok=True)
+
+    def assign(df: pd.DataFrame, _ref=cents_ref) -> pd.DataFrame:
+        ids, m = _norm(df)
+        cell = np.argmax(m @ ray.get(_ref).T, axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": ids, "cell": cell, "embedding": list(m)}
+        )
+
+    def write_cell(g: pd.DataFrame, _ref=cents_ref) -> pd.DataFrame:
+        c = int(g["cell"].iloc[0])
+        ids = g["vec_id"].to_numpy(np.int64)
+        m = np.stack(g["embedding"].to_numpy())
+        path = os.path.join(spill, f"cell_{c}.parquet")
+        pq.write_table(
+            pa.table({"vec_id": pa.array(ids), "embedding": pa.array(list(m))}),
+            path,
+        )
+        r = float(np.max(np.linalg.norm(m - ray.get(_ref)[c], axis=1)))
+        return pd.DataFrame(
+            {"cell": [c], "path": [path], "n": [len(ids)], "radius": [r]}
+        )
+
+    stats = (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("cell")
+        .map_groups(write_cell, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # ---- pass 3: pruned pair sweep -----------------------------------
     d_lim = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
-    cells = sorted(cell_refs)
+    cells = stats.sort_values("cell").reset_index(drop=True)
+    radii = dict(zip(cells["cell"], cells["radius"]))
+    paths = dict(zip(cells["cell"], cells["path"]))
+    order = cells["cell"].tolist()
     tasks = []
-    for x, i in enumerate(cells):
-        for j in cells[x:]:
+    for x, i in enumerate(order):
+        for j in order[x:]:
             if i != j:
                 cd = float(np.linalg.norm(cents[i] - cents[j]))
                 if cd - radii[i] - radii[j] > d_lim:
                     continue  # provably no qualifying pair
             tasks.append(
-                _sweep_cell_pair.remote(
-                    cell_refs[i], cell_refs[j], threshold, i == j
-                )
+                _sweep_cell_files.remote(paths[i], paths[j], threshold, i == j)
             )
     # observability (and test hook): how much the prune saved
-    _blocked_exact_pairs.last_stats = {
-        "cells": len(cells),
+    _blocked_exact_pairs_ds.last_stats = {
+        "cells": len(order),
         "pairs_swept": len(tasks),
-        "pairs_total": len(cells) * (len(cells) + 1) // 2,
+        "pairs_total": len(order) * (len(order) + 1) // 2,
     }
     parts = [p for p in ray.get(tasks) if len(p)]
+    if spill_dir is None:
+        shutil.rmtree(spill, ignore_errors=True)
     if not parts:
-        return pd.DataFrame(
-            {
-                "vec_a": pd.Series([], dtype="int64"),
-                "vec_b": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64"),
-            }
-        )
+        return _empty_vec_pairs()
     return pd.concat(parts, ignore_index=True)
+
+
+def _blocked_exact_pairs(
+    ids_all: np.ndarray, m_all: np.ndarray, threshold: float,
+    n_cells: int | None = None,
+) -> pd.DataFrame:
+    """Array-input convenience wrapper over the distributed kernel
+    (tests drive the prune logic through this)."""
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": ids_all, "embedding": list(m_all)})
+    ).repartition(8)
+    out = _blocked_exact_pairs_ds(ds, threshold, n_cells=n_cells)
+    _blocked_exact_pairs.last_stats = _blocked_exact_pairs_ds.last_stats
+    return out
 
 
 def embedding_near_dup_pairs_exact(
@@ -954,21 +1066,15 @@ def embedding_near_dup_pairs_exact(
     matrix is broadcast once (``ray.put``, O(n·dim) — the same artifact
     class as the kNN query matrix) and every streamed batch emits its
     rows' qualifying pairs against it, ``vec_a < vec_b`` taken from the
-    batch side.  At or above it, :func:`_blocked_exact_pairs` runs the
-    IVF-cell block-pair sweep with exact triangle-inequality cell
-    pruning — no full-matrix broadcast anywhere, per-task memory two
-    cells."""
+    batch side.  At or above it, :func:`_blocked_exact_pairs_ds` runs
+    the IVF-cell block-pair sweep with exact triangle-inequality cell
+    pruning straight off the Dataset — nothing O(n·dim) on the driver
+    or in any single task; per-task memory two cells."""
     from .io import read_table
 
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)
-    all_pd = ds.to_pandas()
-    ids_all = all_pd["vec_id"].to_numpy(np.int64)
-    m_all = np.stack(all_pd["embedding"].to_numpy()).astype(np.float64)
-    m_all = m_all / np.clip(
-        np.linalg.norm(m_all, axis=1, keepdims=True), 1e-12, None
-    )
-    if len(ids_all) >= blocked_min_rows:
-        out = _blocked_exact_pairs(ids_all, m_all, threshold)
+    if ds.count() >= blocked_min_rows:
+        out = _blocked_exact_pairs_ds(ds, threshold)
         if out.empty:
             return out
         return (
@@ -976,6 +1082,12 @@ def embedding_near_dup_pairs_exact(
             .sort_values(["vec_a", "vec_b"])
             .reset_index(drop=True)
         )
+    all_pd = ds.to_pandas()
+    ids_all = all_pd["vec_id"].to_numpy(np.int64)
+    m_all = np.stack(all_pd["embedding"].to_numpy()).astype(np.float64)
+    m_all = m_all / np.clip(
+        np.linalg.norm(m_all, axis=1, keepdims=True), 1e-12, None
+    )
     ref = ray.put((ids_all, m_all))
 
     class Sweep:
