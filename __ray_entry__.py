@@ -150,7 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def crawl_image_verdicts(sf_dir: str):
         """Full per-image verdict table.  SQL-ORACLED: the pipeline
-        dumps its pre-dedup per-image table (image_predup.parquet) and
+        dumps its pre-dedup per-image table (image_predup/, a
+        distributed write_parquet — never a driver fold) and
         DuckDB independently re-derives the distributed F7 decision —
         min-emit_seq winner per phash, losers re-marked 'dup' — that
         the engine computes as a bucketed reduce + hash join.  The
@@ -968,7 +969,7 @@ def oracle_sql() -> dict[str, str]:
         # queries() column.
         "crawl_image_verdicts": (
             "WITH pre AS (SELECT * FROM read_parquet('"
-            f"{_oracle_tbl_dir('sf0.01')}/image_predup.parquet')), "
+            f"{_oracle_tbl_dir('sf0.01')}/image_predup/*.parquet')), "
             "w AS (SELECT phash, min(emit_seq) AS ws FROM pre "
             "WHERE phash <> 0 GROUP BY phash) "
             "SELECT p.emit_seq, p.url, p.source_page, p.depth, "

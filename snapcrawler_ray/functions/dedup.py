@@ -847,8 +847,21 @@ def embedding_near_dup_pairs(
 
 # Above this row count embedding_near_dup_pairs_exact switches from the
 # full-matrix broadcast sweep to the IVF-cell block-pair kernel (no
-# O(n·dim) ray.put; per-task memory is two cells)
+# O(n·dim) ray.put; per-task memory is two bounded spill blocks)
 _BLOCKED_SWEEP_MIN_ROWS = 100_000
+
+# Each spilled block holds at most ~this many rows regardless of cell
+# skew (each cell is salted into ceil(cell_count / this) sub-blocks by
+# vec_id), so a single write_block group or sweep task never
+# materializes more than O(_SPILL_BLOCK_ROWS · dim) — even when one
+# near-dup cluster swallows a whole cell.
+_SPILL_BLOCK_ROWS = 262_144
+
+# Sims-matrix tile shape inside a sweep task: peak float64 scratch is
+# _SWEEP_TILE_A × _SWEEP_TILE_B × 8 B ≈ 512 MB, independent of block
+# or cell size.
+_SWEEP_TILE_A = 2_048
+_SWEEP_TILE_B = 32_768
 
 
 def _empty_vec_pairs() -> pd.DataFrame:
@@ -862,13 +875,15 @@ def _empty_vec_pairs() -> pd.DataFrame:
 
 
 @ray.remote
-def _sweep_cell_files(
+def _sweep_block_files(
     path_a: str, path_b: str, t: float, same: bool
 ) -> pd.DataFrame:
-    """Qualifying cosine pairs between two spilled cell files (already
-    normalized).  Same-cell: canonical order comes free from ``a < b``.
-    Cross-cell: each unordered pair appears exactly once in the cross
-    product, so it is emitted as (min, max)."""
+    """Qualifying cosine pairs between two spilled block files (already
+    normalized), tiled so peak float64 scratch is _SWEEP_TILE_A ×
+    _SWEEP_TILE_B regardless of block size.  Same-block: both (i, j)
+    and (j, i) appear across tiles, so canonical order comes free from
+    ``a < b``.  Cross-block: ids are disjoint and each unordered pair
+    appears exactly once in the cross product, emitted as (min, max)."""
     import pyarrow.parquet as pq
 
     from .text import round4_half_away
@@ -881,23 +896,35 @@ def _sweep_cell_files(
         )
 
     ids_a, ma = load(path_a)
-    ids_b, mb = load(path_b) if path_b != path_a else (ids_a, ma)
-    sims = ma @ mb.T
-    ai, bj = np.nonzero(sims >= t)
-    a, b, s = ids_a[ai], ids_b[bj], sims[ai, bj]
-    if same:
-        keep = a < b
-        a, b, s = a[keep], b[keep], s[keep]
-    else:
-        a, b = np.minimum(a, b), np.maximum(a, b)
-    return pd.DataFrame(
-        {"vec_a": a, "vec_b": b, "cosine": round4_half_away(s)}
-    )
+    ids_b, mb = (ids_a, ma) if path_b == path_a else load(path_b)
+    outs: list[pd.DataFrame] = []
+    for ra in range(0, len(ids_a), _SWEEP_TILE_A):
+        ta = ma[ra : ra + _SWEEP_TILE_A]
+        for rb in range(0, len(ids_b), _SWEEP_TILE_B):
+            sims = ta @ mb[rb : rb + _SWEEP_TILE_B].T
+            ai, bj = np.nonzero(sims >= t)
+            if not len(ai):
+                continue
+            a, b, s = ids_a[ra + ai], ids_b[rb + bj], sims[ai, bj]
+            if same:
+                keep = a < b
+                a, b, s = a[keep], b[keep], s[keep]
+            else:
+                a, b = np.minimum(a, b), np.maximum(a, b)
+            outs.append(
+                pd.DataFrame(
+                    {"vec_a": a, "vec_b": b, "cosine": round4_half_away(s)}
+                )
+            )
+    if not outs:
+        return _empty_vec_pairs()
+    return pd.concat(outs, ignore_index=True)
 
 
 def _blocked_exact_pairs_ds(
     ds: "ray.data.Dataset", threshold: float,
     n_cells: int | None = None, spill_dir: str | None = None,
+    block_rows: int = _SPILL_BLOCK_ROWS,
 ) -> pd.DataFrame:
     """The 100-TB shape of the exact all-pairs sweep, driver-light end
     to end: NOTHING O(n·dim) ever sits on the driver or in one task.
@@ -906,24 +933,33 @@ def _blocked_exact_pairs_ds(
        spaced over [min, max] vec_id; each batch nominates its nearest
        row per target (ties → smaller id), the driver folds the ≤
        C-per-batch candidates to C centroid rows and normalizes them —
-       driver state C×dim.
-    2. **Assign + spill** (one pass + one shuffle): every batch
-       normalizes its vectors and labels them with the nearest
-       centroid; ``groupby(cell).map_groups`` co-locates each cell,
-       writes it to its own Parquet file, and returns one (cell, path,
-       n, radius) stats row.  Per-task memory is one cell (~n/C·dim —
-       the same bound the sweep needs anyway).
-    3. **Pruned pair sweep**: cell pairs are EXACTLY pruned by the
-       triangle inequality on normalized vectors — members of cells
-       (i, j) satisfy ||x−y|| ≥ ||c_i−c_j|| − r_i − r_j, and cosine ≥ t
-       ⇔ ||x−y|| ≤ √(2−2t) — so a far-apart pair provably contains no
-       qualifying pair and is skipped (recall 1.0 by construction,
-       unlike probe-limited IVF search).  One Ray task per surviving
-       pair reads the two cell files and does the cross product.
+       driver state C×dim.  C grows with both √n (prune granularity)
+       and n / block_rows (so a BALANCED cell fits one spill block).
+    2. **Count + assign + spill** (two passes + one shuffle): a cheap
+       counting pass folds per-cell populations on the driver (O(C)
+       state); each cell is then salted into ceil(count / block_rows)
+       sub-blocks by ``vec_id % salts[cell]``, so a spilled block holds
+       at most ~block_rows rows EVEN WHEN ONE NEAR-DUP CLUSTER SWALLOWS
+       A WHOLE CELL — the exact workload this kernel targets.
+       ``groupby(blk).map_groups`` co-locates each block, writes it to
+       its own Parquet file, and returns one (cell, blk, path, n,
+       radius) stats row.  Per-task memory is one block, O(block_rows ·
+       dim), independent of n and of skew.
+    3. **Pruned block-pair sweep**: block pairs are EXACTLY pruned by
+       the triangle inequality on normalized vectors — members of
+       blocks with centroids c_i, c_j and radii r_i, r_j satisfy
+       ||x−y|| ≥ ||c_i−c_j|| − r_i − r_j, and cosine ≥ t ⇔ ||x−y|| ≤
+       √(2−2t) — so a far-apart pair provably contains no qualifying
+       pair and is skipped (recall 1.0 by construction, unlike
+       probe-limited IVF search).  Same-cell block pairs have centroid
+       distance 0 and are never pruned.  One Ray task per surviving
+       pair reads the two block files and does a TILED cross product
+       (_SWEEP_TILE_A × _SWEEP_TILE_B float64 scratch, ~512 MB peak,
+       independent of block size).
 
     The spill directory (default a fresh tempdir under /tmp) is
     removed on success; at cluster scale point ``spill_dir`` at shared
-    storage so sweep tasks on other nodes can read the cells."""
+    storage so sweep tasks on other nodes can read the blocks."""
     import os
     import shutil
     import tempfile
@@ -934,10 +970,16 @@ def _blocked_exact_pairs_ds(
     n = ds.count()
     if n == 0:
         _blocked_exact_pairs_ds.last_stats = {
-            "cells": 0, "pairs_swept": 0, "pairs_total": 0,
+            "cells": 0, "blocks": 0, "pairs_swept": 0, "pairs_total": 0,
         }
         return _empty_vec_pairs()
-    C = n_cells or max(2, min(256, int(np.sqrt(n / 2048.0)) + 2))
+    # √n for prune granularity; n/block_rows so balanced cells fit one
+    # spill block (skewed cells are salted in pass 2 regardless).
+    C = n_cells or max(
+        2,
+        min(4096, int(np.sqrt(n / 2048.0)) + 2),
+        -(-n // block_rows),
+    )
 
     def _norm(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         ids = df["vec_id"].to_numpy(np.int64)
@@ -974,59 +1016,83 @@ def _blocked_exact_pairs_ds(
     cents = np.stack(cpd["embedding"].to_numpy())
     cents_ref = ray.put(cents)
 
-    # ---- pass 2: assign + per-cell spill -----------------------------
+    C_eff = len(cents)
+
+    # ---- pass 2a: per-cell counts (O(C) driver fold) ------------------
+    def count_cells(df: pd.DataFrame, _ref=cents_ref) -> pd.DataFrame:
+        ids, m = _norm(df)
+        cell = np.argmax(m @ ray.get(_ref).T, axis=1)
+        cnt = np.bincount(cell, minlength=C_eff)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame(
+            {"cell": nz.astype(np.int64), "n": cnt[nz].astype(np.int64)}
+        )
+
+    cc = ds.map_batches(count_cells, batch_format="pandas").to_pandas()
+    cell_n = cc.groupby("cell")["n"].sum()
+    salts = np.ones(C_eff, dtype=np.int64)
+    salts[cell_n.index.to_numpy()] = np.maximum(
+        1, -(-cell_n.to_numpy() // block_rows)
+    )
+    s_max = int(salts.max())
+
+    # ---- pass 2b: assign + per-block spill ----------------------------
     spill = spill_dir or tempfile.mkdtemp(prefix="snapray_blockpairs_")
     os.makedirs(spill, exist_ok=True)
 
-    def assign(df: pd.DataFrame, _ref=cents_ref) -> pd.DataFrame:
+    def assign(df: pd.DataFrame, _ref=cents_ref, _salts=salts) -> pd.DataFrame:
         ids, m = _norm(df)
         cell = np.argmax(m @ ray.get(_ref).T, axis=1).astype(np.int64)
+        blk = cell * s_max + (ids % _salts[cell])
         return pd.DataFrame(
-            {"vec_id": ids, "cell": cell, "embedding": list(m)}
+            {"vec_id": ids, "blk": blk, "embedding": list(m)}
         )
 
-    def write_cell(g: pd.DataFrame, _ref=cents_ref) -> pd.DataFrame:
-        c = int(g["cell"].iloc[0])
+    def write_block(g: pd.DataFrame, _ref=cents_ref) -> pd.DataFrame:
+        blk = int(g["blk"].iloc[0])
+        c = blk // s_max
         ids = g["vec_id"].to_numpy(np.int64)
         m = np.stack(g["embedding"].to_numpy())
-        path = os.path.join(spill, f"cell_{c}.parquet")
+        path = os.path.join(spill, f"blk_{blk}.parquet")
         pq.write_table(
             pa.table({"vec_id": pa.array(ids), "embedding": pa.array(list(m))}),
             path,
         )
         r = float(np.max(np.linalg.norm(m - ray.get(_ref)[c], axis=1)))
         return pd.DataFrame(
-            {"cell": [c], "path": [path], "n": [len(ids)], "radius": [r]}
+            {"cell": [c], "blk": [blk], "path": [path],
+             "n": [len(ids)], "radius": [r]}
         )
 
     stats = (
         ds.map_batches(assign, batch_format="pandas")
-        .groupby("cell")
-        .map_groups(write_cell, batch_format="pandas")
+        .groupby("blk")
+        .map_groups(write_block, batch_format="pandas")
         .to_pandas()
     )
 
-    # ---- pass 3: pruned pair sweep -----------------------------------
+    # ---- pass 3: pruned block-pair sweep ------------------------------
     d_lim = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
-    cells = stats.sort_values("cell").reset_index(drop=True)
-    radii = dict(zip(cells["cell"], cells["radius"]))
-    paths = dict(zip(cells["cell"], cells["path"]))
-    order = cells["cell"].tolist()
-    tasks = []
-    for x, i in enumerate(order):
-        for j in order[x:]:
-            if i != j:
-                cd = float(np.linalg.norm(cents[i] - cents[j]))
-                if cd - radii[i] - radii[j] > d_lim:
-                    continue  # provably no qualifying pair
-            tasks.append(
-                _sweep_cell_files.remote(paths[i], paths[j], threshold, i == j)
-            )
+    blocks = stats.sort_values("blk").reset_index(drop=True)
+    ci = blocks["cell"].to_numpy(np.int64)
+    rad = blocks["radius"].to_numpy(np.float64)
+    bpaths = blocks["path"].tolist()
+    # centroid pairwise distances once (C_eff², small) instead of a norm
+    # per block pair
+    cdist = np.linalg.norm(cents[:, None, :] - cents[None, :, :], axis=2)
+    B = len(blocks)
+    iu, ju = np.triu_indices(B)
+    ok = cdist[ci[iu], ci[ju]] - rad[iu] - rad[ju] <= d_lim
+    tasks = [
+        _sweep_block_files.remote(bpaths[i], bpaths[j], threshold, i == j)
+        for i, j in zip(iu[ok], ju[ok])
+    ]
     # observability (and test hook): how much the prune saved
     _blocked_exact_pairs_ds.last_stats = {
-        "cells": len(order),
+        "cells": C_eff,
+        "blocks": B,
         "pairs_swept": len(tasks),
-        "pairs_total": len(order) * (len(order) + 1) // 2,
+        "pairs_total": B * (B + 1) // 2,
     }
     parts = [p for p in ray.get(tasks) if len(p)]
     if spill_dir is None:
@@ -1038,14 +1104,16 @@ def _blocked_exact_pairs_ds(
 
 def _blocked_exact_pairs(
     ids_all: np.ndarray, m_all: np.ndarray, threshold: float,
-    n_cells: int | None = None,
+    n_cells: int | None = None, block_rows: int = _SPILL_BLOCK_ROWS,
 ) -> pd.DataFrame:
     """Array-input convenience wrapper over the distributed kernel
-    (tests drive the prune logic through this)."""
+    (tests drive the prune and salting logic through this)."""
     ds = ray.data.from_pandas(
         pd.DataFrame({"vec_id": ids_all, "embedding": list(m_all)})
     ).repartition(8)
-    out = _blocked_exact_pairs_ds(ds, threshold, n_cells=n_cells)
+    out = _blocked_exact_pairs_ds(
+        ds, threshold, n_cells=n_cells, block_rows=block_rows
+    )
     _blocked_exact_pairs.last_stats = _blocked_exact_pairs_ds.last_stats
     return out
 
@@ -1067,9 +1135,10 @@ def embedding_near_dup_pairs_exact(
     class as the kNN query matrix) and every streamed batch emits its
     rows' qualifying pairs against it, ``vec_a < vec_b`` taken from the
     batch side.  At or above it, :func:`_blocked_exact_pairs_ds` runs
-    the IVF-cell block-pair sweep with exact triangle-inequality cell
+    the IVF-cell block-pair sweep with exact triangle-inequality
     pruning straight off the Dataset — nothing O(n·dim) on the driver
-    or in any single task; per-task memory two cells."""
+    or in any single task; per-task memory is two bounded spill blocks
+    plus a fixed-size sims tile, independent of n and of cell skew."""
     from .io import read_table
 
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16)

@@ -117,15 +117,20 @@ def _dim_join(
     dim_rows: int,
     max_broadcast_rows: int | None = None,
     num_partitions: int | None = None,
+    fact_rows: int | None = None,
 ) -> "ray.data.Dataset":
     """Inner-join fact⋈dim choosing topology by DIMENSION SIZE.
 
     Under the limit: collect the dim once, ``ray.put`` it, and merge per
     fact batch — zero row-level shuffle.  Over the limit: partitioned
     ``Dataset.join`` (both sides hash-shuffled on the key) — the dim is
-    never materialized on the driver.  ``dim_rows`` is the BASE-table
-    footer row count (an upper bound on the filtered dim), so choosing
-    the topology costs no extra execution of the dim pipeline."""
+    never materialized on the driver, and the partition count is sized
+    to the LARGER side (``fact_rows``, when the caller knows it) per
+    ``join_partitions``' contract — sizing to the dim alone would put
+    ~fact/dim× the target rows in every partition at scale.
+    ``dim_rows`` is the BASE-table footer row count (an upper bound on
+    the filtered dim), so choosing the topology costs no extra
+    execution of the dim pipeline."""
     limit = (
         BROADCAST_ROW_LIMIT if max_broadcast_rows is None else max_broadcast_rows
     )
@@ -139,7 +144,7 @@ def _dim_join(
     return fact.join(
         dim,
         join_type="inner",
-        num_partitions=num_partitions or join_partitions(dim_rows),
+        num_partitions=num_partitions or join_partitions(dim_rows, fact_rows),
         on=(key,),
         right_on=(key,),
     )
@@ -176,6 +181,7 @@ def q3_top_orders(
         "o_custkey",
         table_rows(sf_dir, "customer"),
         max_broadcast_rows,
+        fact_rows=table_rows(sf_dir, "orders"),
     )
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     joined = line.join(
@@ -247,6 +253,7 @@ def nation_revenue(
         "o_custkey",
         table_rows(sf_dir, "customer"),
         max_broadcast_rows,
+        fact_rows=table_rows(sf_dir, "orders"),
     )
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     joined = line.join(
@@ -325,6 +332,7 @@ def q5_region_supplier_revenue(
         "o_custkey",
         table_rows(sf_dir, "customer"),
         max_broadcast_rows,
+        fact_rows=table_rows(sf_dir, "orders"),
     )
     line = _dim_join(
         _read(
@@ -335,6 +343,7 @@ def q5_region_supplier_revenue(
         "l_suppkey",
         table_rows(sf_dir, "supplier"),
         max_broadcast_rows,
+        fact_rows=table_rows(sf_dir, "lineitem"),
     )
     joined = line.join(
         orders,

@@ -20,6 +20,18 @@ import pyarrow as pa
 import ray
 
 
+def _dump_parquet(table: pa.Table, path: str) -> None:
+    """Write a small oracle-dump table to ``path``, creating parent
+    dirs (dirname('') for a bare cwd-relative filename must not crash
+    makedirs)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(table, path)
+
+
 def _read_corpus(corpus_dir: str, columns: list[str]) -> "ray.data.Dataset":
     # bucket=N/part-0.parquet layout; one file per bucket keeps the read
     # parallel without an override
@@ -105,12 +117,7 @@ def api_harvest(spec, payloads_out: str | None = None) -> "ray.data.Dataset":
 
     t = synth_api_payloads(spec)
     if payloads_out is not None:
-        import os
-
-        import pyarrow.parquet as pq
-
-        os.makedirs(os.path.dirname(payloads_out), exist_ok=True)
-        pq.write_table(t, payloads_out)
+        _dump_parquet(t, payloads_out)
     n_blocks = max(1, min(8, t.num_rows // 8 + 1))
     return ray.data.from_arrow(t).repartition(n_blocks).map_batches(
         api_payload_flat_map, batch_format="pyarrow"
@@ -204,12 +211,7 @@ def sitemap_frontier(
 
     t = synth_sitemap_payloads(spec)
     if payloads_out is not None:
-        import os
-
-        import pyarrow.parquet as pq
-
-        os.makedirs(os.path.dirname(payloads_out), exist_ok=True)
-        pq.write_table(t, payloads_out)
+        _dump_parquet(t, payloads_out)
     n_blocks = max(1, min(8, t.num_rows // 8 + 1))
     return ray.data.from_arrow(t).repartition(n_blocks).map_batches(
         f, batch_format="pyarrow"
@@ -467,14 +469,12 @@ def host_pagerank(
     ~1e-6 at corpus scale; the float column is v / SCALE."""
     edges_pd = host_edges(corpus_dir)
     if edges_out is not None:
-        import os
-
-        import pyarrow.parquet as pq
-
-        os.makedirs(os.path.dirname(edges_out), exist_ok=True)
-        pq.write_table(pa.Table.from_pandas(
-            edges_pd[["src_host", "dst_host", "weight"]]
-        ), edges_out)
+        _dump_parquet(
+            pa.Table.from_pandas(
+                edges_pd[["src_host", "dst_host", "weight"]]
+            ),
+            edges_out,
+        )
     hosts = np.unique(
         np.concatenate([edges_pd["src_host"].to_numpy(),
                         edges_pd["dst_host"].to_numpy()])

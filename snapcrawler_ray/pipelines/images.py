@@ -148,12 +148,14 @@ def run_image_pipeline(
     with ``reason`` '' = accepted).  If ``out_dir`` is set, accepted
     rows (with regenerated bytes) are written there as Parquet.
 
-    ``predup_oracle_dir``: write the PRE-dedup per-image table to
-    ``image_predup.parquet`` there, so an external SQL oracle can
-    independently re-derive the distributed F7 decision (min-emit_seq
-    winner per phash over every phash≠0 row, losers — including
-    post-phash watermark rejects — re-marked 'dup') and compare it to
-    this pipeline's bucketed-reduce + join implementation."""
+    ``predup_oracle_dir``: write the PRE-dedup per-image table under
+    ``image_predup/`` there (a distributed ``Dataset.write_parquet`` —
+    the dump is O(total emissions) and must never fold onto the
+    driver), so an external SQL oracle can independently re-derive the
+    distributed F7 decision (min-emit_seq winner per phash over every
+    phash≠0 row, losers — including post-phash watermark rejects —
+    re-marked 'dup') and compare it to this pipeline's bucketed-reduce
+    + join implementation."""
     # from_arrow yields ONE block; split it so the stage actually fans
     # out (block count bounds task parallelism in Ray Data)
     n_blocks = max(1, min(emissions.num_rows // batch_size + 1, 256))
@@ -170,14 +172,12 @@ def run_image_pipeline(
 
     if predup_oracle_dir is not None:
         import os
+        import shutil
 
-        import pyarrow.parquet as pq
-
-        os.makedirs(predup_oracle_dir, exist_ok=True)
-        pq.write_table(
-            pa.concat_tables(ray.get(meta.to_arrow_refs())),
-            os.path.join(predup_oracle_dir, "image_predup.parquet"),
-        )
+        out = os.path.join(predup_oracle_dir, "image_predup")
+        shutil.rmtree(out, ignore_errors=True)  # no stale mix across runs
+        os.makedirs(out, exist_ok=True)
+        meta.write_parquet(out)
 
     if cfg.deduplication:
         import pandas as pd

@@ -116,13 +116,19 @@ class CuckooFilter:
     def add(self, keys: np.ndarray) -> None:
         if len(keys) == 0:
             return
-        # unique first: in-batch duplicates must not insert multiple
-        # fingerprint copies (they would inflate approx_count, waste
-        # slots toward a premature "full", and break single delete())
-        keys = np.unique(np.asarray(keys, dtype=np.uint64))
+        keys = np.asarray(keys, dtype=np.uint64)
         if self.delete_safe:
-            new = np.ones(len(keys), dtype=bool)  # multiset: always insert
+            # multiset: EVERY presented occurrence inserts a copy —
+            # including in-batch duplicates — so stored copy counts are
+            # independent of how callers batch their adds and a
+            # per-occurrence delete() stream can never underflow a
+            # still-live occurrence into a false negative
+            new = np.ones(len(keys), dtype=bool)
         else:
+            # unique first: in seen-filter mode in-batch duplicates must
+            # not insert multiple fingerprint copies (they would inflate
+            # approx_count and waste slots toward a premature "full")
+            keys = np.unique(keys)
             new = ~self.contains(keys)
         fp, i1, i2 = self._parts(keys[new])
         for j in range(len(fp)):
@@ -131,16 +137,18 @@ class CuckooFilter:
 
     def check_and_add(self, keys: np.ndarray) -> np.ndarray:
         """True where the key was new; in-batch duplicates first-wins.
-        In delete_safe mode already-seen keys STILL insert a copy (the
-        return value is unchanged), keeping later delete() sound."""
+        In delete_safe mode EVERY occurrence (in-batch duplicates too)
+        inserts a copy while the return value is unchanged — copy
+        counts stay batching-independent, keeping later per-occurrence
+        delete() sound."""
         keys = np.asarray(keys, dtype=np.uint64)
         uniq, first_idx = np.unique(keys, return_index=True)
         new_u = ~self.contains(uniq)
-        ins = np.ones(len(uniq), dtype=bool) if self.delete_safe else new_u
-        fp, i1, i2 = self._parts(uniq[ins])
+        ins_keys = keys if self.delete_safe else uniq[new_u]
+        fp, i1, i2 = self._parts(ins_keys)
         for j in range(len(fp)):
             self._insert_one(int(fp[j]), int(i1[j]), int(i2[j]))
-        self.approx_count += int(ins.sum())
+        self.approx_count += len(ins_keys)
         out = np.zeros(len(keys), dtype=bool)
         out[first_idx[new_u]] = True
         return out

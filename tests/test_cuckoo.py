@@ -35,12 +35,20 @@ def test_no_false_negatives_low_fpp():
     assert fpp < 0.005, fpp
 
 
-def test_add_dedupes_in_batch():
+def test_add_copy_semantics_per_mode():
+    # delete_safe (multiset): one copy per OCCURRENCE — in-batch
+    # duplicates included — so copy counts don't depend on batching
     cf = CuckooFilter(1000, delete_safe=True)
     cf.add(np.array([5, 5, 5, 7], dtype=np.uint64))
-    assert cf.approx_count == 2
-    assert cf.delete(np.array([5], dtype=np.uint64)).all()
-    assert not cf.contains(np.array([5], dtype=np.uint64))[0]
+    assert cf.approx_count == 4
+    five = np.array([5], dtype=np.uint64)
+    assert cf.delete(np.concatenate([five, five, five])).all()
+    assert not cf.contains(five)[0]
+    # seen mode: in-batch duplicates collapse (re-presentation must not
+    # accrete copies or inflate approx_count)
+    sf = CuckooFilter(1000)
+    sf.add(np.array([5, 5, 5, 7], dtype=np.uint64))
+    assert sf.approx_count == 2
 
 
 def test_delete_restores_absence():

@@ -203,3 +203,19 @@ def test_compact_stats_line_and_url_short():
     assert (s.pages_found, s.images_found) == (8, 11)
     assert (s.images_saved, s.images_failed, s.images_downloaded) == (6, 5, 11)
     assert s.folder_size_mb == 2.0
+
+
+def test_dump_parquet_bare_filename(tmp_path, monkeypatch):
+    """_dump_parquet must not crash on a cwd-relative bare filename
+    (os.path.dirname('x.parquet') == '' and makedirs('') raises)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from snapcrawler_ray.functions.webops import _dump_parquet
+
+    monkeypatch.chdir(tmp_path)
+    t = pa.table({"a": [1, 2]})
+    _dump_parquet(t, "bare.parquet")
+    assert pq.read_table("bare.parquet").equals(t)
+    _dump_parquet(t, str(tmp_path / "sub" / "dir" / "nested.parquet"))
+    assert pq.read_table(tmp_path / "sub" / "dir" / "nested.parquet").equals(t)

@@ -216,11 +216,12 @@ def test_byte_budget_keep_matches_reference_folds(sizes, budget):
 @settings(max_examples=50, deadline=None)
 def test_cuckoo_vs_reference_multiset(ops):
     """delete_safe cuckoo filter vs a python MULTISET over arbitrary op
-    sequences (standard cuckoo semantics: every add inserts a copy even
-    if already contained, which is what keeps delete() sound under
-    fingerprint collisions): never a false negative; check_and_add
-    first-wins reports newness vs pre-batch membership; delete removes
-    one copy per present key."""
+    sequences (standard cuckoo semantics: EVERY presented occurrence —
+    in-batch duplicates included — inserts a copy, so stored counts are
+    independent of how callers batch, which is what keeps per-occurrence
+    delete() sound under fingerprint collisions): never a false
+    negative; check_and_add first-wins reports newness vs pre-batch
+    membership; delete removes one copy per present key."""
     from collections import Counter
 
     from snapcrawler_ray.state.cuckoo import CuckooFilter
@@ -231,7 +232,7 @@ def test_cuckoo_vs_reference_multiset(ops):
         keys = np.array(vals, dtype=np.uint64)
         if op == "add":
             cf.add(keys)
-            for k in set(vals):  # add() dedups in-batch
+            for k in vals:  # one copy per occurrence
                 ref[k] += 1
         elif op == "check":
             got = cf.check_and_add(keys)
@@ -239,7 +240,7 @@ def test_cuckoo_vs_reference_multiset(ops):
             for k in vals:
                 want.append(ref[k] == 0 and k not in seen_in_batch)
                 seen_in_batch.add(k)
-            for k in seen_in_batch:  # one copy per unique key
+            for k in vals:  # one copy per occurrence
                 ref[k] += 1
             assert got.tolist() == want
         else:
@@ -257,6 +258,32 @@ def test_cuckoo_vs_reference_multiset(ops):
             arr = np.array(live, dtype=np.uint64)
             assert cf.contains(arr).all()
         assert cf.approx_count == sum(ref.values())
+
+
+def test_cuckoo_delete_safe_batching_invariant():
+    """add([k, k]) must store exactly as many copies as add([k]);
+    add([k]) — the stored multiset cannot depend on how a caller
+    batches its occurrences, or a per-occurrence delete() stream
+    false-negatives a still-live occurrence."""
+    from snapcrawler_ray.state.cuckoo import CuckooFilter
+
+    k = np.array([42, 42], dtype=np.uint64)
+    one_batch = CuckooFilter(1000, delete_safe=True)
+    one_batch.add(k)
+    two_batches = CuckooFilter(1000, delete_safe=True)
+    two_batches.add(k[:1])
+    two_batches.add(k[:1])
+    for cf in (one_batch, two_batches):
+        assert cf.approx_count == 2
+        assert cf.delete(k[:1])[0]
+        assert cf.contains(k[:1])[0]  # second copy still live
+        assert cf.delete(k[:1])[0]
+        assert not cf.contains(k[:1])[0]
+    # check_and_add: same rule, return value still first-wins newness
+    cf = CuckooFilter(1000, delete_safe=True)
+    got = cf.check_and_add(k)
+    assert got.tolist() == [True, False]
+    assert cf.approx_count == 2
 
 
 def test_cuckoo_seen_mode_refuses_delete():

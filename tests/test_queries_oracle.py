@@ -196,6 +196,38 @@ def test_blocked_exact_neardup_prunes_far_cells(ray_session):
     assert len(got_pairs) > 0
 
 
+def test_blocked_exact_neardup_salts_skewed_cells(ray_session):
+    """Worst-case skew for the blocked kernel: one tight near-dup
+    cluster swallows almost every cell, so without salting a single
+    spill block (and a single sweep task) would hold nearly the whole
+    matrix.  With block_rows forced low the kernel must (a) split the
+    hot cell into multiple sub-blocks (blocks > cells) and (b) still
+    reproduce the brute-force pair set exactly — the correctness proof
+    that salting never loses a cross-sub-block pair."""
+    from snapcrawler_ray.functions import dedup
+
+    rng = np.random.RandomState(7)
+    hot = np.zeros(32)
+    hot[0] = 1.0
+    m = np.concatenate(
+        [
+            hot + 0.005 * rng.randn(400, 32),  # one dominating cluster
+            rng.randn(40, 32),  # background scatter
+        ]
+    )
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = np.arange(len(m), dtype=np.int64)
+    t = 0.95
+    got = dedup._blocked_exact_pairs(ids, m, t, n_cells=6, block_rows=64)
+    stats = dedup._blocked_exact_pairs.last_stats
+    assert stats["blocks"] > stats["cells"], stats
+    sims = m @ m.T
+    ai, bj = np.nonzero(np.triu(sims >= t, k=1))
+    got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+    assert got_pairs == set(zip(ids[ai], ids[bj]))
+    assert len(got_pairs) > 1000  # the hot cluster really is all-pairs
+
+
 def test_crawl_mode_and_verdict_sql_oracles(contract, con):
     """The r4 oracles: scale/priority visit projections vs the
     recursive-CTE replay, and the image verdict table vs the DuckDB
