@@ -864,6 +864,19 @@ _SWEEP_TILE_A = 2_048
 _SWEEP_TILE_B = 32_768
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche (public-domain finalizer constants):
+    decorrelates structured vec_ids (strided/even-only allocations)
+    from the salt modulo so sub-block splits stay uniform."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
 def _empty_vec_pairs() -> pd.DataFrame:
     return pd.DataFrame(
         {
@@ -901,6 +914,11 @@ def _sweep_block_files(
     for ra in range(0, len(ids_a), _SWEEP_TILE_A):
         ta = ma[ra : ra + _SWEEP_TILE_A]
         for rb in range(0, len(ids_b), _SWEEP_TILE_B):
+            if same and rb + _SWEEP_TILE_B <= ra:
+                # block files are written id-ascending, so a tile
+                # strictly below the diagonal has ids_b[j] < ids_a[i]
+                # everywhere — every pair fails a < b; skip the matmul
+                continue
             sims = ta @ mb[rb : rb + _SWEEP_TILE_B].T
             ai, bj = np.nonzero(sims >= t)
             if not len(ai):
@@ -935,16 +953,19 @@ def _blocked_exact_pairs_ds(
        C-per-batch candidates to C centroid rows and normalizes them —
        driver state C×dim.  C grows with both √n (prune granularity)
        and n / block_rows (so a BALANCED cell fits one spill block).
-    2. **Count + assign + spill** (two passes + one shuffle): a cheap
-       counting pass folds per-cell populations on the driver (O(C)
-       state); each cell is then salted into ceil(count / block_rows)
-       sub-blocks by ``vec_id % salts[cell]``, so a spilled block holds
-       at most ~block_rows rows EVEN WHEN ONE NEAR-DUP CLUSTER SWALLOWS
-       A WHOLE CELL — the exact workload this kernel targets.
-       ``groupby(blk).map_groups`` co-locates each block, writes it to
-       its own Parquet file, and returns one (cell, blk, path, n,
-       radius) stats row.  Per-task memory is one block, O(block_rows ·
-       dim), independent of n and of skew.
+    2. **Assign once + count + salt + spill**: the n×C×dim argmax
+       matmul runs exactly once and the labeled normalized dataset is
+       materialized in the object store (spillable — never the
+       driver); a cheap column pass folds per-cell populations on the
+       driver (O(C) state); each cell is then salted into
+       ceil(count / block_rows) sub-blocks by an avalanche-mixed
+       ``vec_id`` modulo (stride-proof), so a spilled block holds at
+       most ~block_rows rows EVEN WHEN ONE NEAR-DUP CLUSTER SWALLOWS A
+       WHOLE CELL — the exact workload this kernel targets.
+       ``groupby(blk).map_groups`` co-locates each block, writes it
+       id-sorted to its own Parquet file, and returns one (cell, blk,
+       path, n, radius) stats row.  Per-task memory is one block,
+       O(block_rows · dim), independent of n and of skew.
     3. **Pruned block-pair sweep**: block pairs are EXACTLY pruned by
        the triangle inequality on normalized vectors — members of
        blocks with centroids c_i, c_j and radii r_i, r_j satisfy
@@ -1018,17 +1039,33 @@ def _blocked_exact_pairs_ds(
 
     C_eff = len(cents)
 
-    # ---- pass 2a: per-cell counts (O(C) driver fold) ------------------
-    def count_cells(df: pd.DataFrame, _ref=cents_ref) -> pd.DataFrame:
+    # ---- pass 2: assign ONCE, then count / salt / spill ----------------
+    # The n×C×dim argmax matmul is the kernel's dominant map cost, so it
+    # runs exactly once: the labeled (vec_id, cell, normalized
+    # embedding) dataset is materialized into the OBJECT STORE
+    # (spillable, same footprint class as the input — never the
+    # driver); counts and the blk label are cheap column passes over it.
+    def assign(df: pd.DataFrame, _ref=cents_ref) -> pd.DataFrame:
         ids, m = _norm(df)
-        cell = np.argmax(m @ ray.get(_ref).T, axis=1)
-        cnt = np.bincount(cell, minlength=C_eff)
+        cell = np.argmax(m @ ray.get(_ref).T, axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": ids, "cell": cell, "embedding": list(m)}
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pandas").materialize()
+
+    def count_cells(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = np.bincount(df["cell"].to_numpy(), minlength=C_eff)
         nz = np.nonzero(cnt)[0]
         return pd.DataFrame(
             {"cell": nz.astype(np.int64), "n": cnt[nz].astype(np.int64)}
         )
 
-    cc = ds.map_batches(count_cells, batch_format="pandas").to_pandas()
+    cc = (
+        assigned.select_columns(["cell"])
+        .map_batches(count_cells, batch_format="pandas")
+        .to_pandas()
+    )
     cell_n = cc.groupby("cell")["n"].sum()
     salts = np.ones(C_eff, dtype=np.int64)
     salts[cell_n.index.to_numpy()] = np.maximum(
@@ -1036,21 +1073,31 @@ def _blocked_exact_pairs_ds(
     )
     s_max = int(salts.max())
 
-    # ---- pass 2b: assign + per-block spill ----------------------------
     spill = spill_dir or tempfile.mkdtemp(prefix="snapray_blockpairs_")
     os.makedirs(spill, exist_ok=True)
 
-    def assign(df: pd.DataFrame, _ref=cents_ref, _salts=salts) -> pd.DataFrame:
-        ids, m = _norm(df)
-        cell = np.argmax(m @ ray.get(_ref).T, axis=1).astype(np.int64)
-        blk = cell * s_max + (ids % _salts[cell])
+    def add_blk(df: pd.DataFrame, _salts=salts) -> pd.DataFrame:
+        cell = df["cell"].to_numpy(np.int64)
+        # avalanche the id before the modulo: structured ids (even-only,
+        # strided allocations) sharing a factor with the salt count
+        # would otherwise collapse onto few residues and void the
+        # per-block size bound
+        mixed = _mix64(df["vec_id"].to_numpy(np.uint64))
+        salt = (mixed % _salts[cell].astype(np.uint64)).astype(np.int64)
         return pd.DataFrame(
-            {"vec_id": ids, "blk": blk, "embedding": list(m)}
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                "blk": cell * s_max + salt,
+                "embedding": df["embedding"],
+            }
         )
 
     def write_block(g: pd.DataFrame, _ref=cents_ref) -> pd.DataFrame:
         blk = int(g["blk"].iloc[0])
         c = blk // s_max
+        # sort by id: pairs need a < b, so with ascending ids the sweep
+        # can skip whole same-block tiles strictly below the diagonal
+        g = g.sort_values("vec_id", kind="mergesort")
         ids = g["vec_id"].to_numpy(np.int64)
         m = np.stack(g["embedding"].to_numpy())
         path = os.path.join(spill, f"blk_{blk}.parquet")
@@ -1065,7 +1112,7 @@ def _blocked_exact_pairs_ds(
         )
 
     stats = (
-        ds.map_batches(assign, batch_format="pandas")
+        assigned.map_batches(add_blk, batch_format="pandas")
         .groupby("blk")
         .map_groups(write_block, batch_format="pandas")
         .to_pandas()
@@ -1077,16 +1124,24 @@ def _blocked_exact_pairs_ds(
     ci = blocks["cell"].to_numpy(np.int64)
     rad = blocks["radius"].to_numpy(np.float64)
     bpaths = blocks["path"].tolist()
-    # centroid pairwise distances once (C_eff², small) instead of a norm
-    # per block pair
-    cdist = np.linalg.norm(cents[:, None, :] - cents[None, :, :], axis=2)
+    # centroid pairwise distances once, in gram-matrix form: O(C²)
+    # memory, never the O(C²·dim) broadcast intermediate
+    gram = cents @ cents.T
+    sq = np.diag(gram)
+    cdist = np.sqrt(np.maximum(sq[:, None] + sq[None, :] - 2.0 * gram, 0.0))
     B = len(blocks)
-    iu, ju = np.triu_indices(B)
-    ok = cdist[ci[iu], ci[ju]] - rad[iu] - rad[ju] <= d_lim
-    tasks = [
-        _sweep_block_files.remote(bpaths[i], bpaths[j], threshold, i == j)
-        for i, j in zip(iu[ok], ju[ok])
-    ]
+    # enumerate pairs one row at a time (O(B) transient, not the O(B²)
+    # triu_indices arrays — B is unbounded at scale)
+    tasks = []
+    for i in range(B):
+        j = np.arange(i, B)
+        ok = cdist[ci[i], ci[j]] - rad[i] - rad[j] <= d_lim
+        tasks.extend(
+            _sweep_block_files.remote(
+                bpaths[i], bpaths[jj], threshold, i == jj
+            )
+            for jj in j[ok].tolist()
+        )
     # observability (and test hook): how much the prune saved
     _blocked_exact_pairs_ds.last_stats = {
         "cells": C_eff,

@@ -40,12 +40,18 @@ class CuckooFilter:
         a fingerprint copy even when contains() is already true, so a
         later delete() of a colliding key can never turn a still-live
         key into a false negative (the reason standard cuckoo filters
-        insert unconditionally).  The default (False) is the SEEN-
-        FILTER mode: keys insert at most once (callers drop keys the
-        filter reports seen, so re-presentation must not accrete
-        copies across rounds), and delete() is refused because a
-        fingerprint+bucket collision (~fpp ≈ 2.4e-4) would break the
-        no-false-negative invariant un-claiming relies on."""
+        insert unconditionally).  Copies of one key SATURATE at
+        2×BUCKET = 8: a fingerprint's candidate buckets are exactly
+        {i1, i2} (the partial-key XOR is an involution), so the table
+        physically cannot hold a 9th copy — inserts beyond 8 are
+        dropped (Fan et al. §3's kb duplicate bound), meaning delete()
+        streams of >8 occurrences of ONE key may false-negative past
+        the 8th.  The default (False) is the SEEN-FILTER mode: keys
+        insert at most once (callers drop keys the filter reports
+        seen, so re-presentation must not accrete copies across
+        rounds), and delete() is refused because a fingerprint+bucket
+        collision (~fpp ≈ 2.4e-4) would break the no-false-negative
+        invariant un-claiming relies on."""
         n_buckets = 1
         while n_buckets * self.BUCKET < int(capacity / 0.95):
             n_buckets <<= 1
@@ -113,6 +119,20 @@ class CuckooFilter:
             "size shards for the keyspace"
         )
 
+    def _insert_copy(self, fp: int, i1: int, i2: int) -> bool:
+        """delete_safe insert of one occurrence: saturates at 2×BUCKET
+        copies of a fingerprint (its only two possible buckets are
+        full of itself — inserting would evict a twin into an endless
+        bounce and spuriously report 'full').  Returns True when a
+        copy was physically stored."""
+        copies = int((self.table[i1] == fp).sum()) + int(
+            (self.table[i2] == fp).sum()
+        )
+        if copies >= 2 * self.BUCKET:
+            return False
+        self._insert_one(fp, i1, i2)
+        return True
+
     def add(self, keys: np.ndarray) -> None:
         if len(keys) == 0:
             return
@@ -122,14 +142,18 @@ class CuckooFilter:
             # including in-batch duplicates — so stored copy counts are
             # independent of how callers batch their adds and a
             # per-occurrence delete() stream can never underflow a
-            # still-live occurrence into a false negative
-            new = np.ones(len(keys), dtype=bool)
-        else:
-            # unique first: in seen-filter mode in-batch duplicates must
-            # not insert multiple fingerprint copies (they would inflate
-            # approx_count and waste slots toward a premature "full")
-            keys = np.unique(keys)
-            new = ~self.contains(keys)
+            # still-live occurrence into a false negative (saturating
+            # at the physical 8-copies-per-key bound, see __init__)
+            fp, i1, i2 = self._parts(keys)
+            for j in range(len(fp)):
+                if self._insert_copy(int(fp[j]), int(i1[j]), int(i2[j])):
+                    self.approx_count += 1
+            return
+        # unique first: in seen-filter mode in-batch duplicates must
+        # not insert multiple fingerprint copies (they would inflate
+        # approx_count and waste slots toward a premature "full")
+        keys = np.unique(keys)
+        new = ~self.contains(keys)
         fp, i1, i2 = self._parts(keys[new])
         for j in range(len(fp)):
             self._insert_one(int(fp[j]), int(i1[j]), int(i2[j]))
@@ -139,16 +163,23 @@ class CuckooFilter:
         """True where the key was new; in-batch duplicates first-wins.
         In delete_safe mode EVERY occurrence (in-batch duplicates too)
         inserts a copy while the return value is unchanged — copy
-        counts stay batching-independent, keeping later per-occurrence
-        delete() sound."""
+        counts stay batching-independent (saturating at the physical
+        8-copies-per-key bound), keeping later per-occurrence delete()
+        sound."""
         keys = np.asarray(keys, dtype=np.uint64)
         uniq, first_idx = np.unique(keys, return_index=True)
         new_u = ~self.contains(uniq)
-        ins_keys = keys if self.delete_safe else uniq[new_u]
-        fp, i1, i2 = self._parts(ins_keys)
-        for j in range(len(fp)):
-            self._insert_one(int(fp[j]), int(i1[j]), int(i2[j]))
-        self.approx_count += len(ins_keys)
+        if self.delete_safe:
+            fp, i1, i2 = self._parts(keys)
+            for j in range(len(fp)):
+                if self._insert_copy(int(fp[j]), int(i1[j]), int(i2[j])):
+                    self.approx_count += 1
+        else:
+            ins = uniq[new_u]
+            fp, i1, i2 = self._parts(ins)
+            for j in range(len(fp)):
+                self._insert_one(int(fp[j]), int(i1[j]), int(i2[j]))
+            self.approx_count += len(ins)
         out = np.zeros(len(keys), dtype=bool)
         out[first_idx[new_u]] = True
         return out

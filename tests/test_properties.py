@@ -215,33 +215,36 @@ def test_byte_budget_keep_matches_reference_folds(sizes, budget):
 )
 @settings(max_examples=50, deadline=None)
 def test_cuckoo_vs_reference_multiset(ops):
-    """delete_safe cuckoo filter vs a python MULTISET over arbitrary op
-    sequences (standard cuckoo semantics: EVERY presented occurrence —
-    in-batch duplicates included — inserts a copy, so stored counts are
-    independent of how callers batch, which is what keeps per-occurrence
-    delete() sound under fingerprint collisions): never a false
-    negative; check_and_add first-wins reports newness vs pre-batch
-    membership; delete removes one copy per present key."""
+    """delete_safe cuckoo filter vs a python SATURATING MULTISET over
+    arbitrary op sequences (standard cuckoo semantics: EVERY presented
+    occurrence — in-batch duplicates included — inserts a copy, so
+    stored counts are independent of how callers batch, which is what
+    keeps per-occurrence delete() sound under fingerprint collisions;
+    copies of one key saturate at the physical 2×4-slot bound of its
+    two buckets): never a false negative below saturation;
+    check_and_add first-wins reports newness vs pre-batch membership;
+    delete removes one stored copy per present key."""
     from collections import Counter
 
     from snapcrawler_ray.state.cuckoo import CuckooFilter
 
+    SAT = 8  # 2 buckets × 4 slots per fingerprint
     cf = CuckooFilter(10_000, delete_safe=True)
-    ref: Counter = Counter()
+    ref: Counter = Counter()  # stored (post-saturation) copy counts
     for op, vals in ops:
         keys = np.array(vals, dtype=np.uint64)
         if op == "add":
             cf.add(keys)
-            for k in vals:  # one copy per occurrence
-                ref[k] += 1
+            for k in vals:  # one copy per occurrence, saturating
+                ref[k] = min(ref[k] + 1, SAT)
         elif op == "check":
             got = cf.check_and_add(keys)
             want, seen_in_batch = [], set()
             for k in vals:
                 want.append(ref[k] == 0 and k not in seen_in_batch)
                 seen_in_batch.add(k)
-            for k in vals:  # one copy per occurrence
-                ref[k] += 1
+            for k in vals:  # one copy per occurrence, saturating
+                ref[k] = min(ref[k] + 1, SAT)
             assert got.tolist() == want
         else:
             got = cf.delete(keys)
@@ -284,6 +287,26 @@ def test_cuckoo_delete_safe_batching_invariant():
     got = cf.check_and_add(k)
     assert got.tolist() == [True, False]
     assert cf.approx_count == 2
+
+
+def test_cuckoo_delete_safe_saturates_at_physical_bound():
+    """A fingerprint's only possible homes are its two 4-slot buckets,
+    so the 9th copy of one key CANNOT be stored: inserts saturate at 8
+    (no bogus 'filter full' on a near-empty table), approx_count tracks
+    stored copies, and delete() drains exactly the stored 8."""
+    from snapcrawler_ray.state.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(10_000, delete_safe=True)
+    k = np.full(20, 7, dtype=np.uint64)
+    cf.add(k)  # 20 occurrences, 8 storable
+    assert cf.approx_count == 8
+    one = k[:1]
+    for _ in range(8):
+        assert cf.contains(one)[0]
+        assert cf.delete(one)[0]
+    assert not cf.contains(one)[0]
+    assert not cf.delete(one)[0]
+    assert cf.approx_count == 0
 
 
 def test_cuckoo_seen_mode_refuses_delete():
