@@ -25,12 +25,59 @@ import re
 from functools import lru_cache
 from urllib.parse import urljoin, urlparse
 
+from urllib.parse import urlsplit
+
 from .parser import Node, parse_html
 
-# urljoin is ~25% of extract_page wall and its (base, href) inputs
-# repeat heavily (one base per page, hrefs shared across a site's
-# template) — memoize the pure function, bit-identical by construction
-_urljoin = lru_cache(maxsize=262144)(urljoin)
+# urljoin + urlparse are ~25% of extract_page wall and most of their
+# inputs are one of two trivial shapes: an absolute http(s) URL (the
+# join is the identity) or a root-relative path against an http(s)
+# base (the join is scheme://netloc + path).  For hrefs/urls made of
+# strictly safe characters — no whitespace/control (urlsplit strips
+# those), no '#' fragment, no ';' params, no dot segments, no
+# protocol-relative '//' — the stdlib result is provably the plain
+# string concatenation, so a character-class gate + concat replaces
+# the full parser.  Everything else falls back to the memoized stdlib
+# functions; tests/test_fasturl.py differential-tests the gate against
+# the stdlib over corpus-shaped and adversarial inputs.
+_urljoin_slow = lru_cache(maxsize=262144)(urljoin)
+
+_SAFE_PATH = r"[A-Za-z0-9._~%+\-/:!$&'()*,]*"
+# a present-but-empty query ('/x?') is NOT safe: urlunparse drops the
+# bare '?' — hence + not * inside the optional group
+_SAFE_QUERY = r"(?:\?[A-Za-z0-9._~%+\-=&:!$'()*,]+)?"
+_ABS_SAFE_RE = re.compile(
+    r"https?://[A-Za-z0-9.\-]+(?::[0-9]+)?(?:/" + _SAFE_PATH + r")?"
+    + _SAFE_QUERY + r"\Z"
+)
+_REL_SAFE_RE = re.compile(r"/" + _SAFE_PATH + _SAFE_QUERY + r"\Z")
+
+
+@lru_cache(maxsize=4096)
+def _base_split(base: str) -> str:
+    """``scheme://netloc`` of the (per-page, heavily repeated) base."""
+    s = urlsplit(base)
+    return s.scheme + "://" + s.netloc
+
+
+def _urljoin(base: str, href: str) -> str:
+    if href.startswith("http"):
+        if _ABS_SAFE_RE.match(href):
+            # absolute http(s) target: urljoin returns it unchanged
+            # (same scheme → urlunsplit round-trip of a safe URL is the
+            # identity; different scheme → returned verbatim)
+            return href
+    elif (
+        href.startswith("/")
+        and not href.startswith("//")
+        and "/." not in href
+        and _REL_SAFE_RE.match(href)
+        and base.startswith(("https://", "http://"))
+    ):
+        # root-relative safe path: no params/fragment/dot segments, so
+        # the RFC 3986 merge is scheme://netloc + href verbatim
+        return _base_split(base) + href
+    return _urljoin_slow(base, href)
 
 IMAGE_EXTENSIONS = (
     ".jpg", ".jpeg", ".png", ".gif", ".webp", ".svg", ".bmp", ".tiff", ".ico",
@@ -198,8 +245,31 @@ def extract_links(
     return links
 
 
+_NETLOC_SAFE_RE = re.compile(r"[A-Za-z0-9.\-]*(?::[0-9]+)?\Z")
+
+
 @lru_cache(maxsize=131072)
 def _netloc_scheme(url: str) -> tuple[str, str]:
+    # fast path for the dominant shape (crawl links are unique, so the
+    # lru_cache alone can't help): netloc ends at the first of /?#,
+    # and for a safe-charset netloc the stdlib parse is the slice
+    # itself (urlsplit strips control chars / tab / newline — the safe
+    # class excludes them, so the slice is identical)
+    if url.startswith("https://"):
+        scheme, rest = "https", url[8:]
+    elif url.startswith("http://"):
+        scheme, rest = "http", url[7:]
+    else:
+        p = urlparse(url)
+        return p.netloc, p.scheme
+    end = len(rest)
+    for ch in "/?#":
+        i = rest.find(ch, 0, end)
+        if i >= 0:
+            end = i
+    netloc = rest[:end]
+    if _NETLOC_SAFE_RE.match(netloc):
+        return netloc, scheme
     p = urlparse(url)
     return p.netloc, p.scheme
 
