@@ -91,6 +91,43 @@ _IMAGE_PAGE_PATTERNS = (
 )
 
 
+_PATH_SAFE_RE = re.compile(r"[A-Za-z0-9._~%+\-/:!$&'()*,=]*\Z")
+
+
+def _netloc_path(url: str) -> tuple[str, str]:
+    """(netloc, path) — fast slice for safe-charset http(s) URLs,
+    stdlib urlparse otherwise (differential-tested: the slice equals
+    the parse exactly when the safe gates pass; ';' is excluded from
+    the path class because urlparse splits params off the last
+    segment)."""
+    if url.startswith("https://"):
+        rest = url[8:]
+    elif url.startswith("http://"):
+        rest = url[7:]
+    else:
+        p = urlparse(url)
+        return p.netloc, p.path
+    cut = len(rest)
+    for ch in "/?#":
+        i = rest.find(ch, 0, cut)
+        if i >= 0:
+            cut = i
+    netloc = rest[:cut]
+    if _NETLOC_SAFE_RE.match(netloc):
+        if cut == len(rest) or rest[cut] != "/":
+            return netloc, ""
+        end = len(rest)
+        for ch in "?#":
+            i = rest.find(ch, cut, end)
+            if i >= 0:
+                end = i
+        path = rest[cut:end]
+        if _PATH_SAFE_RE.match(path):
+            return netloc, path
+    p = urlparse(url)
+    return p.netloc, p.path
+
+
 @lru_cache(maxsize=131072)
 def is_valid_image_url(url: str, min_commons_thumb_px: int | None = None) -> bool:
     """Does ``url`` point at an image file (Wikimedia special rules)?
@@ -102,16 +139,16 @@ def is_valid_image_url(url: str, min_commons_thumb_px: int | None = None) -> boo
     heavily across pages).
     """
     url_lower = url.lower()
-    parsed = urlparse(url)
+    netloc, path = _netloc_path(url)
 
-    if parsed.netloc.endswith("commons.wikimedia.org"):
-        path_lower = parsed.path.lower()
+    if netloc.endswith("commons.wikimedia.org"):
+        path_lower = path.lower()
         if path_lower.startswith("/wiki/file:"):
             return False
         if path_lower.startswith("/wiki/special:filepath/"):
             return True
 
-    if parsed.netloc.endswith("upload.wikimedia.org"):
+    if netloc.endswith("upload.wikimedia.org"):
         if url_lower.endswith(IMAGE_EXTENSIONS):
             return True
 

@@ -61,19 +61,28 @@ class Node:
         return None
 
     def iter_nodes(self):
-        """Pre-order document traversal of element nodes."""
-        for c in self.children:
+        """Pre-order document traversal of element nodes (iterative —
+        nested ``yield from`` generators cost a frame per tree level in
+        the extractor hot path)."""
+        todo = list(reversed(self.children))
+        pop = todo.pop
+        while todo:
+            c = pop()
             if isinstance(c, Node):
                 yield c
-                yield from c.iter_nodes()
+                if c.children:
+                    todo.extend(reversed(c.children))
 
     def iter_text(self, skip: frozenset[str] = _RAWTEXT):
         """Document-order text nodes, skipping subtrees named in ``skip``."""
-        for c in self.children:
+        todo = list(reversed(self.children))
+        pop = todo.pop
+        while todo:
+            c = pop()
             if isinstance(c, str):
                 yield c
-            elif c.name not in skip:
-                yield from c.iter_text(skip)
+            elif c.name not in skip and c.children:
+                todo.extend(reversed(c.children))
 
     def find_all(
         self,
@@ -149,12 +158,35 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(data)
 
 
-def parse_html(data: bytes | str) -> Node:
-    """Parse HTML into a Node tree. Bytes are decoded as UTF-8 with
-    replacement (the corpus stores UTF-8 ``html:binary``)."""
-    if isinstance(data, (bytes, bytearray, memoryview)):
-        data = bytes(data).decode("utf-8", errors="replace")
+def parse_html_stdlib(data: str) -> Node:
+    """The reference-semantics stdlib build (always correct; the fast
+    tokenizer falls back to this on anything outside its grammar)."""
     b = _TreeBuilder()
     b.feed(data)
     b.close()
     return b.root
+
+
+#: (fast_hits, stdlib_fallbacks) since process start — observability
+#: for tests and benchmarks (the speedup only exists while the corpus
+#: stays inside the fast grammar).
+parse_counts = [0, 0]
+
+
+def parse_html(data: bytes | str) -> Node:
+    """Parse HTML into a Node tree. Bytes are decoded as UTF-8 with
+    replacement (the corpus stores UTF-8 ``html:binary``).
+
+    Tries the strict fast tokenizer first (html/fastparser.py, tree
+    bit-identical by construction + differential tests); any construct
+    outside its verified grammar reparses with the stdlib builder."""
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        data = bytes(data).decode("utf-8", errors="replace")
+    from .fastparser import parse_fast
+
+    root = parse_fast(data)
+    if root is not None:
+        parse_counts[0] += 1
+        return root
+    parse_counts[1] += 1
+    return parse_html_stdlib(data)

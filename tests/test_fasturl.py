@@ -11,7 +11,11 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from snapcrawler_ray.html.extract import _netloc_scheme, _urljoin
+from snapcrawler_ray.html.extract import (
+    _netloc_path,
+    _netloc_scheme,
+    _urljoin,
+)
 
 BASES = [
     "https://site0.example/page/315",
@@ -102,6 +106,7 @@ def test_netloc_scheme_fuzz(url):
               "https://host" + url):
         p = urlparse(u)
         assert _netloc_scheme(u) == (p.netloc, p.scheme), u
+        assert _netloc_path(u) == (p.netloc, p.path), u
 
 
 def test_netloc_scheme_matrix():
@@ -113,3 +118,16 @@ def test_netloc_scheme_matrix():
     for u in urls:
         p = urlparse(u)
         assert _netloc_scheme(u) == (p.netloc, p.scheme), u
+        assert _netloc_path(u) == (p.netloc, p.path), u
+
+
+def test_netloc_path_params_and_case():
+    for u in [
+        "https://host/a;params/b", "https://host/a;p", "https://HOST/X",
+        "https://commons.wikimedia.org/wiki/Special:FilePath/Dog.png",
+        "https://upload.wikimedia.org/x/y.JPG?a=1#f",
+        "https://host/pa\tth", "https://host/ünïcode", "https://host",
+        "https://host?q", "https://host#f", "http://host/",
+    ]:
+        p = urlparse(u)
+        assert _netloc_path(u) == (p.netloc, p.path), u
