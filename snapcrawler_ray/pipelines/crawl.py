@@ -508,7 +508,13 @@ class CrawlEngine:
             )
 
         sums, refs = self.pool.extract(
-            ids, dup_seqs, extract_dups=(self.mode == "exact")
+            ids, dup_seqs, extract_dups=(self.mode == "exact"),
+            # scale mode: found-row counts size the work-stealing
+            # chunks (stages/fetch.py:FetchPool.extract)
+            counts=(
+                None if self.mode == "exact"
+                else [l["n_found"] for l in looks]
+            ),
         )
         self._last_pipeline_s = time.time() - tp0
         self._last_makespan = float(makespan)

@@ -111,6 +111,11 @@ _EMPTY_JOIN_SCHEMA = pa.schema(
     ]
 )
 
+# the per-round joined block a fetch actor stashes between phases
+EXTRACT_JOIN_SCHEMA = _EMPTY_JOIN_SCHEMA.append(
+    pa.field("content_md5", pa.string())
+)
+
 
 def make_wave_broadcast(wave) -> dict:
     """Array-shaped broadcast of a pipelines.crawl.Wave: hash-sorted
@@ -345,14 +350,23 @@ class FetchExtractShard:
 
     def _do_extract(self, token: str, dup_seqs: np.ndarray,
                     extract_dups: bool) -> tuple[dict, pa.Table]:
-        """Phase 2: extraction + local candidate pre-dedup.
+        joined, _md5s = self._pending.pop(token)
+        return self._extract_table(joined, dup_seqs, extract_dups)
+
+    def _extract_table(self, joined: pa.Table | None,
+                       dup_seqs: np.ndarray,
+                       extract_dups: bool) -> tuple[dict, pa.Table]:
+        """Phase 2 kernel: extraction + local candidate pre-dedup over
+        one joined table (a whole partition or a stolen chunk — the
+        per-part first-appearance dedup is an optimization; the driver
+        merge re-dedups by global key, so part boundaries cannot
+        change results).
 
         Candidate keys are ``seq * 2**20 + position`` — sorting by key
         reproduces the global (seq, position) discovery order."""
         import time as _time
 
         _t0 = _time.time()
-        joined, _md5s = self._pending.pop(token)
         if joined is None or joined.num_rows == 0:
             return (
                 {"n_rows": 0, "n_live": 0, "n_images": 0,
@@ -415,11 +429,36 @@ class FetchExtractShard:
         return self._do_extract(token, dup_seqs, extract_dups)
 
     def extract_local(self, token: str, dup_seqs: np.ndarray) -> dict:
-        """Scale-mode phase 2: the meta table stays resident on this
-        actor (slimmed — candidate link lists are already folded into
-        the summary, so only output-relevant columns are kept); one
-        summary dict crosses the wire per round."""
+        """Scale-mode phase 2 (whole-partition form, kept for small
+        pools): the meta table stays resident on this actor (slimmed —
+        candidate link lists are already folded into the summary, so
+        only output-relevant columns are kept); one summary dict
+        crosses the wire per round."""
         summary, meta = self._do_extract(token, dup_seqs, False)
+        self._rounds.append(meta.select(SCALE_META_COLS))
+        return summary
+
+    def take_block(self, token: str) -> pa.Table:
+        """Scale-mode phase 2a: pop this round's joined block into the
+        object store (the RETURN lands in plasma; the driver keeps the
+        ref without deserializing).  On one node plasma is shared
+        memory, so any actor can then extract any chunk of any block
+        zero-copy — the basis of the work-stealing extract phase."""
+        joined, _md5s = self._pending.pop(token)
+        if joined is None:
+            return EXTRACT_JOIN_SCHEMA.empty_table()
+        return joined
+
+    def extract_chunk(self, block: pa.Table, lo: int, hi: int,
+                      dup_seqs: np.ndarray) -> dict:
+        """Scale-mode phase 2b: extract rows [lo, hi) of a (possibly
+        another actor's) joined block.  Ray auto-dereferences the block
+        ref argument zero-copy from plasma.  Meta stays resident on
+        WHICHEVER actor ran the chunk — checkpoint part files and the
+        final dump are unions over actors, so attribution is free."""
+        summary, meta = self._extract_table(
+            block.slice(lo, hi - lo), dup_seqs, False
+        )
         self._rounds.append(meta.select(SCALE_META_COLS))
         return summary
 
@@ -558,7 +597,12 @@ class FetchPool:
             # one actor per CPU: actors hold whole num_cpus=1 slots so
             # the measured parallelism level is honest (fractional
             # actors would timeshare more physical cores than the
-            # ray.init budget and fake the scaling signal)
+            # ray.init budget and fake the scaling signal).  Reserving
+            # slots for driver/raylet was tried and REFUTED (ABAB at
+            # 32 CPUs: reserve=2 measured 16.1-17.6 s vs 14.7-15.7 s
+            # at reserve=0, same total busy, same max/avg tail) — the
+            # straggler tail is per-core co-tenant slowness, which the
+            # work-stealing extract phase addresses instead.
             pool_size = max(1, min(n_buckets, cpus))
         self.n_buckets = n_buckets
         self.pool_size = pool_size
@@ -603,12 +647,26 @@ class FetchPool:
         return ids, ray.get(refs)
 
     def extract(self, ids: list[int], dup_seqs: np.ndarray,
-                extract_dups: bool) -> tuple[list[dict], list]:
-        """Phase 2 fan-out to the same actors.
+                extract_dups: bool,
+                counts: list[int] | None = None) -> tuple[list[dict], list]:
+        """Phase 2 fan-out.
 
         Exact mode (``extract_dups``): meta tables are returned as
-        object refs the driver can absorb for the replay.  Scale mode:
-        meta stays resident on the actors — only summaries cross."""
+        object refs the driver can absorb for the replay; each actor
+        extracts its own partition.  Scale mode: WORK-STEALING — each
+        participating actor pops its joined block into plasma (one
+        node's plasma is shared memory; on a cluster Ray ships blocks
+        only when a remote actor actually steals), the blocks are cut
+        into ~4-per-CPU chunks, and a ray.wait feeder hands the next
+        chunk to whichever actor finishes first.  The round barrier
+        then waits for one CHUNK, not the slowest whole partition —
+        this absorbs both per-core co-tenant slowness (measured 25%
+        busy-time spread at 32/32 CPUs) and per-partition skew (a hot
+        host's bucket at 100-TB scale).  Meta stays resident on
+        whichever actor extracted each chunk — checkpoints and the
+        final dump are unions over actors, so attribution is free.
+        ``counts`` (found rows per participating actor, from the
+        lookup summaries) sizes the chunks."""
         if extract_dups:
             pairs = [
                 self.actors[a].extract_with_meta.options(
@@ -618,11 +676,66 @@ class FetchPool:
             ]
             summaries = ray.get([p[0] for p in pairs])
             return summaries, [p[1] for p in pairs]
-        refs = [
-            self.actors[a].extract_local.remote(self._token, dup_seqs)
-            for a in ids
-        ]
-        return ray.get(refs), []
+        if counts is None or os.environ.get("SNAPRAY_NO_STEAL") == "1":
+            refs = [
+                self.actors[a].extract_local.remote(self._token, dup_seqs)
+                for a in ids
+            ]
+            return ray.get(refs), []
+        # ---- work-stealing chunk feed -------------------------------
+        total = int(sum(counts))
+        if total == 0:
+            # still pop every pending stash (token hygiene)
+            for a in ids:
+                self.actors[a].take_block.remote(self._token)
+            return [], []
+        chunk_rows = max(256, -(-total // (self.pool_size * 4)))
+        blocks = {}
+        for a, c in zip(ids, counts):
+            ref = self.actors[a].take_block.remote(self._token)
+            if c > 0:
+                blocks[a] = ref  # c == 0: pop-for-hygiene only
+        pending: dict[int, list[tuple[int, int]]] = {}
+        for a, c in zip(ids, counts):
+            if c > 0:
+                pending[a] = [
+                    (lo, min(lo + chunk_rows, c))
+                    for lo in range(0, c, chunk_rows)
+                ][::-1]  # pop() walks the block front-to-back
+
+        def submit(actor: int) -> "ray.ObjectRef | None":
+            # prefer the actor's own block (its take_block is queued on
+            # the same actor, and self-chunks skip a plasma hop), then
+            # steal from the source with the most remaining chunks
+            src = actor if pending.get(actor) else None
+            if src is None:
+                src = max(pending, key=lambda s: len(pending[s]),
+                          default=None)
+                if src is None:
+                    return None
+            lo, hi = pending[src].pop()
+            if not pending[src]:
+                del pending[src]
+            return self.actors[actor].extract_chunk.remote(
+                blocks[src], lo, hi, dup_seqs
+            )
+
+        inflight: dict = {}
+        for actor in range(self.pool_size):
+            r = submit(actor)
+            if r is None:
+                break
+            inflight[r] = actor
+        summaries: list[dict] = []
+        while inflight:
+            done, _ = ray.wait(list(inflight), num_returns=1)
+            for ref in done:
+                actor = inflight.pop(ref)
+                summaries.append(ray.get(ref))
+                r = submit(actor)
+                if r is not None:
+                    inflight[r] = actor
+        return summaries, []
 
     def write_round_checkpoint(self, dir_path: str) -> None:
         ray.get(
