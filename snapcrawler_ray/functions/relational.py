@@ -731,6 +731,93 @@ def events_hopping_window(
     ).reset_index(drop=True)
 
 
+def promo_windows() -> list[tuple[int, str, str]]:
+    """Deterministic irregular, partially-overlapping promo windows
+    over the events month (the small side of the range join): window k
+    starts ``2024-01-01 + (50k + 11(k² mod 7)) h`` and lasts
+    ``20 + (13k mod 37)`` hours.  Irregular widths and starts make
+    this a true interval join (an event can land in 0, 1 or 2
+    windows), not a bucketing.  Shared by the Ray kernel and the
+    DuckDB oracle so the constants cannot drift."""
+    out = []
+    for k in range(12):
+        lo = pd.Timestamp("2024-01-01") + pd.Timedelta(
+            hours=50 * k + 11 * (k * k % 7)
+        )
+        hi = lo + pd.Timedelta(hours=20 + (13 * k % 37))
+        out.append((k, str(lo), str(hi)))
+    return out
+
+
+def events_range_join(sf_dir: str) -> pd.DataFrame:
+    """Interval (range) join: events ⋈ promo windows on
+    ``lo <= ts < hi``, aggregated per (window_id, event_type).
+
+    Ray Data has no native range join; the canonical distributed shape
+    for a SMALL interval side is a broadcast nested-loop inside
+    ``map_batches``: the window list ships once per task (a dozen
+    rows), each batch evaluates the interval predicate vectorized per
+    window and partial-aggregates in place, so only (window, type)
+    partials reach the tiny final groupby — zero shuffle of the fact
+    side, the q14 broadcast-dim topology.  Windows may OVERLAP: an
+    event lands in every containing window (join semantics, not
+    bucketing — compare events_hopping_window's fixed stride).  For a
+    large interval side the same stage would swap the per-window mask
+    loop for sorted endpoint arrays + ``np.searchsorted`` (interval
+    stabbing in O(log W) per event) with the interval table
+    hash-partitioned by time range; this corpus only needs the
+    broadcast form."""
+    wins = [
+        (k, pd.Timestamp(lo), pd.Timestamp(hi))
+        for k, lo, hi in promo_windows()
+    ]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for wid, lo, hi in wins:
+            m = (df["ts"] >= lo) & (df["ts"] < hi)
+            if m.any():
+                sub = df[m]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "window_id": wid,
+                            "event_type": sub["event_type"],
+                            "n": 1,
+                            "value_c": _cents(sub["value"]),
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "window_id": pd.Series([], dtype="int64"),
+                    "event_type": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                    "value_c": pd.Series([], dtype="int64"),
+                }
+            )
+        return (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["window_id", "event_type"], as_index=False)
+            .sum()
+        )
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["window_id", "event_type"], as_index=False)
+        .sum()
+    )
+    agg["sum_value"] = agg["value_c"] / 100.0
+    agg["n"] = agg["n"].astype("int64")
+    agg["window_id"] = agg["window_id"].astype("int64")
+    return agg[["window_id", "event_type", "n", "sum_value"]].sort_values(
+        ["window_id", "event_type"]
+    ).reset_index(drop=True)
+
+
 def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """event_type, n, p50/p90/p99 of value — exact per-group quantiles.
 

@@ -220,45 +220,156 @@ def sitemap_frontier(
 
 # ------------------------------------------- M18/M19: navigation scoring
 
-def nav_scores(corpus_dir: str) -> "ray.data.Dataset":
+_NAV_PUBLIC = (
+    "url", "n_nav_links", "n_containers", "patterns", "confidence_score",
+)
+_NAV_FEATURES = (
+    "url", "sel_pag", "url_pag", "sel_inf", "url_inf", "sel_load",
+    "url_load", "lc0", "lc1", "lc2", "lc3", "lc4", "lc5", "lc6", "lc7",
+    "cont_imgs", "cont_elems",
+)
+
+
+def synth_nav_pages(n: int = 48) -> pa.Table:
+    """Deterministic nav-rich pages (url, html, text) unioned into the
+    nav_scores input so the DuckDB oracle exercises EVERY arithmetic
+    branch with real variance — the plain corpus only ever trips one
+    pagination selector (conf 0.06 < 0.5 threshold) and the container
+    path, which would leave the pattern-confidence and link-relevance
+    cuts driver-unverified (the r2 'vacuous pass' lesson).
+
+    Page k cycles: pagination anchors/rel=next/aria nav (k mod 3),
+    'Load more' buttons + load-more markers (k mod 4), infinite-scroll
+    attrs (k mod 5), url-regex text hits (k mod 2 / k mod 3), links
+    hitting each relevance combo — gallery hrefs (url bit), gallery
+    text (text bit), jpg/photo mentions (indicator bit) — and
+    containers straddling the 0.3 img-density cut."""
+    urls, htmls, texts = [], [], []
+    for k in range(n):
+        parts = []
+        if k % 3 == 0:
+            parts.append(f'<a href="?page={k}">Next</a>')
+            parts.append('<div class="pagination"><a href="/p2">2</a></div>')
+        if k % 3 == 1:
+            parts.append('<a rel="next" href="/page/2">&gt;</a>')
+            parts.append(
+                '<nav aria-label="pagination"><a href="/page/3">3</a></nav>'
+            )
+        if k % 4 == 0:
+            parts.append("<button>Load more</button>")
+            parts.append('<div class="load-more">x</div>')
+        if k % 4 == 1:
+            parts.append('<button data-load-more="1">Show more</button>')
+        if k % 5 == 0:
+            parts.append('<div data-infinite-scroll="y">s</div>')
+        if k % 5 == 1:
+            parts.append('<section class="infinite-scroll">s</section>')
+        # link-relevance combos: url/text/indicator bits in rotation
+        if k % 2 == 0:
+            parts.append('<a href="/gallery/a">photo set</a>')   # 1,0,1
+            parts.append('<a href="/archive/b">misc entry</a>')  # 1,0,0
+        if k % 2 == 1:
+            parts.append('<a href="/x">media content</a>')       # 0,1,0
+            parts.append('<a href="/y">category pictures</a>')   # 0,1,1
+            parts.append('<a href="/gallery/c">tag list</a>')    # 1,1,0
+        if k % 7 == 0:
+            parts.append('<a href="/media/d.jpg">photo gallery</a>')  # 1,1,1
+            parts.append('<a href="/plain">plain</a>')           # 0,0,0
+            parts.append('<a href="/e">see the jpg</a>')         # 0,0,1
+        # containers straddling the 10·imgs > 3·elems density cut
+        imgs = "".join('<img src="i.png">' for _ in range(k % 4))
+        pads = "".join("<p>t</p>" for _ in range(k % 6))
+        parts.append(f"<div>{imgs}{pads}</div>")
+        text = ""
+        if k % 2 == 0:
+            text += f"see page={k} and offset={k} "
+        if k % 3 == 0:
+            text += "api/v1/load_more ajax page "
+        if k % 4 == 0:
+            text += "load more next batch show more "
+        urls.append(f"https://nav-fixture.example/p/{k}")
+        htmls.append("<html><body>" + "".join(parts) + "</body></html>")
+        texts.append(text)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def nav_scores(
+    corpus_dir: str,
+    features_out: str | None = None,
+    with_synth_pages: bool = False,
+) -> "ray.data.Dataset":
     """Per-page navigation analysis: relevant-link/container counts,
-    detected patterns (type:confidence joined ';'), page confidence."""
-    from ..html.navigation import analyze_page
+    detected patterns (``type:%.4f`` joined ';'), page confidence.
+
+    ``features_out``: also write the raw integer feature table
+    (html/navigation.py:page_nav_features — selector/url-regex hit
+    counts, the 8 link-relevance combo counts ``lc{url·4+text·2+img}``,
+    per-container img/element counts) there as a distributed
+    ``write_parquet`` directory.  Every emitted score is pure
+    arithmetic over those ints, so the DuckDB oracle recomputes the
+    whole output independently (``__ray_entry__._nav_scores_sql``)."""
+    from ..html.navigation import (
+        nav_result_from_features,
+        page_nav_features,
+    )
     from ..html.parser import parse_html
 
     def f(batch: pa.Table) -> pa.Table:
-        out = {
-            "url": [], "n_nav_links": [], "n_containers": [],
-            "patterns": [], "confidence_score": [],
-        }
+        out: dict = {k: [] for k in _NAV_PUBLIC}
+        fo: dict = {k: [] for k in _NAV_FEATURES[1:]}
         for u, h, txt in zip(
             batch.column("url").to_pylist(),
             batch.column("html").to_pylist(),
             batch.column("text").to_pylist(),
         ):
-            a = analyze_page(parse_html(h), txt or "")
+            feats = page_nav_features(parse_html(h), txt or "")
+            r = nav_result_from_features(feats)
             out["url"].append(u)
-            out["n_nav_links"].append(len(a["navigation_links"]))
-            out["n_containers"].append(len(a["image_containers"]))
-            out["patterns"].append(
-                ";".join(f"{t}:{c}" for t, c in a["patterns"])
-            )
-            out["confidence_score"].append(a["confidence_score"])
-        return pa.table(
-            {
-                "url": pa.array(out["url"], pa.string()),
-                "n_nav_links": pa.array(out["n_nav_links"], pa.int32()),
-                "n_containers": pa.array(out["n_containers"], pa.int32()),
-                "patterns": pa.array(out["patterns"], pa.string()),
-                "confidence_score": pa.array(
-                    out["confidence_score"], pa.float64()
-                ),
-            }
+            for k in _NAV_PUBLIC[1:]:
+                out[k].append(r[k])
+            for short in ("pag", "inf", "load"):
+                fo["sel_" + short].append(feats["sel_" + short])
+                fo["url_" + short].append(feats["url_" + short])
+            for code, cnt in enumerate(feats["link_combos"]):
+                fo[f"lc{code}"].append(cnt)
+            fo["cont_imgs"].append(feats["cont_imgs"])
+            fo["cont_elems"].append(feats["cont_elems"])
+        cols = {
+            "url": pa.array(out["url"], pa.string()),
+            "n_nav_links": pa.array(out["n_nav_links"], pa.int32()),
+            "n_containers": pa.array(out["n_containers"], pa.int32()),
+            "patterns": pa.array(out["patterns"], pa.string()),
+            "confidence_score": pa.array(
+                out["confidence_score"], pa.float64()
+            ),
+        }
+        for k in _NAV_FEATURES[1:-2]:
+            cols[k] = pa.array(fo[k], pa.int32())
+        cols["cont_imgs"] = pa.array(fo["cont_imgs"], pa.list_(pa.int32()))
+        cols["cont_elems"] = pa.array(
+            fo["cont_elems"], pa.list_(pa.int32())
         )
+        return pa.table(cols)
 
-    return _read_corpus(corpus_dir, ["url", "html", "text"]).map_batches(
-        f, batch_format="pyarrow", batch_size=128
-    )
+    inp = _read_corpus(corpus_dir, ["url", "html", "text"])
+    if with_synth_pages:
+        inp = inp.union(ray.data.from_arrow(synth_nav_pages()))
+    ds = inp.map_batches(f, batch_format="pyarrow", batch_size=128)
+    if features_out is not None:
+        import os
+        import shutil
+
+        ds = ds.materialize()
+        shutil.rmtree(features_out, ignore_errors=True)  # no stale mix
+        os.makedirs(features_out, exist_ok=True)
+        ds.select_columns(list(_NAV_FEATURES)).write_parquet(features_out)
+    return ds.select_columns(list(_NAV_PUBLIC))
 
 
 # --------------------------------------------- M20–M23: analyzer pipeline

@@ -255,6 +255,138 @@ def analyze_page(root: Node, page_text: str) -> dict:
     }
 
 
+# -------------------------------------------- oracle-ready feature path
+
+_PATTERN_DIMS = (
+    # (pattern_type, short, n_selectors, n_url_patterns) — list sizes of
+    # _patterns(); asserted against it in tests so they cannot drift
+    ("pagination", "pag", 10, 5),
+    ("infinite_scroll", "inf", 4, 3),
+    ("load_more", "load", 6, 3),
+)
+
+
+def page_nav_features(root: Node, page_text: str) -> dict:
+    """Raw INTEGER navigation features for one page.
+
+    Everything downstream of the DOM walk — pattern confidences, the
+    link-relevance cut, the container-density cut, the page confidence —
+    is pure arithmetic over these ints, so a SQL oracle can recompute
+    ``nav_result_from_features`` independently from a Parquet dump of
+    this dict (functions/webops.py:nav_scores(features_out=...)).
+
+    Keys: ``sel_{pag,inf,load}`` / ``url_{pag,inf,load}`` selector and
+    url-regex hit counts per pattern; ``link_combos`` — 8 counts of
+    ``<a href>`` links indexed ``url_hit*4 + text_hit*2 + img_hit``
+    (the three analyze_link components); ``cont_imgs``/``cont_elems`` —
+    per-container img/element counts for the first 50
+    div/section/article nodes (analyze_page's scan order)."""
+    feats: dict = {}
+    text_lower = page_text.lower()
+    for pattern, (_, short, _n_sel, _n_url) in zip(
+        _patterns(), _PATTERN_DIMS
+    ):
+        feats["sel_" + short] = sum(
+            1 for sel in pattern.selectors if sel(root)
+        )
+        feats["url_" + short] = sum(
+            1
+            for rx in pattern.url_patterns
+            if re.search(rx, text_lower, re.IGNORECASE)
+        )
+    combos = [0] * 8
+    for a in root.find_all("a", href=True):
+        text = "".join(
+            t for t in a.iter_text(skip=frozenset())
+        ).strip().lower()
+        href = a.get("href") or ""
+        u = any(
+            re.search(p, href, re.IGNORECASE)
+            for ps in _LINK_PATTERNS.values()
+            for p in ps
+        )
+        t = any(
+            re.search(p, text, re.IGNORECASE)
+            for ps in _LINK_PATTERNS.values()
+            for p in ps
+        )
+        i = any(
+            re.search(ind, href + " " + text, re.IGNORECASE)
+            for ind in _IMAGE_INDICATORS
+        )
+        combos[u * 4 + t * 2 + i] += 1
+    feats["link_combos"] = combos
+    cont_imgs: list[int] = []
+    cont_elems: list[int] = []
+    count = 0
+    for n in root.iter_nodes():
+        if n.name in ("div", "section", "article"):
+            count += 1
+            if count > 50:
+                break
+            cont_imgs.append(len(n.find_all("img")))
+            cont_elems.append(sum(1 for _ in n.iter_nodes()) or 1)
+    feats["cont_imgs"] = cont_imgs
+    feats["cont_elems"] = cont_elems
+    return feats
+
+
+def nav_result_from_features(feats: dict) -> dict:
+    """Page navigation summary from ``page_nav_features`` output.
+
+    Float op ORDER matches detect_navigation_patterns / analyze_page
+    exactly (differential-tested in test_extended_and_nav.py), minus
+    analyze_page's cosmetic ``round(·, 4)`` — the raw double is emitted
+    so the DuckDB oracle can reproduce it bit-for-bit without matching
+    Python's correctly-rounded ``round``.  Pattern confidences are
+    rendered ``%.4f`` (printf semantics exist identically on both
+    sides)."""
+    pats: list[tuple[int, str, float]] = []
+    for idx, (ptype, short, n_sel, n_url) in enumerate(_PATTERN_DIMS):
+        s = feats["sel_" + short]
+        u = feats["url_" + short]
+        confidence = 0.0
+        if s > 0:
+            confidence += (s / n_sel) * 0.6
+        if u > 0:
+            confidence += (u / n_url) * 0.4
+        confidence = min(confidence, 1.0)
+        if confidence > 0.5:
+            pats.append((idx, ptype, confidence))
+    # sorted(reverse=True) on confidence is stable → ties keep pattern
+    # declaration order, same as sorting by (-conf, idx)
+    pats.sort(key=lambda x: (-x[2], x[0]))
+    n_nav = 0
+    for code, cnt in enumerate(feats["link_combos"]):
+        rel = 0.0
+        if code & 4:
+            rel += 0.3
+        if code & 2:
+            rel += 0.4
+        if code & 1:
+            rel += 0.3
+        if min(rel, 1.0) > 0.5:
+            n_nav += cnt
+    n_cont = sum(
+        1
+        for gi, ge in zip(feats["cont_imgs"], feats["cont_elems"])
+        if gi / ge > 0.3
+    )
+    confidence = 0.0
+    if n_nav:
+        confidence += min(0.5, n_nav * 0.1)
+    if n_cont:
+        confidence += min(0.3, n_cont * 0.1)
+    if pats:
+        confidence += 0.2
+    return {
+        "patterns": ";".join(f"{p}:{c:.4f}" for _, p, c in pats),
+        "n_nav_links": n_nav,
+        "n_containers": n_cont,
+        "confidence_score": min(confidence, 1.0),
+    }
+
+
 def prioritized_nav_links(
     root: Node, base_url: str, threshold: float = 0.6, cap: int = 10
 ) -> list[dict]:

@@ -134,6 +134,65 @@ def test_link_relevance_and_prioritized():
     assert a["confidence_score"] > 0
 
 
+def test_nav_features_match_analyze_page():
+    """The oracle feature path (page_nav_features +
+    nav_result_from_features) must agree with the original analyze_page
+    on every count and on confidences modulo analyze_page's cosmetic
+    round(·, 4) — and _PATTERN_DIMS must match the real pattern list
+    sizes so the SQL constants cannot drift."""
+    from snapcrawler_ray.html.navigation import (
+        _PATTERN_DIMS,
+        _patterns,
+        nav_result_from_features,
+        page_nav_features,
+    )
+
+    for pat, (ptype, _s, n_sel, n_url) in zip(_patterns(), _PATTERN_DIMS):
+        assert pat.pattern_type == ptype
+        assert len(pat.selectors) == n_sel
+        assert len(pat.url_patterns) == n_url
+
+    pages = [
+        # pagination selectors + url regex + relevant links + containers
+        (
+            '<a href="?page=2">Next</a><a href="/page/3">&gt;</a>'
+            '<nav aria-label="pagination nav"><a href="?p=4">4</a></nav>'
+            '<div class="pagination"><a rel="next" href="x">n</a></div>'
+            '<a href="/gallery/1">photos</a><a href="/about">about</a>'
+            '<a href="/archive/x">old pictures</a>'
+            '<div><img src="a.png"><img src="b.png"></div>'
+            "<section><p>text</p><p>more</p><span>x</span></section>",
+            "see page=2 and /page/3 offset=10",
+        ),
+        # load_more + infinite scroll markers, no qualifying links
+        (
+            '<button data-load-more="1">Load more</button>'
+            '<div class="infinite-scroll" data-lazy-load="y">x</div>'
+            '<a href="/plain">plain</a>',
+            "api/v1/load_more ajax page load next batch",
+        ),
+        # empty page and a tie-ordering page
+        ("", ""),
+        ('<div class="load-more"><a href="/media/pic">media photo</a>'
+         "</div>", "load more show more next batch"),
+    ]
+    for html, text in pages:
+        root = parse_html(html)
+        a = analyze_page(root, text)
+        r = nav_result_from_features(page_nav_features(root, text))
+        assert r["n_nav_links"] == len(a["navigation_links"])
+        assert r["n_containers"] == len(a["image_containers"])
+        assert round(r["confidence_score"], 4) == a["confidence_score"]
+        got = [
+            (p.split(":")[0], float(p.split(":")[1]))
+            for p in r["patterns"].split(";")
+            if p
+        ]
+        assert [(t, round(c, 4)) for t, c in got] == [
+            (t, round(c, 4)) for t, c in a["patterns"]
+        ]
+
+
 def test_quality_and_classification():
     px = gen_pixels(7, 400, 300, "RGB")
     q = quality_score(px)

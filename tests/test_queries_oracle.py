@@ -95,7 +95,7 @@ def test_all_query_names_have_callables(contract):
         "emb_near_dup_exact", "emb_dedup_keep_exact",
         "emb_knn_lsh_recall", "emb_knn_ivf_recall",
         "events_approx_users_check", "events_approx_hourly_check",
-        "events_hll_registers",
+        "events_hll_registers", "events_range_join",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
@@ -236,7 +236,8 @@ def test_crawl_mode_and_verdict_sql_oracles(contract, con):
     qs, oracles = contract
     for name in ["crawl_scale_visits", "crawl_priority_visits",
                  "crawl_image_verdicts", "crawl_host_pagerank",
-                 "crawl_sitemap_frontier", "docs_api_harvest"]:
+                 "crawl_sitemap_frontier", "docs_api_harvest",
+                 "crawl_nav_scores"]:
         ray_df = _canon(_to_pandas(qs[name](SF_DIR)))  # writes the base
         sql = oracles[name].replace("sf0.01", "sf0.001")
         sql_df = _canon(con.sql(sql).df())
@@ -262,7 +263,7 @@ def test_crawl_aggregate_sql_oracles(contract, con):
     "name",
     ["emb_knn_lsh",
      "docs_extended_images",
-     "crawl_nav_scores", "media_features",
+     "media_features",
      "emb_knn_ivf", "events_approx_users", "events_approx_hourly_users",
      "emb_kmeans", "crawl_robots_visits"],
 )
