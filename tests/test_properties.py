@@ -341,3 +341,55 @@ def test_cuckoo_delete_safe_survives_fingerprint_collision():
     cf.add(np.array([b], dtype=np.uint64))  # contained, still inserts
     assert cf.delete(np.array([a], dtype=np.uint64))[0]
     assert cf.contains(np.array([b], dtype=np.uint64))[0]  # no false neg
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=" abcdef\t\né", min_size=0, max_size=120
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_batched_shingles_and_minhash_bit_identical(texts):
+    """The batched MinHash kernel (one hash_array over the batch,
+    minimum.reduceat per doc) must be bit-identical to the per-doc
+    reference path for arbitrary texts, including empty/whitespace-only
+    docs and docs shorter than the shingle width."""
+    import pandas as pd
+
+    from snapcrawler_ray.functions.dedup import (
+        MinHashStage,
+        _batch_distinct_hits,
+        _batch_shingle_hashes,
+        _perm_params,
+        _shingle_hashes,
+        minhash_signature,
+    )
+
+    arr = np.asarray(texts, dtype=object)
+    sh, off = _batch_shingle_hashes(arr, k=3)
+    for i, t in enumerate(texts):
+        assert np.array_equal(sh[off[i] : off[i + 1]], _shingle_hashes(t, 3))
+
+    a, b = _perm_params(64)
+    st_ = MinHashStage(num_perm=64)
+    out = st_(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    )
+    for i, t in enumerate(texts):
+        assert out["signature"].iloc[i] == minhash_signature(t, a, b).tolist()
+
+    # distinct-hit probe == per-doc unique/searchsorted reference
+    k = 4
+    bench = np.unique(
+        np.concatenate([_shingle_hashes(t, k) for t in texts[: len(texts) // 2 + 1]])
+    )
+    got = _batch_distinct_hits(arr, bench, k)
+    for i, t in enumerate(texts):
+        u = np.unique(_shingle_hashes(t, k))
+        pos = np.searchsorted(bench, u)
+        pos[pos >= len(bench)] = 0
+        assert got[i] == int((bench[pos] == u).sum()), i
