@@ -504,17 +504,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # T12 UA rotation (new in r4): per-agent request histogram of a
         # rotation-enabled run, SQL-oracled over its visits parquet
         "crawl_ua_counts": crawl_ua_counts,
-        # oracled crawl aggregate over engine output that changed this
-        # round (visits schema gained user_agent; engine internals
-        # moved); depth-histogram/status-count siblings are r03-green
-        # and rotated below the window for the two late-r4 additions
-        "crawl_host_visits": crawl_host_visits,
         # late r4: navigation scoring under the hard oracle (raw
-        # integer feature dump + DuckDB arithmetic replay) and the
+        # integer feature dump + DuckDB arithmetic replay), the
         # interval range join (the one custom-join class the suite
-        # still lacked)
+        # still lacked), and fixed-point k-means (the last iterative
+        # algorithm moved under the gate via the PageRank playbook).
+        # The r03-green crawl aggregates (host-visits/depth-histogram/
+        # status-counts — all over the same already-gated visits
+        # parquet) rotate below the window to make room.
         "crawl_nav_scores": crawl_nav_scores,
         "events_range_join": lambda d: relational.events_range_join(d),
+        "emb_kmeans_fixed": lambda d: similarity.kmeans_fixed(d),
         # the crawl×webtext bridge re-verified over the r4 engine
         "web_training_corpus": web_training_corpus,
         # rows-only entries whose code changed this round: image
@@ -583,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_users": sketch.approx_distinct_users,
         "events_approx_hourly_users": sketch.approx_hourly_users,
         # --- [3] r03-green remainder (CORRECTNESS_r03 rows stand) ---
+        "crawl_host_visits": crawl_host_visits,
         "crawl_depth_histogram": crawl_depth_histogram,
         "crawl_status_counts": crawl_status_counts,
         "docs_extended_images": docs_extended_images,
@@ -795,6 +796,61 @@ def _pagerank_sql(edges_pq: str, n_iter: int = 20) -> str:
         ", ".join(parts)
         + f' SELECT h AS host, CAST(v AS DOUBLE) / {S} AS "rank",'
         f" CAST(v AS BIGINT) AS rank_scaled FROM r{n_iter} ORDER BY host"
+    )
+
+
+def _kmeans_fixed_sql(k: int = 8, n_iter: int = 3, scale: int = 10**6) -> str:
+    """Unrolled-CTE DuckDB replay of similarity.kmeans_fixed: quantize
+    embeddings to int64 micro-units (round = half-away, same as the
+    engine's _round_half_away_int), then per iteration recompute the
+    argmin assignment (d2 BIGINT exact, ties to the smaller cluster),
+    the floor-division centroid update and the final integer inertia.
+    Fully self-contained over the pre-registered ``embeddings`` view —
+    no engine dump needed (the PageRank-oracle pattern)."""
+    parts = [
+        # CAST to DOUBLE before the multiply: DuckDB otherwise folds the
+        # literal to FLOAT and rounds 150/3200 sf0.001 values differently
+        # than the engine's float64 path
+        "WITH qv AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) "
+        "AS dim, CAST(round(CAST(unnest(embedding) AS DOUBLE) * "
+        f"{scale}.0) AS BIGINT) AS q FROM embeddings)",
+        "cent0 AS (SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 "
+        "AS BIGINT) AS cluster_id, dim, q AS c FROM qv "
+        f"WHERE vec_id < {k})",
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS (SELECT qv.vec_id, c.cluster_id, "
+            "sum((qv.q - c.c) * (qv.q - c.c)) AS d2 "
+            f"FROM qv JOIN cent{p} c USING (dim) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cluster_id, d2 FROM ("
+            "SELECT vec_id, cluster_id, d2, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY d2 ASC, cluster_id ASC) AS rn "
+            f"FROM d{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT a.cluster_id, qv.dim, "
+            "CAST(sum(qv.q) AS BIGINT) AS s, count(*) AS n "
+            f"FROM a{i} a JOIN qv ON a.vec_id = qv.vec_id GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"cent{i} AS (SELECT c.cluster_id, c.dim, "
+            "CASE WHEN s.n IS NULL THEN c.c "
+            "ELSE CAST((s.s - (((s.s % s.n) + s.n) % s.n)) / s.n AS BIGINT) "
+            f"END AS c FROM cent{p} c LEFT JOIN s{i} s "
+            "USING (cluster_id, dim))"
+        )
+    n = n_iter
+    return (
+        ", ".join(parts)
+        + " SELECT c.cluster_id, COALESCE(cnt.n, 0) AS n_vecs, "
+        f"(SELECT CAST(sum(d2) AS BIGINT) FROM a{n}) AS inertia_q "
+        "FROM (SELECT DISTINCT cluster_id FROM cent0) c "
+        f"LEFT JOIN (SELECT cluster_id, count(*) AS n FROM a{n} "
+        "GROUP BY 1) cnt USING (cluster_id)"
     )
 
 
@@ -1836,6 +1892,7 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = m.user_id AND e.ts >= m.ts"
         ),
         "events_range_join": _range_join_sql(),
+        "emb_kmeans_fixed": _kmeans_fixed_sql(),
         "events_hopping": (
             "SELECT time_bucket(INTERVAL '15 minutes', ts) "
             "- j * INTERVAL '15 minutes' AS window_start, "

@@ -524,3 +524,105 @@ def kmeans(
     )
     out.attrs["inertia_history"] = inertia_hist
     return out
+
+
+def _round_half_away_int(y: np.ndarray) -> np.ndarray:
+    """Nearest int64, ties away from zero — exactly C++ ``std::round``
+    (= DuckDB ``round(DOUBLE)``) on every double, including the
+    ``floor(y + 0.5)`` trap near .5 boundaries (adding 0.5 can round up
+    through the boundary in double arithmetic; comparing the exact
+    fractional residual cannot)."""
+    ay = np.abs(y)
+    f = np.floor(ay)
+    out = f + (ay - f >= 0.5)
+    return (np.sign(y) * out).astype(np.int64)
+
+
+def kmeans_fixed(
+    sf_dir: str, k: int = 8, n_iter: int = 3, scale: int = 10**6
+) -> pd.DataFrame:
+    """cluster_id, n_vecs, inertia_q — Lloyd's k-means in EXACT int64
+    fixed-point: embeddings quantized to micro-units (×10⁶, half-away
+    rounding shared with DuckDB ``round``), so every iteration's
+    assignment argmin, centroid floor-division update and inertia sum
+    are integer arithmetic an unrolled DuckDB CTE reproduces
+    bit-for-bit — the PageRank playbook (webops.host_pagerank) applied
+    to the one remaining rows-only iterative algorithm.  The float
+    :func:`kmeans` stays the production path (this is its oracle
+    twin, like ``emb_near_dup_exact`` for the LSH pipeline).
+
+    Distributed shape is identical to :func:`kmeans`: per-iteration
+    centroid broadcast (``ray.put``), ONE streaming pass emitting int64
+    partials (k×dim sums, counts, inertia — never assignments), O(k·dim)
+    driver fold.  Seeds: quantized embeddings of the k smallest
+    vec_ids.  Ties: smaller cluster index.  Empty clusters keep their
+    centroid.  Update: floor division (exact in int64).  Inertia is in
+    micro-units² (BIGINT) — order-free exact sums, no float drift.
+
+    Overflow headroom: |q| ≤ scale (unit-ball inputs), per-dim diff² ≤
+    4·10¹², ×64 dims ≤ 2.6·10¹⁴ per distance, ×corpus ≪ 2⁶³."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .io import read_table
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = t.filter(pc.less(t.column("vec_id"), k))
+    order = np.argsort(t.column("vec_id").to_numpy())
+    seeds = np.stack(t.column("embedding").to_pylist()).astype(np.float64)[
+        order
+    ]
+    cent = _round_half_away_int(seeds * scale)  # (k, dim) int64
+
+    ds = read_table(sf_dir, "embeddings", ["embedding"], blocks=16).materialize()
+
+    counts = np.zeros(k, dtype=np.int64)
+    inertia = 0
+    for _ in range(n_iter):
+        ref = ray.put(cent)
+
+        def partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            c = ray.get(_ref)  # (k, dim) int64
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            q = _round_half_away_int(m * scale)  # (n, dim) int64
+            # int64 distances: q·q − 2 q·c + c·c, all exact
+            d2 = (
+                (q * q).sum(1, keepdims=True)
+                - 2 * (q @ c.T)
+                + (c * c).sum(1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)  # ties → smaller index
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, q)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            err = int(d2[np.arange(len(a)), a].sum())
+            out = pd.DataFrame(
+                {
+                    "cluster": np.arange(k, dtype=np.int64),
+                    "cnt": cnt,
+                    "err": np.where(
+                        np.arange(k) == 0, err, 0
+                    ).astype(np.int64),
+                }
+            )
+            out["sums"] = list(sums)
+            return out
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        counts = parts.groupby("cluster")["cnt"].sum().to_numpy(np.int64)
+        inertia = int(parts["err"].sum())
+        sums = np.zeros_like(cent)
+        for cid, g in parts.groupby("cluster"):
+            sums[cid] = np.stack(g["sums"].to_numpy()).sum(0)
+        nz = counts > 0
+        cent[nz] = sums[nz] // counts[nz, None]  # floor div, exact
+
+    return pd.DataFrame(
+        {
+            "cluster_id": np.arange(k, dtype=np.int64),
+            "n_vecs": counts,
+            "inertia_q": np.int64(inertia),
+        }
+    )
