@@ -571,6 +571,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracled + green only in r02 — must stay inside the 50-row
         # driver window so r03∪r04 alone covers the contract
         "events_pivot_hourly": relational.events_pivot_hourly,
+        # new in late r4 (below the full window — rotate INTO the r5
+        # window): Count-Min sketch (Cormode & Muthukrishnan 2005) on
+        # the shared md5 hash basis; both the merged register table AND
+        # the top-k estimates are deterministic, so both carry full
+        # DuckDB value oracles (locally rehearsed in
+        # tests/test_queries_oracle.py until the r5 driver row lands)
+        "events_cms_registers": lambda d: sketch.cms_registers(d),
+        "events_cms_topk": lambda d: sketch.cms_topk_users(d),
         # rows-only: iterative algorithm (Lloyd's k-means; monotone
         # inertia + brute-force parity asserted in tests) — outside the
         # r04 window; its rows-only record exists in r02
@@ -1611,6 +1619,47 @@ def oracle_sql() -> dict[str, str]:
             "AS DOUBLE))) AS BIGINT) END AS rank FROM h) "
             "SELECT event_type, reg, CAST(max(rank) AS BIGINT) "
             "AS register FROM r GROUP BY event_type, reg"
+        ),
+        # The Count-Min table recomputed independently: one md5 per
+        # user, halves as two uint64 (Kirsch–Mitzenmacher double
+        # hashing), d=4 rows × w=1024 columns.  Every counter off by
+        # one anywhere is a driver-red value mismatch.
+        "events_cms_registers": (
+            "WITH h AS (SELECT "
+            "CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), "
+            "1, 16)) AS UBIGINT) % 1024 AS BIGINT) AS a, "
+            "CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), "
+            "17, 16)) AS UBIGINT) % 1024 AS BIGINT) AS b FROM events), "
+            "j AS (SELECT unnest(range(4)) AS row_j) "
+            "SELECT CAST(j.row_j AS BIGINT) AS row_j, "
+            "CAST((a + j.row_j * b) % 1024 AS BIGINT) AS col, "
+            "CAST(count(*) AS BIGINT) AS cnt "
+            "FROM h CROSS JOIN j GROUP BY 1, 2"
+        ),
+        # CMS estimate vs exact count for the top-20 users — the
+        # estimate itself is deterministic, so est_cnt/overcount are
+        # hard-oracled values, not an envelope claim
+        "events_cms_topk": (
+            "WITH h AS (SELECT user_id, "
+            "CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), "
+            "1, 16)) AS UBIGINT) % 1024 AS BIGINT) AS a, "
+            "CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), "
+            "17, 16)) AS UBIGINT) % 1024 AS BIGINT) AS b FROM events), "
+            "j AS (SELECT unnest(range(4)) AS row_j), "
+            "cms AS (SELECT j.row_j AS row_j, (a + j.row_j * b) % 1024 "
+            "AS col, count(*) AS cnt FROM h CROSS JOIN j GROUP BY 1, 2), "
+            "exact AS (SELECT user_id, count(*) AS exact_cnt FROM events "
+            "GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT 20), "
+            "uh AS (SELECT DISTINCT user_id, a, b FROM h), "
+            "est AS (SELECT e.user_id, e.exact_cnt, min(c.cnt) AS est_cnt "
+            "FROM exact e JOIN uh USING (user_id) CROSS JOIN j "
+            "JOIN cms c ON c.row_j = j.row_j "
+            "AND c.col = (uh.a + j.row_j * uh.b) % 1024 "
+            "GROUP BY e.user_id, e.exact_cnt) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(exact_cnt AS BIGINT) AS exact_cnt, "
+            "CAST(est_cnt AS BIGINT) AS est_cnt, "
+            "CAST(est_cnt - exact_cnt AS BIGINT) AS overcount FROM est"
         ),
         # HLL error envelope: exact_users double-checks the distributed
         # exact-distinct reduce; within_tol states the sketch bound

@@ -257,3 +257,158 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
     merged = _merge_registers(ds, "event_type")
     est = hll_estimate(merged, p).rename(columns={"key": "event_type"})
     return est.sort_values("event_type").reset_index(drop=True)
+
+
+# ------------------------------------------------- Count-Min sketch
+#
+# Frequency estimation without a per-key shuffle (Cormode &
+# Muthukrishnan 2005): d rows × w counters; each item increments one
+# counter per row, estimate = min over rows.  Counters merge by
+# element-wise SUM, so the whole corpus reduces inside map_batches to
+# d×w integers per batch and one tiny sum-groupby — the same
+# fixed-size-summary topology as the HLL registers above.  Guarantees:
+# est ≥ true always; est ≤ true + εN with probability 1−δ for
+# ε = e/w, δ = e^−d (N = stream length).
+#
+# Hashing is SQL-reproducible like everything else in this module: ONE
+# md5 per value yields two independent uint64 halves (bytes [0,8) and
+# [8,16), big-endian = DuckDB's substr(md5(v),1,16) / substr(md5(v),
+# 17,16) as UBIGINT), combined per row j as (h1 + j·h2) mod w — the
+# published Kirsch–Mitzenmacher double-hashing scheme.  DuckDB can
+# therefore recompute every (row, col) counter exactly, putting the
+# distributed sketch itself under the driver's hard value oracle.
+
+
+def _md5_2u64(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two uint64 per value from one md5 (bytes [0,8) / [8,16),
+    big-endian).  Hashed once per unique value (factorize + inverse
+    scatter, same trick as ``dedup._md5_u64``)."""
+    import hashlib
+
+    inv, uniq = pd.factorize(values)
+    h1 = np.empty(len(uniq), dtype=np.uint64)
+    h2 = np.empty(len(uniq), dtype=np.uint64)
+    for i, t in enumerate(uniq):
+        d = hashlib.md5(str(t).encode("utf-8")).digest()
+        h1[i] = int.from_bytes(d[:8], "big")
+        h2[i] = int.from_bytes(d[8:16], "big")
+    return h1[inv], h2[inv]
+
+
+def cms_partial(values: np.ndarray, d: int, w: int) -> pd.DataFrame:
+    """(row_j, col, cnt) nonzero Count-Min counters for one batch.
+    Vectorized: factorize → per-unique md5 → per-row bincount with
+    the unique multiplicities as weights; no python loop over items."""
+    vals = np.asarray(values)
+    inv, uniq = pd.factorize(vals)
+    if len(uniq) == 0:
+        return pd.DataFrame(
+            {"row_j": pd.Series(dtype="int64"),
+             "col": pd.Series(dtype="int64"),
+             "cnt": pd.Series(dtype="int64")}
+        )
+    mult = np.bincount(inv).astype(np.int64)
+    h1u, h2u = _md5_2u64(uniq)
+    a = (h1u % np.uint64(w)).astype(np.int64)
+    b = (h2u % np.uint64(w)).astype(np.int64)
+    frames = []
+    for j in range(d):
+        col = (a + j * b) % w
+        s = np.bincount(col, weights=mult, minlength=w).astype(np.int64)
+        nz = np.nonzero(s)[0]
+        frames.append(
+            pd.DataFrame({"row_j": np.int64(j), "col": nz, "cnt": s[nz]})
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def cms_cols_for(values: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(n, d) int64 column indices — the query-side hash, shared with
+    :func:`cms_partial` so lookups address the same counters."""
+    h1, h2 = _md5_2u64(np.asarray(values))
+    a = (h1 % np.uint64(w)).astype(np.int64)
+    b = (h2 % np.uint64(w)).astype(np.int64)
+    return (a[:, None] + np.arange(d, dtype=np.int64)[None, :] * b[:, None]) % w
+
+
+def cms_registers(sf_dir: str, d: int = 4, w: int = 1024) -> pd.DataFrame:
+    """row_j, col, cnt — the merged Count-Min table over event
+    ``user_id`` occurrences, exactly as the estimator consumes it.
+    Distributed: per-batch nonzero-counter partials (≤ d×w tiny int
+    rows each), one hash-bucketed sum-reduce on (row_j, col); the
+    driver only concatenates the O(d×w) merged rows.  SQL-oracled
+    bit-for-bit (see module docstring)."""
+    from .agg import bucketed_combine
+    from .io import read_table
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return cms_partial(df["user_id"].to_numpy(), d, w)
+
+    ds = read_table(sf_dir, "events", ["user_id"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    merged = (
+        bucketed_combine(
+            ds,
+            ["row_j", "col"],
+            lambda df: df.groupby(["row_j", "col"], as_index=False).agg(
+                cnt=("cnt", "sum")
+            ),
+        )
+        .to_pandas()
+    )
+    for c in merged.columns:
+        merged[c] = merged[c].astype("int64")
+    return merged.sort_values(["row_j", "col"]).reset_index(drop=True)
+
+
+def cms_topk_users(
+    sf_dir: str, k: int = 20, d: int = 4, w: int = 1024
+) -> pd.DataFrame:
+    """user_id, exact_cnt, est_cnt, overcount — the Count-Min estimate
+    next to the exact distributed count for the top-k users by event
+    count (ties → lower user_id).  ``overcount = est − exact`` is ≥ 0
+    by construction (CMS never undercounts); both columns are
+    deterministic given the data, so the WHOLE row — sketch estimate
+    included — sits under the DuckDB hard oracle, not just an error
+    envelope.  Exact counts use the same per-bucket-top-k reduce as
+    ``relational.events_topk_users`` (no O(users) driver fold)."""
+    from .agg import bucketed_combine
+    from .io import read_table
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(n=("n", "sum"))
+        return g.sort_values(
+            ["n", "user_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    ds = read_table(sf_dir, "events", ["user_id"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    agg = bucketed_combine(ds, ["user_id"], bucket_topk).to_pandas()
+    top = agg.sort_values(
+        ["n", "user_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+
+    regs = cms_registers(sf_dir, d, w)
+    table = np.zeros((d, w), dtype=np.int64)
+    table[regs["row_j"].to_numpy(), regs["col"].to_numpy()] = regs[
+        "cnt"
+    ].to_numpy()
+    cols = cms_cols_for(top["user_id"].to_numpy(), d, w)
+    est = table[np.arange(d)[None, :], cols].min(axis=1)
+    out = pd.DataFrame(
+        {
+            "user_id": top["user_id"].astype("int64").to_numpy(),
+            "exact_cnt": top["n"].astype("int64").to_numpy(),
+            "est_cnt": est,
+            "overcount": est - top["n"].astype("int64").to_numpy(),
+        }
+    )
+    return out.sort_values(
+        ["exact_cnt", "user_id"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)

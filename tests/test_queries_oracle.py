@@ -96,7 +96,7 @@ def test_all_query_names_have_callables(contract):
         "emb_knn_lsh_recall", "emb_knn_ivf_recall",
         "events_approx_users_check", "events_approx_hourly_check",
         "events_hll_registers", "events_range_join",
-        "emb_kmeans_fixed",
+        "emb_kmeans_fixed", "events_cms_registers", "events_cms_topk",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
