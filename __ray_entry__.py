@@ -342,6 +342,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             res.emissions, cfg.images, meta=_image_meta(sf_dir)
         )
 
+    def images_tags(sf_dir: str):
+        """M22/M23 content-type classifier + AI-tag derivation under
+        the hard gate: the engine dumps the integer features the
+        threshold tree consumes (width/height/mode/edge_cnt/unique50,
+        see imageio.analyze.content_features) to Parquet, and DuckDB
+        replays classify_from_features + ai_tags over that dump
+        (reference semantics: advanced_formats.py:305-374).  Pixel
+        decode / feature extraction stay conformance-tested locally —
+        the same trust split as crawl_image_verdicts."""
+        res, cfg = _run_crawl(sf_dir)
+        return webops.images_tags(
+            res.emissions,
+            cfg.images,
+            meta=_image_meta(sf_dir),
+            features_out=os.path.join(
+                _oracle_tbl_dir(sf_dir), "image_features"
+            ),
+        )
+
     def media_features(sf_dir: str):
         return webops.media_features()
 
@@ -579,6 +598,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tests/test_queries_oracle.py until the r5 driver row lands)
         "events_cms_registers": lambda d: sketch.cms_registers(d),
         "events_cms_topk": lambda d: sketch.cms_topk_users(d),
+        # late r4 (rotate into the r5 window): the M22/M23 decision
+        # logic under the hard gate — integer-feature dump + DuckDB
+        # threshold-tree/tag replay (the images_analysis row stays the
+        # rows-only full-metadata form; this is its value-gated core)
+        "images_tags": images_tags,
         # rows-only: iterative algorithm (Lloyd's k-means; monotone
         # inertia + brute-force parity asserted in tests) — outside the
         # r04 window; its rows-only record exists in r02
@@ -950,6 +974,50 @@ LEFT JOIN pats p USING (url)
 """
 
 
+def _images_tags_sql(features_dir: str) -> str:
+    """DuckDB replay of imageio.analyze.classify_from_features +
+    ai_tags over the engine-written integer-feature dump (reference
+    threshold tree advanced_formats.py:305-340, tag rules :342-374).
+    edge_cnt/2500.0 and unique50/2500.0 reproduce the engine's
+    edge_density / color_diversity doubles bit-for-bit (the 50×50
+    downsample has exactly 2500 pixels), so every branch of the tree
+    is decided on identical doubles on both sides."""
+    return f"""
+WITH f AS (SELECT * FROM read_parquet('{features_dir}/*.parquet')),
+c AS (
+  SELECT emit_seq, url, width, height, mode,
+    CASE WHEN height = 0 THEN 1.0::DOUBLE
+         ELSE CAST(width AS DOUBLE) / height END AS ar,
+    CAST(edge_cnt AS DOUBLE) / 2500.0::DOUBLE AS ed,
+    CAST(unique50 AS DOUBLE) / 2500.0::DOUBLE AS cd
+  FROM f),
+ct AS (
+  SELECT *, CASE
+    WHEN ed > 0.3::DOUBLE AND cd < 0.1::DOUBLE THEN 'text'
+    WHEN ar > 2.0::DOUBLE OR ar < 0.5::DOUBLE THEN 'banner'
+    WHEN LEAST(width, height) < 100 AND GREATEST(width, height) < 200
+      THEN 'icon'
+    WHEN cd < 0.2::DOUBLE AND ed > 0.2::DOUBLE THEN 'logo'
+    WHEN ed < 0.1::DOUBLE AND cd > 0.5::DOUBLE THEN 'photo'
+    ELSE 'illustration' END AS content_type
+  FROM c)
+SELECT emit_seq, url, content_type,
+  content_type || ',' ||
+  CASE WHEN width > 1920 OR height > 1080 THEN 'high_resolution'
+       WHEN width < 300 OR height < 300 THEN 'low_resolution'
+       ELSE 'medium_resolution' END || ',' ||
+  CASE WHEN CAST(width AS DOUBLE) > height * 1.3::DOUBLE
+         THEN 'landscape'
+       WHEN CAST(height AS DOUBLE) > width * 1.3::DOUBLE
+         THEN 'portrait'
+       ELSE 'square' END || ',' ||
+  CASE WHEN mode = 'L' THEN 'grayscale'
+       WHEN mode IN ('RGBA', 'LA') THEN 'transparent'
+       ELSE 'color' END AS ai_tags
+FROM ct
+"""
+
+
 def _api_harvest_sql(payloads_pq: str) -> str:
     """DuckDB replay of jsonx.extract_images_from_api_payload over the
     engine-written payload parquet: a WITH RECURSIVE walk over
@@ -1217,6 +1285,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "crawl_nav_scores": _nav_scores_sql(
             f"{_oracle_tbl_dir('sf0.01')}/nav_features"
+        ),
+        "images_tags": _images_tags_sql(
+            f"{_oracle_tbl_dir('sf0.01')}/image_features"
         ),
         "crawl_ua_counts": (
             "SELECT user_agent, count(*) AS n FROM "

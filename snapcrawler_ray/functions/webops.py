@@ -374,11 +374,11 @@ def nav_scores(
 
 # --------------------------------------------- M20–M23: analyzer pipeline
 
-def images_analysis(
-    emissions: pa.Table, images_cfg, meta=None
-) -> pd.DataFrame:
-    """Accepted images → AnalyzeStage (via the §2.11 step registry) →
-    flat metadata columns.  Returns a pandas frame sorted by emit_seq.
+def analyzed_images(emissions: pa.Table, images_cfg, meta=None):
+    """Accepted images → AnalyzeStage (via the §2.11 step registry).
+    Returns the analyzed Dataset (columns: emit_seq, url, metadata
+    struct, features struct) — shared by ``images_analysis`` and
+    ``images_tags`` so one decode+analyze pass feeds both queries.
     Pass ``meta`` (the verdict Dataset from ``run_image_pipeline``) to
     reuse an already-executed pipeline instead of re-running it."""
     from ..pipelines.images import run_image_pipeline
@@ -400,9 +400,18 @@ def images_analysis(
     # only a handful of blocks
     n_acc = accepted.count()
     accepted = accepted.repartition(max(1, min(64, n_acc // 32 + 1)))
-    analyzed = run_chain(
+    return run_chain(
         accepted, [("analyze", {"concurrency": (1, 16), "batch_size": 32})]
     )
+
+
+def images_analysis(
+    emissions: pa.Table, images_cfg, meta=None, analyzed=None
+) -> pd.DataFrame:
+    """Flat metadata columns (M20–M23) per accepted image, sorted by
+    emit_seq."""
+    if analyzed is None:
+        analyzed = analyzed_images(emissions, images_cfg, meta)
 
     def flatten(df: pd.DataFrame) -> pd.DataFrame:
         m = df["metadata"]
@@ -427,6 +436,69 @@ def images_analysis(
         )
 
     out = analyzed.map_batches(flatten, batch_format="pandas").to_pandas()
+    return out.sort_values("emit_seq").reset_index(drop=True)
+
+
+def images_tags(
+    emissions: pa.Table,
+    images_cfg,
+    meta=None,
+    analyzed=None,
+    features_out: str | None = None,
+) -> pd.DataFrame:
+    """emit_seq, url, content_type, ai_tags (comma-joined) per decoded
+    accepted image — the M22 classifier tree + M23 tag derivation,
+    SQL-ORACLED: the integer features the tree consumes (width, height,
+    mode, edge_cnt, unique50 — see ``analyze.content_features``) are
+    dumped to ``features_out`` as Parquet, and DuckDB replays
+    ``classify_from_features`` + ``ai_tags`` over them (reference
+    semantics: advanced_formats.py:305-374).  Pixel decode and feature
+    extraction stay conformance-tested locally; the DECISION LOGIC sits
+    under the driver's hard value gate — the same trust split as the
+    crawl_image_verdicts pre-dedup-dump oracle."""
+    if analyzed is None:
+        analyzed = analyzed_images(emissions, images_cfg, meta)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        f = df["features"]
+        ok = f.notna().to_numpy()
+        sub = df.loc[ok]
+        fs = sub["features"]
+        return pd.DataFrame(
+            {
+                "emit_seq": sub["emit_seq"].astype("int64"),
+                "url": sub["url"],
+                "width": [x["width"] for x in fs],
+                "height": [x["height"] for x in fs],
+                "mode": [x["mode"] for x in fs],
+                "edge_cnt": [x["edge_cnt"] for x in fs],
+                "unique50": [x["unique50"] for x in fs],
+                "content_type": [
+                    x["content_type"] for x in sub["metadata"]
+                ],
+                "ai_tags": [
+                    ",".join(x["ai_tags"]) for x in sub["metadata"]
+                ],
+            }
+        )
+
+    projected = analyzed.map_batches(project, batch_format="pandas")
+    if features_out:
+        import shutil
+
+        # dump-then-read keeps the oracle input on disk AND feeds the
+        # result from the same pass (the oracle must see exactly the
+        # features the engine classified from)
+        shutil.rmtree(features_out, ignore_errors=True)
+        projected.write_parquet(features_out)
+        import ray.data as rd
+
+        projected = rd.read_parquet(features_out)
+    out = projected.select_columns(
+        ["emit_seq", "url", "content_type", "ai_tags"]
+    ).to_pandas()
+    for c in ("emit_seq",):
+        out[c] = out[c].astype("int64")
     return out.sort_values("emit_seq").reset_index(drop=True)
 
 

@@ -139,23 +139,40 @@ def analyze_colors(px: np.ndarray) -> dict:
     return {"dominant": dominant_hex, "palette": [_rgb_to_hex(c) for c in palette]}
 
 
-def classify_content_type(px: np.ndarray, width: int, height: int) -> str:
-    """advanced_formats.py:305-340 threshold tree."""
-    aspect_ratio = width / height if height else 1.0
+def content_features(px: np.ndarray) -> tuple[int, int]:
+    """(edge_cnt, unique50) on the 50×50 downsample — the two INTEGER
+    features the M22 threshold tree consumes.  Exposed separately so
+    the classifier below is a pure function of dumpable integers (the
+    ``images_tags`` SQL oracle replays the tree over a Parquet dump of
+    these; pixel work itself stays conformance-tested locally)."""
     if px.ndim == 2:
         px = np.stack([px] * 3, axis=-1)
     small = _resize_nn(px[..., :3], 50, 50)
     p50 = small.reshape(-1, 3)
-    unique_colors = len(
+    unique50 = len(
         np.unique(
             (p50[:, 0].astype(np.uint32) << 16)
             | (p50[:, 1].astype(np.uint32) << 8)
             | p50[:, 2].astype(np.uint32)
         )
     )
-    color_diversity = unique_colors / (50 * 50)
     gray = _to_gray(small)
-    edge_density = _edge_density(gray)
+    gx = np.abs(np.diff(gray, axis=1, prepend=gray[:, :1]))
+    gy = np.abs(np.diff(gray, axis=0, prepend=gray[:1, :]))
+    edge_cnt = int((np.hypot(gx, gy) > 50.0).sum())
+    return edge_cnt, unique50
+
+
+def classify_from_features(
+    width: int, height: int, edge_cnt: int, unique50: int
+) -> str:
+    """advanced_formats.py:305-340 threshold tree, as a pure function
+    of the integer features (÷2500.0 reproduces the reference's
+    edge_density / color_diversity doubles bit-for-bit — the 50×50
+    downsample has exactly 2500 pixels)."""
+    aspect_ratio = width / height if height else 1.0
+    edge_density = edge_cnt / 2500.0
+    color_diversity = unique50 / 2500.0
     if edge_density > 0.3 and color_diversity < 0.1:
         return "text"
     if aspect_ratio > 2.0 or aspect_ratio < 0.5:
@@ -167,6 +184,12 @@ def classify_content_type(px: np.ndarray, width: int, height: int) -> str:
     if edge_density < 0.1 and color_diversity > 0.5:
         return "photo"
     return "illustration"
+
+
+def classify_content_type(px: np.ndarray, width: int, height: int) -> str:
+    """advanced_formats.py:305-340 threshold tree."""
+    edge_cnt, unique50 = content_features(px)
+    return classify_from_features(width, height, edge_cnt, unique50)
 
 
 def ai_tags(width: int, height: int, mode: str, content_type: str) -> list[str]:
@@ -204,10 +227,24 @@ METADATA_TYPE = pa.struct(
 )
 
 
+FEATURES_TYPE = pa.struct(
+    [
+        ("width", pa.int64()),
+        ("height", pa.int64()),
+        ("mode", pa.string()),
+        ("edge_cnt", pa.int64()),
+        ("unique50", pa.int64()),
+    ]
+)
+
+
 class AnalyzeStage:
     """map_batches stage: accepted-image rows (url[, bytes]) → +metadata
-    struct column (the ImageMetadata equivalent).  Bytes are decoded via
-    imageio.formats.decode_pixels; rows that fail decode get a null."""
+    struct column (the ImageMetadata equivalent) + ``features`` struct
+    (the integer inputs of the M22/M23 decision logic — dumped to
+    Parquet by ``images_tags`` so DuckDB can replay the classifier).
+    Bytes are decoded via imageio.formats.decode_pixels; rows that fail
+    decode get a null in both columns."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .formats import decode_pixels, parse_info
@@ -217,12 +254,16 @@ class AnalyzeStage:
         have_bytes = "bytes" in batch.column_names
         blobs = batch.column("bytes").to_pylist() if have_bytes else None
         metas = []
+        feats = []
         for i, url in enumerate(urls):
             data = blobs[i] if blobs else synth_image_bytes(url)[0]
             try:
                 info = parse_info(data, url)
                 px = decode_pixels(data, info, url)
-                ct = classify_content_type(px, info.width, info.height)
+                edge_cnt, unique50 = content_features(px)
+                ct = classify_from_features(
+                    info.width, info.height, edge_cnt, unique50
+                )
                 colors = analyze_colors(px)
                 metas.append(
                     {
@@ -233,6 +274,18 @@ class AnalyzeStage:
                         "ai_tags": ai_tags(info.width, info.height, info.mode, ct),
                     }
                 )
+                feats.append(
+                    {
+                        "width": info.width,
+                        "height": info.height,
+                        "mode": info.mode,
+                        "edge_cnt": edge_cnt,
+                        "unique50": unique50,
+                    }
+                )
             except Exception:
                 metas.append(None)
-        return batch.append_column("metadata", pa.array(metas, METADATA_TYPE))
+                feats.append(None)
+        return batch.append_column(
+            "metadata", pa.array(metas, METADATA_TYPE)
+        ).append_column("features", pa.array(feats, FEATURES_TYPE))

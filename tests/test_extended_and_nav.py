@@ -210,10 +210,41 @@ def test_quality_and_classification():
     assert "grayscale" in ai_tags(500, 500, "L", "photo")
 
 
+def test_content_features_split_parity():
+    """The M22 feature split (content_features → classify_from_features)
+    must be bit-identical to the fused tree: edge_cnt/2500 reproduces
+    _edge_density on the 50×50 downsample, and the split classifier
+    agrees with classify_content_type on varied synthetic pixels —
+    the local trust anchor under the images_tags SQL oracle."""
+    from snapcrawler_ray.imageio.analyze import (
+        _edge_density,
+        _resize_nn,
+        _to_gray,
+        classify_from_features,
+        content_features,
+    )
+
+    for seed, w, h, mode in [
+        (1, 400, 300, "RGB"),
+        (2, 80, 60, "RGB"),
+        (3, 3000, 500, "RGB"),
+        (4, 120, 900, "L"),
+        (5, 640, 480, "RGBA"),
+    ]:
+        px = gen_pixels(seed, w, h, mode)
+        edge_cnt, unique50 = content_features(px)
+        px3 = np.stack([px] * 3, axis=-1) if px.ndim == 2 else px
+        small = _resize_nn(px3[..., :3], 50, 50)
+        assert edge_cnt / 2500.0 == _edge_density(_to_gray(small))
+        assert classify_from_features(
+            w, h, edge_cnt, unique50
+        ) == classify_content_type(px, w, h)
+
+
 def test_analyze_stage_batch(ray_session):
     import pyarrow as pa
 
-    from snapcrawler_ray.imageio.analyze import AnalyzeStage
+    from snapcrawler_ray.imageio.analyze import AnalyzeStage, classify_from_features
 
     urls = [f"https://img-cdn0.example/pic/0/{k}.png" for k in range(6)]
     batch = pa.table({"url": pa.array(urls)})
@@ -222,6 +253,15 @@ def test_analyze_stage_batch(ray_session):
     metas = out.column("metadata").to_pylist()
     assert all(m is not None for m in metas)
     assert all(0 <= m["quality_score"] <= 1 for m in metas)
+    # the features struct the images_tags oracle consumes must carry
+    # exactly the integers the metadata's classification came from
+    feats = out.column("features").to_pylist()
+    assert all(f is not None for f in feats)
+    for m, f in zip(metas, feats):
+        assert m["content_type"] == classify_from_features(
+            f["width"], f["height"], f["edge_cnt"], f["unique50"]
+        )
+        assert m["ai_tags"][0] == m["content_type"]
 
 
 # -------------------- A5 compact stats formatter --------------------

@@ -238,7 +238,7 @@ def test_crawl_mode_and_verdict_sql_oracles(contract, con):
     for name in ["crawl_scale_visits", "crawl_priority_visits",
                  "crawl_image_verdicts", "crawl_host_pagerank",
                  "crawl_sitemap_frontier", "docs_api_harvest",
-                 "crawl_nav_scores"]:
+                 "crawl_nav_scores", "images_tags"]:
         ray_df = _canon(_to_pandas(qs[name](SF_DIR)))  # writes the base
         sql = oracles[name].replace("sf0.01", "sf0.001")
         sql_df = _canon(con.sql(sql).df())
