@@ -560,7 +560,12 @@ def kmeans_fixed(
     micro-units² (BIGINT) — order-free exact sums, no float drift.
 
     Overflow headroom: |q| ≤ scale (unit-ball inputs), per-dim diff² ≤
-    4·10¹², ×64 dims ≤ 2.6·10¹⁴ per distance, ×corpus ≪ 2⁶³."""
+    4·10¹², ×64 dims ≤ 2.6·10¹⁴ per distance.  The inertia ACCUMULATION
+    is exact at any corpus size (32-bit-split batch sums recombined as
+    Python ints, object-dtype driver fold — int64 would wrap past ~36k
+    rows/batch); only the final int64 EMIT bounds the corpus (~3.6·10⁴
+    distances per 2⁶³), past which both the engine (numpy conversion)
+    and the oracle (BIGINT cast) fail loudly rather than diverge."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -597,14 +602,22 @@ def kmeans_fixed(
             sums = np.zeros_like(c)
             np.add.at(sums, a, q)
             cnt = np.bincount(a, minlength=k).astype(np.int64)
-            err = int(d2[np.arange(len(a)), a].sum())
+            # exact arbitrary-precision err: per-row d2 is bounded by
+            # dim*(2*scale)^2 ≈ 2.56e14, so an int64 batch sum wraps
+            # silently past ~36k rows; split into 32-bit halves (each
+            # half's int64 sum has >1e9-row headroom) and recombine as
+            # a Python int — matches the oracle's HUGEINT sum exactly
+            best = d2[np.arange(len(a)), a]
+            err = (int((best >> 32).sum()) << 32) + int(
+                (best & 0xFFFFFFFF).sum()
+            )
             out = pd.DataFrame(
                 {
                     "cluster": np.arange(k, dtype=np.int64),
                     "cnt": cnt,
-                    "err": np.where(
-                        np.arange(k) == 0, err, 0
-                    ).astype(np.int64),
+                    # object dtype carries the exact Python int (the
+                    # driver fold below sums these without wrapping)
+                    "err": [err if i == 0 else 0 for i in range(k)],
                 }
             )
             out["sums"] = list(sums)
@@ -612,7 +625,7 @@ def kmeans_fixed(
 
         parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
         counts = parts.groupby("cluster")["cnt"].sum().to_numpy(np.int64)
-        inertia = int(parts["err"].sum())
+        inertia = int(sum(int(x) for x in parts["err"]))
         sums = np.zeros_like(cent)
         for cid, g in parts.groupby("cluster"):
             sums[cid] = np.stack(g["sums"].to_numpy()).sum(0)

@@ -279,19 +279,25 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
 # distributed sketch itself under the driver's hard value oracle.
 
 
-def _md5_2u64(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Two uint64 per value from one md5 (bytes [0,8) / [8,16),
-    big-endian).  Hashed once per unique value (factorize + inverse
-    scatter, same trick as ``dedup._md5_u64``)."""
+def _md5_2u64_uniq(uniq) -> tuple[np.ndarray, np.ndarray]:
+    """Two uint64 per ALREADY-UNIQUE value from one md5 (bytes [0,8) /
+    [8,16), big-endian) — the hashing core, no dedup pass."""
     import hashlib
 
-    inv, uniq = pd.factorize(values)
     h1 = np.empty(len(uniq), dtype=np.uint64)
     h2 = np.empty(len(uniq), dtype=np.uint64)
     for i, t in enumerate(uniq):
         d = hashlib.md5(str(t).encode("utf-8")).digest()
         h1[i] = int.from_bytes(d[:8], "big")
         h2[i] = int.from_bytes(d[8:16], "big")
+    return h1, h2
+
+
+def _md5_2u64(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two uint64 per value from one md5.  Hashed once per unique value
+    (factorize + inverse scatter, same trick as ``dedup._md5_u64``)."""
+    inv, uniq = pd.factorize(values)
+    h1, h2 = _md5_2u64_uniq(uniq)
     return h1[inv], h2[inv]
 
 
@@ -308,7 +314,7 @@ def cms_partial(values: np.ndarray, d: int, w: int) -> pd.DataFrame:
              "cnt": pd.Series(dtype="int64")}
         )
     mult = np.bincount(inv).astype(np.int64)
-    h1u, h2u = _md5_2u64(uniq)
+    h1u, h2u = _md5_2u64_uniq(uniq)
     a = (h1u % np.uint64(w)).astype(np.int64)
     b = (h2u % np.uint64(w)).astype(np.int64)
     frames = []

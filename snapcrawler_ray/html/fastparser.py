@@ -84,13 +84,20 @@ def parse_fast(data: str) -> Node | None:
         if lt < 0:
             run = data[pos:]
             if run:
-                stack[-1].children.append(
-                    unescape(run) if "&" in run else run
-                )
+                if "&" in run:
+                    run = unescape(run)
+                # guard the POST-unescape text: invalid charrefs like
+                # '&#1' unescape to '' and the stdlib builder's
+                # handle_data drops empty data
+                if run:
+                    stack[-1].children.append(run)
             break
         if lt > pos:
             run = data[pos:lt]
-            stack[-1].children.append(unescape(run) if "&" in run else run)
+            if "&" in run:
+                run = unescape(run)
+            if run:
+                stack[-1].children.append(run)
         nxt = data[lt + 1 : lt + 2]
         if nxt.isalpha():
             m = _START_RE.match(data, lt)

@@ -456,6 +456,16 @@ class FetchExtractShard:
         ref argument zero-copy from plasma.  Meta stays resident on
         WHICHEVER actor ran the chunk — checkpoint part files and the
         final dump are unions over actors, so attribution is free."""
+        if hi > block.num_rows:
+            # chunk ranges are sized from the lookup summaries'
+            # n_found; pa.Table.slice would silently CLAMP an
+            # out-of-range window (dropping pages from the round), so
+            # any drift between n_found and the stashed block must
+            # fail loudly here
+            raise RuntimeError(
+                f"extract_chunk [{lo},{hi}) exceeds joined block of "
+                f"{block.num_rows} rows — n_found/stash drift"
+            )
         summary, meta = self._extract_table(
             block.slice(lo, hi - lo), dup_seqs, False
         )

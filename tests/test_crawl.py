@@ -171,6 +171,31 @@ def test_resume_identical_output(small_corpus, tmp_path):
     assert resumed.seen_urls == full.seen_urls
 
 
+def test_scale_mode_steal_matches_no_steal(small_corpus, monkeypatch):
+    """The work-stealing extract phase must produce EXACTLY the outputs
+    of the per-partition (SNAPRAY_NO_STEAL=1) path — chunk keys make
+    completion order irrelevant, and the chunk ranges must tile each
+    joined block with no clamp/overlap (extract_chunk raises on
+    n_found/stash drift)."""
+    spec, path = small_corpus
+    seeds = seeds_for(spec, 4)
+    cfg = CrawlConfig(start_urls=tuple(seeds), limits=CrawlLimits(max_depth=3))
+    outs = []
+    for no_steal in ("1", "0"):
+        monkeypatch.setenv("SNAPRAY_NO_STEAL", no_steal)
+        eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets,
+                          mode="scale")
+        try:
+            res = eng.run()
+            outs.append(
+                (res.visits.to_pylist(), res.emissions.to_pylist())
+            )
+        finally:
+            eng.shutdown()
+    assert outs[0][0] == outs[1][0]
+    assert outs[0][1] == outs[1][1]
+
+
 def test_scale_mode_resume_identical(small_corpus, tmp_path):
     """Scale mode: kill after round 1, resume from the per-partition
     actor-written checkpoints, identical outputs."""

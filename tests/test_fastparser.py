@@ -6,7 +6,7 @@ input.  Pure functions; no Ray needed.
 import glob
 
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from snapcrawler_ray.html.fastparser import parse_fast
@@ -126,6 +126,8 @@ HTML_ALPHABET = st.text(
 
 
 @given(doc=HTML_ALPHABET)
+@example(doc="&#1")  # invalid charref unescapes to '' — text run must
+@example(doc="<div>&#1</div>")  # be dropped post-unescape like stdlib
 @settings(max_examples=1500, deadline=None)
 def test_tree_fuzz(doc):
     assert_same(doc)
