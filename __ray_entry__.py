@@ -603,6 +603,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # threshold-tree/tag replay (the images_analysis row stays the
         # rows-only full-metadata form; this is its value-gated core)
         "images_tags": images_tags,
+        # late r4: BPE-ish pre-tokenizer count (GPT-2 pattern on the
+        # re/RE2 common subset — text.BPE_PAT documents the boundary)
+        "docs_bpe_tokens": text.bpe_token_counts,
         # rows-only: iterative algorithm (Lloyd's k-means; monotone
         # inertia + brute-force parity asserted in tests) — outside the
         # r04 window; its rows-only record exists in r02
@@ -1305,6 +1308,15 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_counts": (
             f"SELECT doc_id, {n_tokens} AS n_tokens, "
             "length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct "
+            "FROM documents"
+        ),
+        "docs_bpe_tokens": (
+            # text.BPE_PAT with '' SQL-escaping; RE2 and Python re scan
+            # this pattern with identical leftmost-first semantics
+            "SELECT doc_id, CAST(len(regexp_extract_all("
+            "COALESCE(text, ''), "
+            "'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+"
+            "| ?[^A-Za-z0-9\\s]+|\\s+')) AS BIGINT) AS n_bpe "
             "FROM documents"
         ),
         "docs_quality": (

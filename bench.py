@@ -101,6 +101,7 @@ def run_queries(sf_dir: str) -> dict:
         "q1_pricing", "q3_top_orders", "q5_region_supplier",
         "nation_revenue", "events_hourly", "events_topk_users",
         "events_sessionize", "events_rolling", "docs_token_counts",
+        "docs_bpe_tokens",
         "docs_exact_dedup", "docs_minhash_pairs", "docs_simhash",
         "docs_ngram_jaccard", "docs_lang_id", "docs_clean_corpus",
         "docs_repetition", "docs_decontaminate", "docs_adaptive_quality",

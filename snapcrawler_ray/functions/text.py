@@ -57,6 +57,37 @@ def token_counts(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+# GPT-2-style pre-tokenizer pattern (public: openai/gpt-2 encoder.py),
+# adapted to the common Python-re / DuckDB-RE2 subset: ASCII classes
+# instead of \p{L}/\p{N} (the corpus is ASCII), and the trailing
+# `\s+(?!\S)` lookahead dropped (RE2 has no lookahead — a whitespace
+# run therefore absorbs its last space instead of donating it to the
+# next word token).  Both engines scan leftmost-first non-overlapping,
+# so counts agree match-for-match; differential-checked in
+# tests/test_queries_oracle.py on adversarial strings.
+BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_counts(sf_dir: str) -> "ray.data.Dataset":
+    """doc_id, n_bpe — BPE-ish pre-tokenizer token count per document
+    (the subword-budget estimate a packing/pricing pass wants, vs the
+    whitespace count of :func:`token_counts`).  Vectorized
+    ``str.count`` over the compiled pattern; map-only, zero shuffle."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_bpe": df["text"]
+                .fillna("")
+                .str.count(BPE_PAT)
+                .astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
 def round4_half_away(x) -> np.ndarray:
     """Round to 4 decimals, ties away from zero — DuckDB ``round(x, 4)``
     semantics (numpy/pandas ``round`` is half-to-even; a quality value

@@ -97,6 +97,7 @@ def test_all_query_names_have_callables(contract):
         "events_approx_users_check", "events_approx_hourly_check",
         "events_hll_registers", "events_range_join",
         "emb_kmeans_fixed", "events_cms_registers", "events_cms_topk",
+        "docs_bpe_tokens",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
@@ -758,3 +759,26 @@ def test_host_pagerank_overflow_guard(ray_session, tmp_path, monkeypatch):
     monkeypatch.setattr(webops, "host_edges", lambda _: big)
     with pytest.raises(OverflowError):
         webops.host_pagerank("unused", n_iter=1)
+
+
+def test_bpe_pattern_re2_parity(con):
+    """text.BPE_PAT must count identically under Python re (engine) and
+    DuckDB RE2 (oracle) — adversarial strings around the documented
+    semantics boundary (no lookahead: a whitespace run absorbs its last
+    space) plus the alternation-priority and greediness edges."""
+    import re
+
+    from snapcrawler_ray.functions.text import BPE_PAT
+
+    cases = [
+        "", " ", "  ", "  abc", "don't", "it's a 'test'--ok",
+        "a1b2", "hello,  world!!", "tab\tnl\nmix", "'s's's",
+        "x 'll 'd y", "...", "a  b   c", " 9 lives", "CamelCase99",
+        "trailing space ", " leading", "--- ''' 123abc!?",
+    ]
+    for s in cases:
+        pc = len(re.findall(BPE_PAT, s))
+        dc = con.sql(
+            "SELECT len(regexp_extract_all(?, ?))", params=[s, BPE_PAT]
+        ).fetchone()[0]
+        assert pc == dc, repr(s)
