@@ -606,6 +606,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late r4: BPE-ish pre-tokenizer count (GPT-2 pattern on the
         # re/RE2 common subset — text.BPE_PAT documents the boundary)
         "docs_bpe_tokens": text.bpe_token_counts,
+        # late r4: streaming watermark / late-data detection — a global
+        # prefix-max over a simulated multi-partition arrival order
+        # (xor-block merge); kernel = per-range partials + driver
+        # exclusive cummax + one groupby co-location
+        "events_watermark_late": lambda d: relational.events_watermark_late(d),
         # rows-only: iterative algorithm (Lloyd's k-means; monotone
         # inertia + brute-force parity asserted in tests) — outside the
         # r04 window; its rows-only record exists in r02
@@ -1318,6 +1323,16 @@ def oracle_sql() -> dict[str, str]:
             "'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+"
             "| ?[^A-Za-z0-9\\s]+|\\s+')) AS BIGINT) AS n_bpe "
             "FROM documents"
+        ),
+        "events_watermark_late": (
+            # same xor-block arrival permutation on both sides; the
+            # window max over arrival order IS the watermark
+            "WITH a AS (SELECT event_id, epoch_us(ts) AS ts_us, "
+            "xor(event_id, 3) AS aseq FROM events), "
+            "w AS (SELECT event_id, ts_us, max(ts_us) OVER "
+            "(ORDER BY aseq) AS watermark_us FROM a) "
+            "SELECT event_id, ts_us, watermark_us FROM w "
+            "WHERE ts_us + 60000000 < watermark_us"
         ),
         "docs_quality": (
             "SELECT doc_id, round(0.5 * least(1.0, n_chars / 1000.0) + "

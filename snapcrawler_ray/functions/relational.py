@@ -1244,3 +1244,96 @@ def events_daily_anomalies(sf_dir: str, z_threshold: float = 2.0) -> pd.DataFram
     out["day"] = out["day"].astype("datetime64[us]")
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def events_watermark_late(
+    sf_dir: str, lateness_s: int = 60, bucket_rows: int = 512
+) -> "ray.data.Dataset":
+    """Streaming watermark / late-data detection: event_id, ts_us,
+    watermark_us for every event that arrives more than ``lateness_s``
+    behind the watermark (= running max event-time over the ARRIVAL
+    sequence, the standard out-of-order-stream semantics of
+    Flink/Beam-style windowing).
+
+    The events table arrives in event-time order, so arrival order is
+    SIMULATED deterministically as a multi-partition merge:
+    ``arrival_seq = event_id XOR 3`` (each consecutive 4-block
+    reversed — the interleaving a round-robin merge of source
+    partitions produces).  Both the engine and the DuckDB oracle apply
+    the same permutation, so the kernel under test is the watermark
+    scan itself, non-vacuous at every sf (L=60 s: 742/1000 late at
+    sf0.001, ~25k/100k at sf0.1).
+
+    Distributed shape — a GLOBAL PREFIX-MAX over a total order, the
+    one scan groupby/window topologies don't cover:
+
+      1. one streaming pass folds per-ARRIVAL-RANGE partials
+         (bucket = arrival_seq // B → max ts); O(n/B) rows reach the
+         driver, which exclusive-cummaxes them into each range's
+         incoming watermark (at 10^10 events and B=1M that is 10^4
+         int64s — driver state stays O(n/B), tune B upward with n);
+      2. the tiny per-bucket watermark table broadcasts via ray.put;
+         one groupby(bucket).map_groups co-locates each contiguous
+         arrival range, sorts it, and runs the exact in-range cummax
+         seeded by the incoming watermark — one shuffle total.
+
+    Late rule: ts_us + lateness_s·10⁶ < watermark (running max
+    INCLUDING self — self can never make itself late, so inclusive ==
+    the strictly-before-arrival watermark on the late set)."""
+    import ray
+
+    lateness_us = np.int64(lateness_s) * np.int64(1_000_000)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        aseq = (df["event_id"].to_numpy(np.int64)) ^ 3
+        ts_us = df["ts"].astype("int64").to_numpy()
+        g = pd.DataFrame({"b": aseq // bucket_rows, "m": ts_us})
+        return g.groupby("b", as_index=False).max()
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    bm = (
+        ds.map_batches(partials, batch_format="pandas")
+        .to_pandas()
+        .groupby("b", as_index=False)
+        .max()
+        .sort_values("b")
+    )
+    buckets = bm["b"].to_numpy(np.int64)
+    # incoming watermark per bucket: exclusive cummax of bucket maxima
+    inc = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(bm["m"].to_numpy())[:-1]]
+    )
+    wm_ref = ray.put((buckets, inc))
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        aseq = df["event_id"].to_numpy(np.int64) ^ 3
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("int64").to_numpy(),
+                "aseq": aseq,
+                "b": aseq // bucket_rows,
+            }
+        )
+
+    def late_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        bkts, incs = ray.get(wm_ref)
+        df = df.sort_values("aseq", kind="mergesort")
+        ts_us = df["ts_us"].to_numpy(np.int64)
+        b = int(df["b"].iloc[0])
+        seed = incs[np.searchsorted(bkts, b)]
+        wm = np.maximum.accumulate(np.maximum(ts_us, seed))
+        late = ts_us + lateness_us < wm
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64)[late],
+                "ts_us": ts_us[late],
+                "watermark_us": wm[late],
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("b")
+        .map_groups(late_in_bucket, batch_format="pandas")
+    )
