@@ -184,12 +184,23 @@ def q3_top_orders(
         fact_rows=table_rows(sf_dir, "orders"),
     )
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    joined = line.join(
-        orders,
-        join_type="inner",
-        num_partitions=join_partitions(table_rows(sf_dir, "lineitem")),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    # lineitem ⋈ orders goes through the same topology switch as the
+    # dim joins: the orders side (a filtered key set here) broadcasts
+    # under the limit — no row-level shuffle at all below 1M orders —
+    # and falls back to the partitioned hash join above it
+    o2l = orders.map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})[
+            ["l_orderkey"]
+        ],
+        batch_format="pandas",
+    )
+    joined = _dim_join(
+        line,
+        o2l,
+        "l_orderkey",
+        table_rows(sf_dir, "orders"),
+        max_broadcast_rows,
+        fact_rows=table_rows(sf_dir, "lineitem"),
     )
 
     def rev(df: pd.DataFrame) -> pd.DataFrame:
@@ -256,12 +267,21 @@ def nation_revenue(
         fact_rows=table_rows(sf_dir, "orders"),
     )
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    joined = line.join(
-        orders,
-        join_type="inner",
-        num_partitions=join_partitions(table_rows(sf_dir, "lineitem")),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    # same topology switch as q3: orders (key + n_name payload)
+    # broadcasts under the limit, partitioned hash join above it
+    o2l = orders.map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})[
+            ["l_orderkey", "n_name"]
+        ],
+        batch_format="pandas",
+    )
+    joined = _dim_join(
+        line,
+        o2l,
+        "l_orderkey",
+        table_rows(sf_dir, "orders"),
+        max_broadcast_rows,
+        fact_rows=table_rows(sf_dir, "lineitem"),
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -345,12 +365,20 @@ def q5_region_supplier_revenue(
         max_broadcast_rows,
         fact_rows=table_rows(sf_dir, "lineitem"),
     )
-    joined = line.join(
-        orders,
-        join_type="inner",
-        num_partitions=join_partitions(table_rows(sf_dir, "lineitem")),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    # same topology switch as q3/nation_revenue for the last join
+    o2l = orders.map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})[
+            ["l_orderkey", "c_nationkey"]
+        ],
+        batch_format="pandas",
+    )
+    joined = _dim_join(
+        line,
+        o2l,
+        "l_orderkey",
+        table_rows(sf_dir, "orders"),
+        max_broadcast_rows,
+        fact_rows=table_rows(sf_dir, "lineitem"),
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
