@@ -108,6 +108,7 @@ def run_queries(sf_dir: str) -> dict:
         "docs_tfidf_terms", "docs_token_topk_mg", "docs_pack_windows",
         "emb_knn", "emb_near_dup", "emb_kmeans", "events_approx_users",
         "events_funnel", "events_retention", "events_value_quantiles_hist",
+        "events_watermark_late",
         "docs_training_corpus", "docs_extended_images",
         "docs_boilerplate_ngrams", "docs_unigram_surprisal",
         "emb_near_dup_exact",
