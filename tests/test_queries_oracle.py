@@ -782,3 +782,42 @@ def test_bpe_pattern_re2_parity(con):
             "SELECT len(regexp_extract_all(?, ?))", params=[s, BPE_PAT]
         ).fetchone()[0]
         assert pc == dc, repr(s)
+
+
+def test_watermark_late_bucket_invariance(ray_session):
+    """events_watermark_late must be invariant to the arrival-range
+    bucket size (the distribution knob): tiny buckets force the
+    cross-bucket exclusive-cummax seeding on nearly every range, and
+    the result must equal both the default and a single-bucket run
+    plus a numpy single-pass reference."""
+    from snapcrawler_ray.functions.relational import events_watermark_late
+
+    outs = {}
+    for b in (16, 512, 10**9):
+        df = (
+            events_watermark_late(SF_DIR, bucket_rows=b)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        outs[b] = df.astype("int64")
+    pd.testing.assert_frame_equal(outs[16], outs[512])
+    pd.testing.assert_frame_equal(outs[512], outs[10**9])
+
+    # numpy single-pass reference
+    import pyarrow.parquet as pq
+
+    t = (
+        pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_id", "ts"])
+        .to_pandas()
+    )
+    eid = t["event_id"].to_numpy(np.int64)
+    ts = t["ts"].astype("int64").to_numpy()
+    order = np.argsort(eid ^ 3, kind="mergesort")
+    ts_a, eid_a = ts[order], eid[order]
+    wm = np.maximum.accumulate(ts_a)
+    late = ts_a + 60_000_000 < wm
+    ref = pd.DataFrame(
+        {"event_id": eid_a[late], "ts_us": ts_a[late], "watermark_us": wm[late]}
+    ).sort_values("event_id").reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(outs[512], ref)
