@@ -610,7 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prefix-max over a simulated multi-partition arrival order
         # (xor-block merge); kernel = per-range partials + driver
         # exclusive cummax + one groupby co-location
-        "events_watermark_late": lambda d: relational.events_watermark_late(d),
+        "events_watermark_late": relational.events_watermark_late,
         # rows-only: iterative algorithm (Lloyd's k-means; monotone
         # inertia + brute-force parity asserted in tests) — outside the
         # r04 window; its rows-only record exists in r02
@@ -1317,12 +1317,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_bpe_tokens": (
             # text.BPE_PAT with '' SQL-escaping; RE2 and Python re scan
-            # this pattern with identical leftmost-first semantics
+            # this pattern with identical leftmost-first semantics (the
+            # explicit [ \t\n\r\f\v] whitespace class avoids \s, whose
+            # meaning differs between the two engines)
             "SELECT doc_id, CAST(len(regexp_extract_all("
             "COALESCE(text, ''), "
             "'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+"
-            "| ?[^A-Za-z0-9\\s]+|\\s+')) AS BIGINT) AS n_bpe "
-            "FROM documents"
+            "| ?[^A-Za-z0-9 \\t\\n\\r\\f\\v]+|[ \\t\\n\\r\\f\\v]+')) "
+            "AS BIGINT) AS n_bpe FROM documents"
         ),
         "events_watermark_late": (
             # same xor-block arrival permutation on both sides; the

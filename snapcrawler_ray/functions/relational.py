@@ -154,6 +154,36 @@ def _revenue_units(df: pd.DataFrame) -> pd.Series:
     return _cents(df["l_extendedprice"]) * (100 - _cents(df["l_discount"]))
 
 
+def _orders_line_join(
+    line: "ray.data.Dataset",
+    orders: "ray.data.Dataset",
+    payload_cols: list[str],
+    sf_dir: str,
+    max_broadcast_rows: int | None,
+) -> "ray.data.Dataset":
+    """lineitem ⋈ orders through the same topology switch as the dim
+    joins (shared by q3 / nation_revenue / q5): the orders side —
+    o_orderkey renamed to the fact key plus ``payload_cols`` —
+    broadcasts under the limit (no row-level shuffle at all below 1M
+    orders) and falls back to the partitioned hash join above it."""
+    from .io import table_rows
+
+    cols = ["l_orderkey"] + payload_cols
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"o_orderkey": "l_orderkey"})[cols]
+
+    o2l = orders.map_batches(rename, batch_format="pandas")
+    return _dim_join(
+        line,
+        o2l,
+        "l_orderkey",
+        table_rows(sf_dir, "orders"),
+        max_broadcast_rows,
+        fact_rows=table_rows(sf_dir, "lineitem"),
+    )
+
+
 def q3_top_orders(
     sf_dir: str,
     segment: str = "BUILDING",
@@ -164,8 +194,8 @@ def q3_top_orders(
     (revenue desc, orderkey asc).  customer ⋈ orders via
     :func:`_dim_join` (broadcast under the size limit, partitioned hash
     join above it — customer scales with sf), then lineitem ⋈ orders
-    hash join (Dataset.join)."""
-    from .io import join_partitions, table_rows
+    via :func:`_orders_line_join` (same switch)."""
+    from .io import table_rows
 
     def seg_keys(df: pd.DataFrame) -> pd.DataFrame:
         return df.loc[df["c_mktsegment"] == segment, ["c_custkey"]].rename(
@@ -184,24 +214,7 @@ def q3_top_orders(
         fact_rows=table_rows(sf_dir, "orders"),
     )
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    # lineitem ⋈ orders goes through the same topology switch as the
-    # dim joins: the orders side (a filtered key set here) broadcasts
-    # under the limit — no row-level shuffle at all below 1M orders —
-    # and falls back to the partitioned hash join above it
-    o2l = orders.map_batches(
-        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})[
-            ["l_orderkey"]
-        ],
-        batch_format="pandas",
-    )
-    joined = _dim_join(
-        line,
-        o2l,
-        "l_orderkey",
-        table_rows(sf_dir, "orders"),
-        max_broadcast_rows,
-        fact_rows=table_rows(sf_dir, "lineitem"),
-    )
+    joined = _orders_line_join(line, orders, [], sf_dir, max_broadcast_rows)
 
     def rev(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -241,8 +254,8 @@ def nation_revenue(
     TPC-H) so it always broadcasts INTO the streaming customer scan;
     customer scales with sf, so customer ⋈ orders goes through
     :func:`_dim_join` (broadcast under the limit, partitioned hash join
-    above it)."""
-    from .io import join_partitions, table_rows
+    above it); lineitem ⋈ orders via :func:`_orders_line_join`."""
+    from .io import table_rows
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nat_ref = ray.put(nation.rename(columns={"n_nationkey": "c_nationkey"}))
@@ -267,21 +280,8 @@ def nation_revenue(
         fact_rows=table_rows(sf_dir, "orders"),
     )
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    # same topology switch as q3: orders (key + n_name payload)
-    # broadcasts under the limit, partitioned hash join above it
-    o2l = orders.map_batches(
-        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})[
-            ["l_orderkey", "n_name"]
-        ],
-        batch_format="pandas",
-    )
-    joined = _dim_join(
-        line,
-        o2l,
-        "l_orderkey",
-        table_rows(sf_dir, "orders"),
-        max_broadcast_rows,
-        fact_rows=table_rows(sf_dir, "lineitem"),
+    joined = _orders_line_join(
+        line, orders, ["n_name"], sf_dir, max_broadcast_rows
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -306,8 +306,8 @@ def q5_region_supplier_revenue(
     the streaming customer/supplier scans; the two sf-scaled dims
     (customer, supplier) join their facts via :func:`_dim_join`
     (broadcast under the size limit, partitioned hash join above it);
-    the remaining row-level shuffle is the orders⋈lineitem hash join."""
-    from .io import join_partitions, table_rows
+    lineitem ⋈ orders via :func:`_orders_line_join` (same switch)."""
+    from .io import table_rows
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
@@ -365,20 +365,8 @@ def q5_region_supplier_revenue(
         max_broadcast_rows,
         fact_rows=table_rows(sf_dir, "lineitem"),
     )
-    # same topology switch as q3/nation_revenue for the last join
-    o2l = orders.map_batches(
-        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})[
-            ["l_orderkey", "c_nationkey"]
-        ],
-        batch_format="pandas",
-    )
-    joined = _dim_join(
-        line,
-        o2l,
-        "l_orderkey",
-        table_rows(sf_dir, "orders"),
-        max_broadcast_rows,
-        fact_rows=table_rows(sf_dir, "lineitem"),
+    joined = _orders_line_join(
+        line, orders, ["c_nationkey"], sf_dir, max_broadcast_rows
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1275,7 +1263,7 @@ def events_daily_anomalies(sf_dir: str, z_threshold: float = 2.0) -> pd.DataFram
 
 
 def events_watermark_late(
-    sf_dir: str, lateness_s: int = 60, bucket_rows: int = 512
+    sf_dir: str, lateness_s: int = 60, bucket_rows: int | None = None
 ) -> "ray.data.Dataset":
     """Streaming watermark / late-data detection: event_id, ts_us,
     watermark_us for every event that arrives more than ``lateness_s``
@@ -1299,7 +1287,9 @@ def events_watermark_late(
          (bucket = arrival_seq // B → max ts); O(n/B) rows reach the
          driver, which exclusive-cummaxes them into each range's
          incoming watermark (at 10^10 events and B=1M that is 10^4
-         int64s — driver state stays O(n/B), tune B upward with n);
+         int64s — B defaults to max(512, n_events // 4096), so the
+         driver fold AND the map_groups group count are both capped at
+         ~4096 regardless of corpus size);
       2. the tiny per-bucket watermark table broadcasts via ray.put;
          one groupby(bucket).map_groups co-locates each contiguous
          arrival range, sorts it, and runs the exact in-range cummax
@@ -1308,8 +1298,10 @@ def events_watermark_late(
     Late rule: ts_us + lateness_s·10⁶ < watermark (running max
     INCLUDING self — self can never make itself late, so inclusive ==
     the strictly-before-arrival watermark on the late set)."""
-    import ray
+    from .io import table_rows
 
+    if bucket_rows is None:
+        bucket_rows = max(512, table_rows(sf_dir, "events") // 4096)
     lateness_us = np.int64(lateness_s) * np.int64(1_000_000)
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:

@@ -62,10 +62,18 @@ def token_counts(sf_dir: str) -> "ray.data.Dataset":
 # instead of \p{L}/\p{N} (the corpus is ASCII), and the trailing
 # `\s+(?!\S)` lookahead dropped (RE2 has no lookahead — a whitespace
 # run therefore absorbs its last space instead of donating it to the
-# next word token).  Both engines scan leftmost-first non-overlapping,
-# so counts agree match-for-match; differential-checked in
-# tests/test_queries_oracle.py on adversarial strings.
-BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# next word token).  Whitespace is the EXPLICIT class [ \t\n\r\f\v]
+# rather than \s, because \s itself diverges between the engines
+# (Python re: Unicode whitespace incl. \x0b/\xa0; RE2: ASCII
+# [\t\n\f\r ] only — \x0b would count differently on the two sides).
+# Both engines scan leftmost-first non-overlapping, so counts agree
+# match-for-match; differential-checked in tests/test_queries_oracle.py
+# on adversarial strings incl. \x0b and \xa0.
+_WSC = r" \t\n\r\f\v"
+BPE_PAT = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+    rf"| ?[^A-Za-z0-9{_WSC}]+|[{_WSC}]+"
+)
 
 
 def bpe_token_counts(sf_dir: str) -> "ray.data.Dataset":

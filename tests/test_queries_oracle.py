@@ -775,6 +775,9 @@ def test_bpe_pattern_re2_parity(con):
         "a1b2", "hello,  world!!", "tab\tnl\nmix", "'s's's",
         "x 'll 'd y", "...", "a  b   c", " 9 lives", "CamelCase99",
         "trailing space ", " leading", "--- ''' 123abc!?",
+        # \x0b / \xa0 are whitespace to Python's \s but NOT to RE2's —
+        # the explicit [ \t\n\r\f\v] class must count them identically
+        " \x0b \x0b", "a\x0bb", "\xa0x", "\f\v\r\n", "a\xa0 b",
     ]
     for s in cases:
         pc = len(re.findall(BPE_PAT, s))
