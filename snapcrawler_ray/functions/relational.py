@@ -110,6 +110,54 @@ class BroadcastFilterJoin:
 BROADCAST_ROW_LIMIT = 1_000_000
 
 
+def _bloom_hash(values) -> np.ndarray:
+    """Deterministic uint64 hash per key (shared by the runtime-filter
+    build and probe sides; pandas' siphash with the default key)."""
+    return pd.util.hash_array(np.asarray(values)).astype(np.uint64)
+
+
+def _bloom_words(keys, m_bits: int) -> np.ndarray:
+    """Bloom bitset (uint64 words) for ``keys`` — k=4 indices per key
+    via Kirsch–Mitzenmacher double hashing on the two 32-bit halves."""
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    h = _bloom_hash(keys)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = h >> np.uint64(32)
+    for j in range(4):
+        idx = (h1 + np.uint64(j) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    return words
+
+
+def _bloom_test(words: np.ndarray, m_bits: int, keys) -> np.ndarray:
+    h = _bloom_hash(keys)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = h >> np.uint64(32)
+    ok = np.ones(len(h), dtype=bool)
+    for j in range(4):
+        idx = (h1 + np.uint64(j) * h2) % np.uint64(m_bits)
+        bit = (words[(idx >> np.uint64(6)).astype(np.int64)]
+               >> (idx & np.uint64(63))) & np.uint64(1)
+        ok &= bit.astype(bool)
+    return ok
+
+
+class _BloomPrefilter:
+    """Runtime filter ahead of a partitioned hash join: drop fact rows
+    whose key can't be in the dim (false positives pass through and are
+    dropped by the join itself, so the filter is exactness-free)."""
+
+    def __init__(self, ref, key: str, m_bits: int):
+        self.ref = ref
+        self.key = key
+        self.m_bits = m_bits
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        words = _bc_get(self.ref)
+        return df.loc[_bloom_test(words, self.m_bits, df[self.key])]
+
+
 def _dim_join(
     fact: "ray.data.Dataset",
     dim: "ray.data.Dataset",
@@ -130,7 +178,18 @@ def _dim_join(
     ~fact/dim× the target rows in every partition at scale.
     ``dim_rows`` is the BASE-table footer row count (an upper bound on
     the filtered dim), so choosing the topology costs no extra
-    execution of the dim pipeline."""
+    execution of the dim pipeline.
+
+    The partitioned path installs a BLOOM RUNTIME FILTER when the fact
+    side is ≥4× the dim (the standard engine runtime-filter trade): the
+    dim pipeline materializes once, its keys fold into an O(m_bits)
+    mergeable bitset (≤2 MB, broadcast via ``ray.put``), and fact
+    batches drop non-joining rows BEFORE the all-to-all shuffle — at
+    selective dims this removes most of the fact-side shuffle volume;
+    Bloom false positives (~2–3%) pass through and are dropped by the
+    join itself, so exactness is untouched (equality with the broadcast
+    path is pinned by test_dim_join_partitioned_path_matches_broadcast
+    at a forced max_broadcast_rows=0)."""
     limit = (
         BROADCAST_ROW_LIMIT if max_broadcast_rows is None else max_broadcast_rows
     )
@@ -141,6 +200,23 @@ def _dim_join(
         )
     from .io import join_partitions
 
+    if fact_rows is not None and fact_rows >= 4 * dim_rows:
+        dim = dim.materialize()
+        # one streaming pass over the materialized dim folds per-batch
+        # bitsets; the driver ORs O(n_batches) word arrays (a tree-OR
+        # repartition stage is the path past ~thousands of batches)
+        m_bits = 1 << max(20, min(27, int(np.ceil(np.log2(8 * dim_rows)))))
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"w": [_bloom_words(df[key], m_bits)]})
+
+        words = np.zeros(m_bits // 64, dtype=np.uint64)
+        for w in dim.map_batches(partial, batch_format="pandas").to_pandas()["w"]:
+            np.bitwise_or(words, w, out=words)
+        bref = ray.put(words)
+        fact = fact.map_batches(
+            _BloomPrefilter(bref, key, m_bits), batch_format="pandas"
+        )
     return fact.join(
         dim,
         join_type="inner",

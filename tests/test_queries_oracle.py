@@ -824,3 +824,22 @@ def test_watermark_late_bucket_invariance(ray_session):
         {"event_id": eid_a[late], "ts_us": ts_a[late], "watermark_us": wm[late]}
     ).sort_values("event_id").reset_index(drop=True).astype("int64")
     pd.testing.assert_frame_equal(outs[512], ref)
+
+
+def test_bloom_runtime_filter_kernels():
+    """No false negatives ever (a dropped joining row would corrupt the
+    join); false-positive rate sane at the sizing formula's density;
+    int64 and string keys both supported."""
+    from snapcrawler_ray.functions.relational import _bloom_test, _bloom_words
+
+    keys = np.arange(20000, dtype=np.int64) * 13 + 5
+    m = 1 << 20
+    w = _bloom_words(keys, m)
+    assert _bloom_test(w, m, keys).all()
+    probe = np.arange(10**7, 10**7 + 200000, dtype=np.int64)
+    fpp = _bloom_test(w, m, probe).mean()
+    assert fpp < 0.05, fpp
+    sk = pd.Series([f"key-{i}" for i in range(5000)])
+    w2 = _bloom_words(sk, m)
+    assert _bloom_test(w2, m, sk).all()
+    assert _bloom_test(w2, m, pd.Series(["nope-1", "nope-2"])).sum() <= 1
