@@ -611,6 +611,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (xor-block merge); kernel = per-range partials + driver
         # exclusive cummax + one groupby co-location
         "events_watermark_late": relational.events_watermark_late,
+        # late r4: intra-doc repeated 3-gram counts (the repetition
+        # signal behind repeated-substring dedup, Lee et al. 2022)
+        "docs_repeated_ngrams": text.repeated_ngrams,
         # rows-only: iterative algorithm (Lloyd's k-means; monotone
         # inertia + brute-force parity asserted in tests) — outside the
         # r04 window; its rows-only record exists in r02
@@ -1325,6 +1328,22 @@ def oracle_sql() -> dict[str, str]:
             "'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+"
             "| ?[^A-Za-z0-9 \\t\\n\\r\\f\\v]+|[ \\t\\n\\r\\f\\v]+')) "
             "AS BIGINT) AS n_bpe FROM documents"
+        ),
+        "docs_repeated_ngrams": (
+            # n_dup = grams beyond their first in-doc occurrence
+            # = n_grams - distinct grams; lead-window gram build over
+            # the shared \s+ tokenization
+            "WITH d AS (SELECT doc_id, regexp_split_to_array("
+            "trim(coalesce(text,'')), '\\s+') AS toks FROM documents), "
+            "t AS (SELECT doc_id, unnest(toks) AS tok, "
+            "generate_subscripts(toks, 1) AS i FROM d), "
+            "g AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || "
+            "' ' || lead(tok, 2) OVER w AS gram, "
+            "lead(tok, 2) OVER w IS NOT NULL AS full_gram "
+            "FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY i)) "
+            "SELECT doc_id, count(*) AS n_grams, "
+            "count(*) - count(DISTINCT gram) AS n_dup "
+            "FROM g WHERE full_gram GROUP BY doc_id"
         ),
         "events_watermark_late": (
             # same xor-block arrival permutation on both sides; the

@@ -96,6 +96,61 @@ def bpe_token_counts(sf_dir: str) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+def repeated_ngrams(sf_dir: str, n: int = 3) -> "ray.data.Dataset":
+    """doc_id, n_grams, n_dup — intra-document repeated word-n-gram
+    counts (the repetition signal behind repeated-substring dedup,
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): ``n_dup`` = occurrences of a gram beyond its first within
+    the SAME document = n_grams − distinct grams.  Docs with fewer than
+    ``n`` tokens emit no row (no gram exists).  Map-only, zero shuffle —
+    a doc's grams never leave its batch; vectorized flat-array gram
+    build + one pandas groupby per batch."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = _token_lists(df["text"])
+        n_grams_per_doc = np.maximum(lens - (n - 1), 0)
+        ok = n_grams_per_doc > 0
+        if not ok.any():
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "n_dup": pd.Series([], dtype="int64"),
+                }
+            )
+        # flat gram build: starts of each doc's token run, then for each
+        # in-doc gram position compose the n tokens with ' ' (tokens are
+        # \s+-split so the separator is unambiguous)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos = np.concatenate(
+            [
+                s + np.arange(g)
+                for s, g in zip(starts[ok], n_grams_per_doc[ok])
+            ]
+        ).astype(np.int64)
+        grams = flat[pos]
+        for j in range(1, n):
+            grams = grams + " " + flat[pos + j]
+        gid = np.repeat(
+            df["doc_id"].to_numpy(np.int64)[ok], n_grams_per_doc[ok]
+        )
+        g = (
+            pd.DataFrame({"doc_id": gid, "gram": grams})
+            .groupby("doc_id")["gram"]
+            .agg(["size", "nunique"])
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "n_grams": g["size"].astype("int64"),
+                "n_dup": (g["size"] - g["nunique"]).astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
 def round4_half_away(x) -> np.ndarray:
     """Round to 4 decimals, ties away from zero — DuckDB ``round(x, 4)``
     semantics (numpy/pandas ``round`` is half-to-even; a quality value

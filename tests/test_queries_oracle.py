@@ -97,7 +97,7 @@ def test_all_query_names_have_callables(contract):
         "events_approx_users_check", "events_approx_hourly_check",
         "events_hll_registers", "events_range_join",
         "emb_kmeans_fixed", "events_cms_registers", "events_cms_topk",
-        "docs_bpe_tokens", "events_watermark_late",
+        "docs_bpe_tokens", "events_watermark_late", "docs_repeated_ngrams",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
