@@ -241,3 +241,82 @@ class CuckooFilter:
         cf._rng = np.random.RandomState()
         cf._rng.set_state(d["rng"])
         return cf
+
+
+class WindowedCuckoo:
+    """Sliding-window membership over ``generations`` cuckoo filters —
+    the recrawl-scheduling variant of the seen filter (a URL added G
+    rotations ago stops being "seen" and becomes eligible again; the
+    windowed-membership idea of the SIGMOD'23 sliding-window cuckoo
+    line, realized with the plain generational ring that needs no
+    learned component).
+
+    Semantics (exact-reference property-tested in test_cuckoo.py):
+      · ``add`` inserts into the CURRENT generation only;
+      · ``contains`` is true iff ANY live generation holds the key
+        (up to each filter's fpp — no false negatives);
+      · ``rotate`` retires the oldest generation wholesale — O(1),
+        no per-key deletion, which is the point: deleting expired keys
+        individually would need per-key timestamps O(n) beyond the
+        filter itself.
+
+    Each generation sizes to ``capacity`` (the expected adds per
+    window step), so memory is G × the single-filter footprint and
+    rotation cost is constant."""
+
+    def __init__(self, capacity: int, generations: int = 4,
+                 max_kicks: int = 500):
+        if generations < 1:
+            raise ValueError("generations must be >= 1")
+        self.capacity = capacity
+        self.max_kicks = max_kicks
+        self.gens = [CuckooFilter(capacity, max_kicks)]
+        self.n_generations = generations
+        self.rotations = 0
+
+    def add(self, keys: np.ndarray) -> None:
+        self.gens[-1].add(keys)
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(np.atleast_1d(keys)), dtype=bool)
+        for g in self.gens:
+            out |= g.contains(keys)
+        return out
+
+    def check_and_add(self, keys: np.ndarray) -> np.ndarray:
+        """True per key if ALREADY seen in the live window; unseen keys
+        are added to the current generation."""
+        seen = self.contains(keys)
+        fresh = np.atleast_1d(keys)[~seen]
+        if len(fresh):
+            self.gens[-1].add(fresh)
+        return seen
+
+    def rotate(self) -> None:
+        """Advance the window one step: open a fresh current
+        generation, retire the oldest once more than
+        ``n_generations`` are live."""
+        self.gens.append(CuckooFilter(self.capacity, self.max_kicks))
+        if len(self.gens) > self.n_generations:
+            self.gens.pop(0)
+        self.rotations += 1
+
+    def dump(self) -> dict:
+        return {
+            "kind": "windowed_cuckoo",
+            "capacity": self.capacity,
+            "max_kicks": self.max_kicks,
+            "n_generations": self.n_generations,
+            "rotations": self.rotations,
+            "gens": [g.dump() for g in self.gens],
+        }
+
+    @classmethod
+    def load(cls, d: dict) -> "WindowedCuckoo":
+        wc = cls.__new__(cls)
+        wc.capacity = d["capacity"]
+        wc.max_kicks = d["max_kicks"]
+        wc.n_generations = d["n_generations"]
+        wc.rotations = d["rotations"]
+        wc.gens = [CuckooFilter.load(g) for g in d["gens"]]
+        return wc

@@ -106,3 +106,67 @@ def test_scale_crawl_with_cuckoo_seen(small_corpus):
             eng.shutdown()
 
     assert run("cuckoo") == run("bloom")
+
+
+def test_windowed_cuckoo_vs_exact_generations():
+    """Property test: WindowedCuckoo membership equals the exact
+    generational-set reference at every step of a random add/rotate
+    trace — no false negatives ever; false positives bounded."""
+    import numpy as np
+
+    from snapcrawler_ray.state.cuckoo import WindowedCuckoo
+
+    rng = np.random.RandomState(17)
+    wc = WindowedCuckoo(capacity=4096, generations=3)
+    exact = [set()]
+    universe = rng.randint(0, 1 << 48, size=6000).astype(np.uint64)
+    fp = 0
+    checked = 0
+    for step in range(40):
+        batch = rng.choice(universe, size=rng.randint(1, 200))
+        wc.add(batch)
+        exact[-1].update(int(x) for x in batch)
+        probe = rng.choice(universe, size=300)
+        got = wc.contains(probe)
+        live = set().union(*exact)
+        for k, g in zip(probe, got):
+            if int(k) in live:
+                assert g, "false negative in live window"
+            elif g:
+                fp += 1
+            checked += 1
+        if step % 5 == 4:
+            wc.rotate()
+            exact.append(set())
+            if len(exact) > 3:
+                exact.pop(0)
+    assert fp / checked < 0.01, (fp, checked)
+
+
+def test_windowed_cuckoo_expiry_and_roundtrip():
+    """Keys added G rotations ago expire (become addable again); dump/
+    load preserves the live window exactly."""
+    import numpy as np
+
+    from snapcrawler_ray.state.cuckoo import WindowedCuckoo
+
+    wc = WindowedCuckoo(capacity=1024, generations=2)
+    old = np.arange(100, dtype=np.uint64)
+    wc.add(old)
+    assert wc.contains(old).all()
+    wc.rotate()          # old in gen[0] of 2 — still live
+    assert wc.contains(old).all()
+    fresh = np.arange(1000, 1050, dtype=np.uint64)
+    wc.add(fresh)
+    wc.rotate()          # old generation retired
+    assert not wc.contains(old).any()
+    assert wc.contains(fresh).all()
+    # check_and_add treats expired keys as unseen again
+    seen = wc.check_and_add(old[:10])
+    assert not seen.any()
+    assert wc.contains(old[:10]).all()
+    wc2 = type(wc).load(wc.dump())
+    assert wc2.contains(fresh).all()
+    assert wc2.contains(old[:10]).all()
+    assert not wc2.contains(old[10:]).any()
+    assert wc2.rotations == wc.rotations
