@@ -66,7 +66,10 @@ class PolitenessConfig:
 class ScaleConfig:
     """Rebuild-only knobs (no reference equivalent)."""
     seen_shards: int = 8
-    seen_mode: str = "exact"         # 'exact' (verification) | 'bloom' | 'cuckoo' (scale)
+    # 'exact' (verification) | 'bloom' | 'cuckoo' (scale) |
+    # 'windowed_cuckoo' (scale + recrawl: seen keys expire after
+    # seen_window_generations rotations)
+    seen_mode: str = "exact"
     bloom_bits_per_key: int = 12     # ~1e-3 fpp
     bloom_capacity: int = 1_000_000  # per shard
     corpus_buckets: int = 32         # url-hash partition count of the corpus
@@ -89,6 +92,13 @@ class ScaleConfig:
     extract_batch_size: int = 256
     image_batch_size: int = 64
     fetch_concurrency: int = 8
+    # Recrawl scheduling (scale mode, seen_mode='windowed_cuckoo'):
+    # rotate the sliding-window seen filters every K rounds, so a URL
+    # (and its page-MD5/pHash claims) seen seen_window_generations
+    # rotations ago expires and becomes crawlable again.  0 = off.
+    # Termination stays bounded by max_depth / max_requests.
+    recrawl_every_rounds: int = 0
+    seen_window_generations: int = 4
 
 
 @dataclass

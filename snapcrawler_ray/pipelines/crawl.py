@@ -244,6 +244,7 @@ class CrawlEngine:
             mode=seen_mode,
             bloom_capacity=self.cfg.scale.bloom_capacity,
             bloom_bits_per_key=self.cfg.scale.bloom_bits_per_key,
+            window_generations=self.cfg.scale.seen_window_generations,
         )
         self.politeness = PolitenessPool(self.cfg.politeness, n_shards=4)
         self.limits = LimitsActor.remote(
@@ -691,6 +692,19 @@ class CrawlEngine:
             self._write_checkpoint(r, wave_next, round_refs, seq_counter)
             wave = wave_next
             r += 1
+            # recrawl scheduling: step the sliding seen window every K
+            # rounds (scale mode + windowed_cuckoo only) — URLs (and
+            # their md5/pHash claims) expire after
+            # seen_window_generations steps and become crawlable again;
+            # termination stays bounded by max_depth / max_requests
+            every = self.cfg.scale.recrawl_every_rounds
+            if (
+                every > 0
+                and self.mode == "scale"
+                and self.cfg.scale.seen_mode == "windowed_cuckoo"
+                and r % every == 0
+            ):
+                self.seen.rotate()
             if max_requests > 0 and fetched_total >= max_requests:
                 break
 

@@ -284,13 +284,17 @@ class WindowedCuckoo:
         return out
 
     def check_and_add(self, keys: np.ndarray) -> np.ndarray:
-        """True per key if ALREADY seen in the live window; unseen keys
-        are added to the current generation."""
-        seen = self.contains(keys)
-        fresh = np.atleast_1d(keys)[~seen]
-        if len(fresh):
-            self.gens[-1].add(fresh)
-        return seen
+        """True where the key was NEW in the live window (in-batch
+        duplicates first-wins) — the same contract as
+        ``CuckooFilter.check_and_add`` / the SeenShard pool."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        uniq, first_idx = np.unique(keys, return_index=True)
+        new_u = ~self.contains(uniq)
+        if new_u.any():
+            self.gens[-1].add(uniq[new_u])
+        out = np.zeros(len(keys), dtype=bool)
+        out[first_idx[new_u]] = True
+        return out
 
     def rotate(self) -> None:
         """Advance the window one step: open a fresh current

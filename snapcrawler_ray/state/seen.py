@@ -32,8 +32,9 @@ class SeenShard:
     inside the same pool."""
 
     def __init__(self, mode: str = "exact", bloom_capacity: int = 1_000_000,
-                 bloom_bits_per_key: int = 12):
+                 bloom_bits_per_key: int = 12, window_generations: int = 4):
         self.mode = mode
+        self._window_generations = window_generations
         # exact mode: per-namespace sorted uint64 base array + a small
         # list of pending (unique, base-disjoint) delta arrays.  Lookups
         # are searchsorted on the base + np.isin on the concatenated
@@ -86,6 +87,12 @@ class SeenShard:
                 from .cuckoo import CuckooFilter
 
                 self._blooms[ns] = CuckooFilter(self._bloom_capacity)
+            elif self.mode == "windowed_cuckoo":
+                from .cuckoo import WindowedCuckoo
+
+                self._blooms[ns] = WindowedCuckoo(
+                    self._bloom_capacity, self._window_generations
+                )
             else:
                 self._blooms[ns] = BloomFilter(
                     self._bloom_capacity, self._bloom_bits
@@ -124,10 +131,22 @@ class SeenShard:
         return self._exact_contains(self._ns_exact(ns), keys)
 
     def count(self, ns: str) -> int:
+        if self.mode == "windowed_cuckoo":
+            return (
+                sum(g.approx_count for g in self._blooms[ns].gens)
+                if ns in self._blooms else 0
+            )
         if self.mode != "exact":
             return self._ns_bloom(ns).approx_count if ns in self._blooms else 0
         st = self._exact.get(ns)
         return (len(st["base"]) + st["n_pending"]) if st else 0
+
+    def rotate(self) -> None:
+        """Advance every namespace's sliding window one step (no-op
+        outside windowed_cuckoo mode)."""
+        if self.mode == "windowed_cuckoo":
+            for wc in self._blooms.values():
+                wc.rotate()
 
     def dump(self) -> bytes:
         if self.mode != "exact":
@@ -144,15 +163,17 @@ class SeenShard:
         d = pickle.loads(blob)
         self.mode = d["mode"]
         if self.mode != "exact":
-            from .cuckoo import CuckooFilter
+            from .cuckoo import CuckooFilter, WindowedCuckoo
+
+            def _load_one(b):
+                if isinstance(b, dict) and b.get("kind") == "windowed_cuckoo":
+                    return WindowedCuckoo.load(b)
+                if isinstance(b, dict) and b.get("kind") == "cuckoo":
+                    return CuckooFilter.load(b)
+                return BloomFilter.load(b)
 
             self._blooms = {
-                ns: (
-                    CuckooFilter.load(b)
-                    if isinstance(b, dict) and b.get("kind") == "cuckoo"
-                    else BloomFilter.load(b)
-                )
-                for ns, b in d["payload"].items()
+                ns: _load_one(b) for ns, b in d["payload"].items()
             }
         else:
             self._exact = {}
@@ -174,13 +195,20 @@ class SeenFilterPool:
     always lands on the same shard regardless of which task calls."""
 
     def __init__(self, n_shards: int = 8, mode: str = "exact",
-                 bloom_capacity: int = 1_000_000, bloom_bits_per_key: int = 12):
+                 bloom_capacity: int = 1_000_000, bloom_bits_per_key: int = 12,
+                 window_generations: int = 4):
         self.n_shards = n_shards
         self.mode = mode
         self.shards = [
-            SeenShard.remote(mode, bloom_capacity, bloom_bits_per_key)
+            SeenShard.remote(mode, bloom_capacity, bloom_bits_per_key,
+                             window_generations)
             for _ in range(n_shards)
         ]
+
+    def rotate(self) -> None:
+        """Advance the sliding window on every shard (windowed_cuckoo
+        mode; no-op otherwise) — the recrawl-scheduling step."""
+        ray.get([s.rotate.remote() for s in self.shards])
 
     def _route(self, keys: np.ndarray) -> np.ndarray:
         return (keys % np.uint64(self.n_shards)).astype(np.int64)

@@ -161,12 +161,61 @@ def test_windowed_cuckoo_expiry_and_roundtrip():
     wc.rotate()          # old generation retired
     assert not wc.contains(old).any()
     assert wc.contains(fresh).all()
-    # check_and_add treats expired keys as unseen again
-    seen = wc.check_and_add(old[:10])
-    assert not seen.any()
+    # check_and_add treats expired keys as NEW again (returns the
+    # new-mask, same contract as CuckooFilter / SeenShard)
+    new = wc.check_and_add(old[:10])
+    assert new.all()
     assert wc.contains(old[:10]).all()
+    # second presentation: no longer new; in-batch dup first-wins
+    again = wc.check_and_add(np.concatenate([old[:10], np.array([7777, 7777], np.uint64)]))
+    assert not again[:10].any() and again[10] and not again[11]
     wc2 = type(wc).load(wc.dump())
     assert wc2.contains(fresh).all()
     assert wc2.contains(old[:10]).all()
     assert not wc2.contains(old[10:]).any()
     assert wc2.rotations == wc.rotations
+
+
+def test_scale_crawl_recrawl_window(small_corpus):
+    """Recrawl scheduling end-to-end: with the sliding-window seen mode
+    and an aggressive rotation (every round, 1 generation), already-
+    visited URLs expire and are re-crawled at later depths — the crawl
+    still terminates (depth bound) and its visit SET is a superset of
+    the plain cuckoo crawl's; with rotation off, windowed mode equals
+    plain cuckoo exactly."""
+    from snapcrawler_ray.config import (CrawlConfig, CrawlLimits,
+                                        ScaleConfig)
+    from snapcrawler_ray.pipelines.crawl import CrawlEngine
+    from snapcrawler_ray.sources.corpus import seeds_for
+
+    spec, path = small_corpus
+    seeds = seeds_for(spec, 4)
+
+    def run(scale_cfg):
+        cfg = CrawlConfig(start_urls=tuple(seeds),
+                          limits=CrawlLimits(max_depth=3), scale=scale_cfg)
+        eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets,
+                          mode="scale")
+        try:
+            v = eng.run().visits
+            return list(zip(v.column("url").to_pylist(),
+                            v.column("depth").to_pylist()))
+        finally:
+            eng.shutdown()
+
+    base = run(ScaleConfig(seen_mode="cuckoo"))
+    windowed_off = run(ScaleConfig(seen_mode="windowed_cuckoo"))
+    assert sorted(windowed_off) == sorted(base)
+
+    recrawl = run(ScaleConfig(seen_mode="windowed_cuckoo",
+                              recrawl_every_rounds=1,
+                              seen_window_generations=1))
+    base_urls = {u for u, _ in base}
+    rec_urls = {u for u, _ in recrawl}
+    assert rec_urls >= base_urls
+    # expiry visibly re-crawls: some url visited at more than one depth
+    depths_per_url = {}
+    for u, d in recrawl:
+        depths_per_url.setdefault(u, set()).add(d)
+    assert any(len(ds) > 1 for ds in depths_per_url.values())
+    assert len(recrawl) > len(base)
