@@ -112,35 +112,20 @@ BROADCAST_ROW_LIMIT = 1_000_000
 
 def _bloom_hash(values) -> np.ndarray:
     """Deterministic uint64 hash per key (shared by the runtime-filter
-    build and probe sides; pandas' siphash with the default key)."""
+    build and probe sides; pandas' siphash with the default key) — the
+    arbitrary-dtype front-end onto the uint64-keyed
+    ``state.bloom.BloomFilter`` kernel, which the runtime filter reuses
+    rather than re-implementing bit set/test."""
     return pd.util.hash_array(np.asarray(values)).astype(np.uint64)
 
 
-def _bloom_words(keys, m_bits: int) -> np.ndarray:
-    """Bloom bitset (uint64 words) for ``keys`` — k=4 indices per key
-    via Kirsch–Mitzenmacher double hashing on the two 32-bit halves."""
-    words = np.zeros(m_bits // 64, dtype=np.uint64)
-    h = _bloom_hash(keys)
-    h1 = h & np.uint64(0xFFFFFFFF)
-    h2 = h >> np.uint64(32)
-    for j in range(4):
-        idx = (h1 + np.uint64(j) * h2) % np.uint64(m_bits)
-        np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(np.int64),
-                         np.uint64(1) << (idx & np.uint64(63)))
-    return words
-
-
-def _bloom_test(words: np.ndarray, m_bits: int, keys) -> np.ndarray:
-    h = _bloom_hash(keys)
-    h1 = h & np.uint64(0xFFFFFFFF)
-    h2 = h >> np.uint64(32)
-    ok = np.ones(len(h), dtype=bool)
-    for j in range(4):
-        idx = (h1 + np.uint64(j) * h2) % np.uint64(m_bits)
-        bit = (words[(idx >> np.uint64(6)).astype(np.int64)]
-               >> (idx & np.uint64(63))) & np.uint64(1)
-        ok &= bit.astype(bool)
-    return ok
+# Runtime-filter budget: 8 bits/key at k=4 (~2.4% fpp) up to 2^24 dim
+# rows = a 16 MB bitset — read zero-copy from the node-shared object
+# store, so the per-node cost is one mapping, not a per-worker heap
+# copy.  Above the cap the projected fpp makes the extra pass pure
+# overhead, so the filter is skipped and the plain partitioned join
+# runs (the honest fallback, same results).
+RUNTIME_FILTER_MAX_DIM_ROWS = 1 << 24
 
 
 class _BloomPrefilter:
@@ -148,14 +133,16 @@ class _BloomPrefilter:
     whose key can't be in the dim (false positives pass through and are
     dropped by the join itself, so the filter is exactness-free)."""
 
-    def __init__(self, ref, key: str, m_bits: int):
+    def __init__(self, ref, key: str):
         self.ref = ref
         self.key = key
-        self.m_bits = m_bits
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        words = _bc_get(self.ref)
-        return df.loc[_bloom_test(words, self.m_bits, df[self.key])]
+        from ..state.bloom import BloomFilter
+
+        bits, n_bits, k = _bc_get(self.ref)
+        bf = BloomFilter.from_bits(bits, n_bits, k)
+        return df.loc[bf.contains(_bloom_hash(df[self.key]))]
 
 
 def _dim_join(
@@ -181,15 +168,19 @@ def _dim_join(
     execution of the dim pipeline.
 
     The partitioned path installs a BLOOM RUNTIME FILTER when the fact
-    side is ≥4× the dim (the standard engine runtime-filter trade): the
-    dim pipeline materializes once, its keys fold into an O(m_bits)
-    mergeable bitset (≤2 MB, broadcast via ``ray.put``), and fact
+    side is ≥4× the dim and the dim fits the filter budget
+    (``RUNTIME_FILTER_MAX_DIM_ROWS``): the dim pipeline materializes
+    once, per-BLOCK partial bitsets stream back and OR-fold on the
+    driver (O(n_blocks) arrays, one at a time), the merged ≤16 MB
+    bitset broadcasts via ``ray.put`` (zero-copy node-shared), and fact
     batches drop non-joining rows BEFORE the all-to-all shuffle — at
     selective dims this removes most of the fact-side shuffle volume;
-    Bloom false positives (~2–3%) pass through and are dropped by the
+    Bloom false positives (~2.4%) pass through and are dropped by the
     join itself, so exactness is untouched (equality with the broadcast
     path is pinned by test_dim_join_partitioned_path_matches_broadcast
-    at a forced max_broadcast_rows=0)."""
+    at a forced max_broadcast_rows=0).  Past the budget the filter is
+    skipped — a too-dense bitset would pass most rows while still
+    paying the extra dim pass."""
     limit = (
         BROADCAST_ROW_LIMIT if max_broadcast_rows is None else max_broadcast_rows
     )
@@ -200,22 +191,35 @@ def _dim_join(
         )
     from .io import join_partitions
 
-    if fact_rows is not None and fact_rows >= 4 * dim_rows:
+    if (
+        fact_rows is not None
+        and fact_rows >= 4 * dim_rows
+        and dim_rows <= RUNTIME_FILTER_MAX_DIM_ROWS
+    ):
+        from ..state.bloom import BloomFilter
+
         dim = dim.materialize()
-        # one streaming pass over the materialized dim folds per-batch
-        # bitsets; the driver ORs O(n_batches) word arrays (a tree-OR
-        # repartition stage is the path past ~thousands of batches)
-        m_bits = 1 << max(20, min(27, int(np.ceil(np.log2(8 * dim_rows)))))
+        proto = BloomFilter(capacity=dim_rows, bits_per_key=8, n_hashes=4)
+        n_bits, k = proto.n_bits, proto.k
 
         def partial(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"w": [_bloom_words(df[key], m_bits)]})
+            bf = BloomFilter.from_bits(
+                np.zeros(n_bits // 8, dtype=np.uint8), n_bits, k
+            )
+            bf.add(_bloom_hash(df[key]))
+            return pd.DataFrame({"bits": [bf.bits]})
 
-        words = np.zeros(m_bits // 64, dtype=np.uint64)
-        for w in dim.map_batches(partial, batch_format="pandas").to_pandas()["w"]:
-            np.bitwise_or(words, w, out=words)
-        bref = ray.put(words)
+        bits = proto.bits
+        # batch_size=None → one partial bitset per BLOCK; iter_batches
+        # streams them to the driver one at a time for the OR fold
+        for b in dim.map_batches(
+            partial, batch_format="pandas", batch_size=None
+        ).iter_batches(batch_format="pandas"):
+            for w in b["bits"]:
+                np.bitwise_or(bits, w, out=bits)
+        bref = ray.put((bits, n_bits, k))
         fact = fact.map_batches(
-            _BloomPrefilter(bref, key, m_bits), batch_format="pandas"
+            _BloomPrefilter(bref, key), batch_format="pandas"
         )
     return fact.join(
         dim,

@@ -689,22 +689,25 @@ class CrawlEngine:
                     "wall_s": round(time.time() - t0, 3),
                 }
             )
-            self._write_checkpoint(r, wave_next, round_refs, seq_counter)
-            wave = wave_next
-            r += 1
             # recrawl scheduling: step the sliding seen window every K
             # rounds (scale mode + windowed_cuckoo only) — URLs (and
             # their md5/pHash claims) expire after
             # seen_window_generations steps and become crawlable again;
-            # termination stays bounded by max_depth / max_requests
+            # termination stays bounded by max_depth / max_requests.
+            # Rotation happens BEFORE the checkpoint dump so a resume
+            # across the boundary restores the post-rotation window
+            # (rotating after would silently drop the step on resume).
             every = self.cfg.scale.recrawl_every_rounds
             if (
                 every > 0
                 and self.mode == "scale"
                 and self.cfg.scale.seen_mode == "windowed_cuckoo"
-                and r % every == 0
+                and (r + 1) % every == 0
             ):
                 self.seen.rotate()
+            self._write_checkpoint(r, wave_next, round_refs, seq_counter)
+            wave = wave_next
+            r += 1
             if max_requests > 0 and fetched_total >= max_requests:
                 break
 

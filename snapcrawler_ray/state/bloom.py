@@ -63,6 +63,17 @@ class BloomFilter:
         self.add(keys[~present])
         return ~present
 
+    @classmethod
+    def from_bits(cls, bits: np.ndarray, n_bits: int, k: int) -> "BloomFilter":
+        """Wrap an existing bit array (e.g. a merged runtime-filter
+        bitset read zero-copy from the object store) without copying."""
+        bf = cls.__new__(cls)
+        bf.bits = bits
+        bf.n_bits = n_bits
+        bf.k = k
+        bf.approx_count = 0
+        return bf
+
     def dump(self) -> dict:
         return {
             "bits": self.bits.tobytes(),

@@ -275,13 +275,25 @@ class WindowedCuckoo:
         self.rotations = 0
 
     def add(self, keys: np.ndarray) -> None:
-        self.gens[-1].add(keys)
+        """Insert keys not already live ANYWHERE in the window — the
+        same suppression rule as :meth:`check_and_add`, so a key's
+        expiry schedule never depends on which API presented it (no
+        silent lifetime refresh, no double counting)."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        fresh = keys[~self.contains(keys)]
+        if len(fresh):
+            self.gens[-1].add(fresh)
 
     def contains(self, keys: np.ndarray) -> np.ndarray:
-        out = np.zeros(len(np.atleast_1d(keys)), dtype=bool)
+        keys = np.asarray(keys, dtype=np.uint64)
+        out = np.zeros(len(keys), dtype=bool)
         for g in self.gens:
             out |= g.contains(keys)
         return out
+
+    @property
+    def approx_count(self) -> int:
+        return sum(g.approx_count for g in self.gens)
 
     def check_and_add(self, keys: np.ndarray) -> np.ndarray:
         """True where the key was NEW in the live window (in-batch

@@ -131,11 +131,6 @@ class SeenShard:
         return self._exact_contains(self._ns_exact(ns), keys)
 
     def count(self, ns: str) -> int:
-        if self.mode == "windowed_cuckoo":
-            return (
-                sum(g.approx_count for g in self._blooms[ns].gens)
-                if ns in self._blooms else 0
-            )
         if self.mode != "exact":
             return self._ns_bloom(ns).approx_count if ns in self._blooms else 0
         st = self._exact.get(ns)

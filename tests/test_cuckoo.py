@@ -125,7 +125,11 @@ def test_windowed_cuckoo_vs_exact_generations():
     for step in range(40):
         batch = rng.choice(universe, size=rng.randint(1, 200))
         wc.add(batch)
-        exact[-1].update(int(x) for x in batch)
+        # exact model mirrors the no-refresh rule: a key already live
+        # anywhere in the window keeps its ORIGINAL generation (and
+        # original expiry), it is not re-stamped into the current one
+        live_now = set().union(*exact)
+        exact[-1].update({int(x) for x in batch} - live_now)
         probe = rng.choice(universe, size=300)
         got = wc.contains(probe)
         live = set().union(*exact)
@@ -219,3 +223,46 @@ def test_scale_crawl_recrawl_window(small_corpus):
         depths_per_url.setdefault(u, set()).add(d)
     assert any(len(ds) > 1 for ds in depths_per_url.values())
     assert len(recrawl) > len(base)
+
+
+def test_recrawl_resume_across_rotation(small_corpus, tmp_path):
+    """Kill/resume across a window-rotation boundary reproduces the
+    uninterrupted crawl exactly — the rotation happens BEFORE the
+    checkpoint dump, so the restored window is post-rotation."""
+    import os
+    import shutil
+
+    from snapcrawler_ray.config import (CrawlConfig, CrawlLimits,
+                                        ScaleConfig)
+    from snapcrawler_ray.pipelines.crawl import CrawlEngine
+    from snapcrawler_ray.sources.corpus import seeds_for
+
+    spec, path = small_corpus
+    seeds = seeds_for(spec, 4)
+    sc = ScaleConfig(seen_mode="windowed_cuckoo", recrawl_every_rounds=1,
+                     seen_window_generations=1)
+    cfg = CrawlConfig(start_urls=tuple(seeds),
+                      limits=CrawlLimits(max_depth=3), scale=sc)
+
+    ck1 = str(tmp_path / "rc_full")
+    eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets,
+                      mode="scale", checkpoint_dir=ck1)
+    try:
+        full = eng.run()
+        full_visits = full.visits.to_pylist()
+    finally:
+        eng.shutdown()
+
+    ck2 = str(tmp_path / "rc_partial")
+    os.makedirs(ck2)
+    for r in (0, 1):
+        src = os.path.join(ck1, f"round={r}")
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(ck2, f"round={r}"))
+    eng2 = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets,
+                       mode="scale", checkpoint_dir=ck2)
+    try:
+        resumed = eng2.run(resume=True)
+        assert resumed.visits.to_pylist() == full_visits
+    finally:
+        eng2.shutdown()

@@ -828,18 +828,33 @@ def test_watermark_late_bucket_invariance(ray_session):
 
 def test_bloom_runtime_filter_kernels():
     """No false negatives ever (a dropped joining row would corrupt the
-    join); false-positive rate sane at the sizing formula's density;
-    int64 and string keys both supported."""
-    from snapcrawler_ray.functions.relational import _bloom_test, _bloom_words
+    join); false-positive rate sane at the 8-bits/key budget; int64 and
+    string keys both supported through the hash front-end; the
+    from_bits round-trip (build partial → merge → probe) preserves
+    membership."""
+    from snapcrawler_ray.functions.relational import _bloom_hash
+    from snapcrawler_ray.state.bloom import BloomFilter
 
     keys = np.arange(20000, dtype=np.int64) * 13 + 5
-    m = 1 << 20
-    w = _bloom_words(keys, m)
-    assert _bloom_test(w, m, keys).all()
+    bf = BloomFilter(capacity=len(keys), bits_per_key=8, n_hashes=4)
+    bf.add(_bloom_hash(keys))
+    assert bf.contains(_bloom_hash(keys)).all()
     probe = np.arange(10**7, 10**7 + 200000, dtype=np.int64)
-    fpp = _bloom_test(w, m, probe).mean()
+    fpp = bf.contains(_bloom_hash(probe)).mean()
     assert fpp < 0.05, fpp
+    # merge two partials by OR, probe through from_bits (the exact
+    # shape _dim_join's runtime filter uses)
     sk = pd.Series([f"key-{i}" for i in range(5000)])
-    w2 = _bloom_words(sk, m)
-    assert _bloom_test(w2, m, sk).all()
-    assert _bloom_test(w2, m, pd.Series(["nope-1", "nope-2"])).sum() <= 1
+    p1 = BloomFilter.from_bits(
+        np.zeros(bf.n_bits // 8, np.uint8), bf.n_bits, bf.k
+    )
+    p2 = BloomFilter.from_bits(
+        np.zeros(bf.n_bits // 8, np.uint8), bf.n_bits, bf.k
+    )
+    p1.add(_bloom_hash(sk[:2500]))
+    p2.add(_bloom_hash(sk[2500:]))
+    merged = BloomFilter.from_bits(p1.bits | p2.bits, bf.n_bits, bf.k)
+    assert merged.contains(_bloom_hash(sk)).all()
+    assert merged.contains(
+        _bloom_hash(pd.Series(["nope-1", "nope-2"]))
+    ).sum() <= 1
