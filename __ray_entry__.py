@@ -651,6 +651,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf_recall": lambda d: similarity.knn_recall_check(
             d, "ivf", bound=0.3
         ),
+        # late r4: int8-quantized scan (the memory-bandwidth play for
+        # billion-vector top-k) under the same machine-checked recall
+        # contract; measured 0.8-1.0 across sfs, floor 0.7
+        "emb_knn_int8_recall": lambda d: similarity.knn_recall_check(
+            d, "int8", bound=0.7
+        ),
         "events_approx_users_check": sketch.approx_users_check,
         "events_approx_hourly_check": sketch.approx_hourly_users_check,
         "docs_simhash": dedup.simhashes,
@@ -1719,6 +1725,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings WHERE vec_id < 5"
         ),
         "emb_knn_ivf_recall": (
+            "SELECT vec_id AS query_id, true AS recall_ok "
+            "FROM embeddings WHERE vec_id < 5"
+        ),
+        "emb_knn_int8_recall": (
             "SELECT vec_id AS query_id, true AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"
         ),
