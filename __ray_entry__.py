@@ -614,6 +614,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late r4: intra-doc repeated 3-gram counts (the repetition
         # signal behind repeated-substring dedup, Lee et al. 2022)
         "docs_repeated_ngrams": text.repeated_ngrams,
+        # late r4: bottom-k-by-hash uniform sample (the deterministic
+        # distributed reservoir — fixed-size mergeable partials)
+        "docs_bottomk_sample": lambda d: text.bottomk_sample(d),
         # rows-only: iterative algorithm (Lloyd's k-means; monotone
         # inertia + brute-force parity asserted in tests) — outside the
         # r04 window; its rows-only record exists in r02
@@ -1334,6 +1337,13 @@ def oracle_sql() -> dict[str, str]:
             "'''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+"
             "| ?[^A-Za-z0-9 \\t\\n\\r\\f\\v]+|[ \\t\\n\\r\\f\\v]+')) "
             "AS BIGINT) AS n_bpe FROM documents"
+        ),
+        "docs_bottomk_sample": (
+            # same md5-u64 basis as the engine partials
+            "SELECT doc_id FROM (SELECT doc_id FROM documents "
+            "ORDER BY CAST(concat('0x', "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT), "
+            "doc_id LIMIT 100)"
         ),
         "docs_repeated_ngrams": (
             # n_dup = grams beyond their first in-doc occurrence

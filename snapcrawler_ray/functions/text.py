@@ -151,6 +151,47 @@ def repeated_ngrams(sf_dir: str, n: int = 3) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+def bottomk_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """doc_id for the k documents with the SMALLEST md5(doc_id) hash —
+    bottom-k-by-hash sampling, the deterministic distributed equivalent
+    of a uniform reservoir: each partition keeps only its local
+    bottom-k (fixed-size partials, mergeable by re-taking bottom-k), so
+    the driver folds n_batches × k rows regardless of corpus size, and
+    the same k docs are selected under ANY partitioning/ordering.  The
+    md5 basis makes it a hard SQL oracle (ORDER BY the same hash
+    LIMIT k) rather than an unseeded-random claim."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        ids = df["doc_id"].to_numpy(np.int64)
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[:8], "big"
+                )
+                for i in ids
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        take = np.argsort(h, kind="stable")[:k]
+        return pd.DataFrame({"doc_id": ids[take], "h": h[take]})
+
+    parts = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.sort_values(["h", "doc_id"], kind="mergesort").head(k)
+    return (
+        out[["doc_id"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+
+
 def round4_half_away(x) -> np.ndarray:
     """Round to 4 decimals, ties away from zero — DuckDB ``round(x, 4)``
     semantics (numpy/pandas ``round`` is half-to-even; a quality value
