@@ -266,3 +266,35 @@ def test_recrawl_resume_across_rotation(small_corpus, tmp_path):
         assert resumed.visits.to_pylist() == full_visits
     finally:
         eng2.shutdown()
+
+
+def test_recrawl_composes_with_priority_policy(small_corpus):
+    """Recrawl rotation composing with the priority frontier stays
+    deterministic (two runs bit-identical) and still terminates — the
+    deferred-backlog × expiry interaction must not introduce
+    nondeterminism."""
+    from snapcrawler_ray.config import (CrawlConfig, CrawlLimits,
+                                        ScaleConfig)
+    from snapcrawler_ray.pipelines.crawl import CrawlEngine
+    from snapcrawler_ray.sources.corpus import seeds_for
+
+    spec, path = small_corpus
+    seeds = seeds_for(spec, 4)
+    sc = ScaleConfig(seen_mode="windowed_cuckoo", recrawl_every_rounds=2,
+                     seen_window_generations=1,
+                     frontier_policy="priority", round_budget=40)
+    cfg = CrawlConfig(start_urls=tuple(seeds),
+                      limits=CrawlLimits(max_depth=3, max_requests=300),
+                      scale=sc)
+
+    def run():
+        eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets,
+                          mode="scale")
+        try:
+            return eng.run().visits.to_pylist()
+        finally:
+            eng.shutdown()
+
+    a, b = run(), run()
+    assert a == b
+    assert len(a) <= 300 + 40  # budget bound (one round's overshoot max)
