@@ -616,7 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repeated_ngrams": text.repeated_ngrams,
         # late r4: bottom-k-by-hash uniform sample (the deterministic
         # distributed reservoir — fixed-size mergeable partials)
-        "docs_bottomk_sample": lambda d: text.bottomk_sample(d),
+        "docs_bottomk_sample": text.bottomk_sample,
         # rows-only: iterative algorithm (Lloyd's k-means; monotone
         # inertia + brute-force parity asserted in tests) — outside the
         # r04 window; its rows-only record exists in r02

@@ -40,23 +40,31 @@ def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 class TopKStage:
-    """Per-batch cosine vs the broadcast query matrix → local top-k."""
+    """Per-batch cosine vs the broadcast query matrix → local top-k.
+    With ``quantize=True`` both sides round to ±127 int8 after unit
+    normalization and similarity is the exact int32 integer dot."""
 
-    def __init__(self, q_ref, k: int):
+    def __init__(self, q_ref, k: int, quantize: bool = False):
         self.qids, self.qm = ray.get(q_ref)
         self.k = k
+        self.quantize = quantize
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+        if self.quantize:
+            m = np.clip(np.rint(m * 127.0), -127, 127).astype(np.int32)
         sims = self.qm @ m.T  # (n_q, batch)
         ids = df["vec_id"].to_numpy()
         out = []
         k = min(self.k, sims.shape[1])
         for qi, qid in enumerate(self.qids):
             row = sims[qi]
-            # partial top-k with (sim desc, vec_id asc) tie-break
-            idx = np.argsort(-row, kind="stable")[:k]
+            # partial top-k with (sim desc, vec_id asc) tie-break —
+            # lexsort on vec_id, not batch position, so the local top-k
+            # is invariant to batch row order even on tied similarities
+            # (integer dots tie often on the quantized path)
+            idx = np.lexsort((ids, -row))[:k]
             out.append(
                 pd.DataFrame(
                     {
@@ -67,6 +75,21 @@ class TopKStage:
                 )
             )
         return pd.concat(out, ignore_index=True)
+
+
+def _merge_topk(partial: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Driver merge of per-batch top-k partials — tiny
+    (n_queries × k × n_batches rows): (sim desc, vec_id asc) per query,
+    1-based rank."""
+    partial = partial.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    top = partial.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "vec_id"]].astype(
+        {"query_id": "int64", "rank": "int64", "vec_id": "int64"}
+    )
 
 
 def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFrame:
@@ -83,16 +106,7 @@ def knn_bruteforce(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFrame
         concurrency=(1, 4),
         fn_constructor_kwargs={"q_ref": q_ref, "k": k},
     ).to_pandas()
-    # driver merge: tiny (n_queries × k × n_batches rows)
-    partial = partial.sort_values(
-        ["query_id", "sim", "vec_id"], ascending=[True, False, True],
-        kind="mergesort",
-    )
-    top = partial.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    return top[["query_id", "rank", "vec_id"]].astype(
-        {"query_id": "int64", "rank": "int64", "vec_id": "int64"}
-    )
+    return _merge_topk(partial, k)
 
 
 def knn_int8(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFrame:
@@ -112,49 +126,14 @@ def knn_int8(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFrame:
 
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"],
                     blocks=16)
-
-    class Int8TopK:
-        def __init__(self, q_ref, k):
-            self.qids, self.q8 = ray.get(q_ref)
-            self.k = k
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            m = m / np.clip(
-                np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None
-            )
-            m8 = np.clip(np.rint(m * 127.0), -127, 127).astype(np.int32)
-            sims = self.q8 @ m8.T  # exact int32 dot
-            ids = df["vec_id"].to_numpy()
-            out = []
-            k = min(self.k, sims.shape[1])
-            for qi, qid in enumerate(self.qids):
-                row = sims[qi]
-                idx = np.argsort(-row, kind="stable")[:k]
-                out.append(
-                    pd.DataFrame(
-                        {"query_id": qid, "vec_id": ids[idx],
-                         "sim": row[idx]}
-                    )
-                )
-            return pd.concat(out, ignore_index=True)
-
     partial = ds.map_batches(
-        Int8TopK,
+        TopKStage,
         batch_format="pandas",
         batch_size=2048,
         concurrency=(1, 4),
-        fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+        fn_constructor_kwargs={"q_ref": q_ref, "k": k, "quantize": True},
     ).to_pandas()
-    partial = partial.sort_values(
-        ["query_id", "sim", "vec_id"], ascending=[True, False, True],
-        kind="mergesort",
-    )
-    top = partial.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    return top[["query_id", "rank", "vec_id"]].astype(
-        {"query_id": "int64", "rank": "int64", "vec_id": "int64"}
-    )
+    return _merge_topk(partial, k)
 
 
 def knn_lsh(

@@ -162,20 +162,14 @@ def bottomk_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
     LIMIT k) rather than an unseeded-random claim."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
+        from .dedup import _md5_u64
 
         ids = df["doc_id"].to_numpy(np.int64)
-        h = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.md5(str(i).encode()).digest()[:8], "big"
-                )
-                for i in ids
-            ),
-            dtype=np.uint64,
-            count=len(ids),
-        )
-        take = np.argsort(h, kind="stable")[:k]
+        h = _md5_u64(ids.astype(str).astype(object))
+        # lexsort, not argsort: break 64-bit hash ties by doc_id so the
+        # local bottom-k matches the driver fold / SQL oracle order even
+        # on an md5-prefix collision in an unsorted batch.
+        take = np.lexsort((ids, h))[:k]
         return pd.DataFrame({"doc_id": ids[take], "h": h[take]})
 
     parts = (
