@@ -617,6 +617,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late r4: bottom-k-by-hash uniform sample (the deterministic
         # distributed reservoir — fixed-size mergeable partials)
         "docs_bottomk_sample": text.bottomk_sample,
+        # late r4: ExactSubstr-style maximal cross-doc duplicated
+        # spans (k-gram seed + gaps-and-islands merge; the per-doc
+        # cut list an ExactSubstr pass removes)
+        "docs_dup_spans": text.dup_spans,
         # rows-only: iterative algorithm (Lloyd's k-means; monotone
         # inertia + brute-force parity asserted in tests) — outside the
         # r04 window; its rows-only record exists in r02
@@ -1344,6 +1348,28 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY CAST(concat('0x', "
             "substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT), "
             "doc_id LIMIT 100)"
+        ),
+        "docs_dup_spans": (
+            # cross-doc duplicated 5-grams (df >= 2 distinct docs, the
+            # boilerplate_ngrams gram build) -> per-doc maximal islands
+            # of consecutive duplicated gram starts (gaps-and-islands:
+            # s - row_number() is constant within an island); an island
+            # [a,b] covers tokens a..b+4
+            r"WITH t AS (SELECT doc_id, str_split_regex(trim(text), '\s+') "
+            "AS toks FROM documents WHERE trim(coalesce(text,'')) <> ''), "
+            "i AS (SELECT doc_id, toks, "
+            "unnest(generate_series(1, len(toks)-4)) AS s FROM t), "
+            "g AS (SELECT doc_id, s, array_to_string(toks[s:s+4], ' ') "
+            "AS gram FROM i), "
+            "dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g) "
+            "GROUP BY gram HAVING count(*) >= 2), "
+            "p AS (SELECT doc_id, s FROM g WHERE gram IN "
+            "(SELECT gram FROM dup)), "
+            "isl AS (SELECT doc_id, s, s - row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY s) AS grp FROM p) "
+            "SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start, "
+            "CAST(max(s) - min(s) + 5 AS BIGINT) AS span_tokens "
+            "FROM isl GROUP BY doc_id, grp"
         ),
         "docs_repeated_ngrams": (
             # n_dup = grams beyond their first in-doc occurrence

@@ -227,6 +227,40 @@ def _token_lists(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return flat, lens
 
 
+def _gram_arrays(
+    texts: pd.Series, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_idx, pos, grams): every token ``k``-gram of every row as a
+    ' '-joined string, with its batch row index and its 1-BASED in-doc
+    start position (= the DuckDB ``generate_series`` subscript the SQL
+    oracles use).  Rows with < k tokens contribute nothing.  Flat
+    stride arithmetic over the batch token array — no per-token python
+    loop; output is sorted by (doc_idx, pos) by construction."""
+    n = len(texts)
+    flat, lens = _token_lists(texts)
+    n_grams = np.maximum(0, lens - k + 1)
+    total = int(n_grams.sum())
+    if total == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, dtype=object),
+        )
+    doc_idx = np.repeat(np.arange(n), n_grams)
+    doc_off = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    gram_off = np.concatenate([[0], np.cumsum(n_grams)])[:-1]
+    within = np.arange(total) - np.repeat(gram_off, n_grams)
+    starts = np.repeat(doc_off, n_grams) + within
+    s = pd.Series(flat[starts], dtype=object)
+    for j in range(1, k):
+        s = s + " " + pd.Series(flat[starts + j], dtype=object)
+    return (
+        doc_idx.astype(np.int64),
+        (within + 1).astype(np.int64),
+        s.to_numpy(),
+    )
+
+
 def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
     """doc_id, dup_token_frac, top_token_frac — Gopher-style repetition
     signals for training-data quality filtering (cf. Rae et al. 2021
@@ -1058,24 +1092,13 @@ def boilerplate_ngrams(
     from .agg import bucketed_combine
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        flat, lens = _token_lists(df["text"])
-        n_grams = np.maximum(0, lens - k + 1)
-        total = int(n_grams.sum())
-        if total == 0:
+        doc_idx, _, grams = _gram_arrays(df["text"], k)
+        if len(grams) == 0:
             return pd.DataFrame(
                 {"gram": pd.Series([], dtype=object),
                  "df_docs": pd.Series([], dtype="int64")}
             )
-        doc_idx = np.repeat(np.arange(n), n_grams)
-        doc_off = np.concatenate([[0], np.cumsum(lens)])[:-1]
-        gram_off = np.concatenate([[0], np.cumsum(n_grams)])[:-1]
-        within = np.arange(total) - np.repeat(gram_off, n_grams)
-        starts = np.repeat(doc_off, n_grams) + within
-        s = pd.Series(flat[starts], dtype=object)
-        for j in range(1, k):
-            s = s + " " + pd.Series(flat[starts + j], dtype=object)
-        ex = pd.DataFrame({"i": doc_idx, "gram": s}).drop_duplicates()
+        ex = pd.DataFrame({"i": doc_idx, "gram": grams}).drop_duplicates()
         return ex.groupby("gram", as_index=False).agg(df_docs=("i", "size"))
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -1095,6 +1118,110 @@ def boilerplate_ngrams(
     ).head(top)
     out["df_docs"] = out["df_docs"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def dup_spans(
+    sf_dir: str, k: int = 5, min_df: int = 2
+) -> "ray.data.Dataset":
+    """doc_id, span_start, span_tokens — MAXIMAL cross-document
+    duplicated token spans, the ExactSubstr primitive (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" §3.1,
+    with the suffix array replaced by the k-gram seed + island merge a
+    shuffle engine can express): a token ``k``-gram is *duplicated*
+    when it occurs in ≥ ``min_df`` DISTINCT documents; per document,
+    consecutive duplicated gram start positions merge into maximal
+    islands, and an island spanning gram starts [a, b] covers tokens
+    a..b+k−1 (``span_tokens`` = b−a+k).  ``span_start`` is the 1-based
+    token index (= DuckDB ``generate_series`` subscript), so the whole
+    operator sits behind a hard SQL oracle (gaps-and-islands
+    ``row_number`` CTE).  These spans are what an ExactSubstr cut pass
+    removes; :func:`boilerplate_ngrams` reports the dictionary, this
+    reports the per-document cut list.
+
+    Shape: pass 1 folds DISTINCT (gram, doc) pairs through a
+    gram-bucketed reduce to the df ≥ min_df dictionary (same topology
+    as :func:`boilerplate_ngrams` — the gram vocabulary never
+    assembles in one place); the dictionary broadcasts once
+    (``ray.put`` sorted array — it is the bounded boilerplate
+    dictionary; at web scale the fallback is a gram-hash join, the
+    same escape hatch :func:`~..dedup.decontaminate` names); pass 2
+    re-derives grams per batch map-only, marks membership by
+    ``searchsorted``, and merges islands vectorized IN BATCH — a
+    document never splits across batches, so its gram positions are
+    always co-resident and no shuffle touches the position stream."""
+    from .agg import bucketed_combine
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, _, grams = _gram_arrays(df["text"], k)
+        if len(grams) == 0:
+            return pd.DataFrame(
+                {"gram": pd.Series([], dtype=object),
+                 "df_docs": pd.Series([], dtype="int64")}
+            )
+        ex = pd.DataFrame({"i": doc_idx, "gram": grams}).drop_duplicates()
+        return ex.groupby("gram", as_index=False).agg(df_docs=("i", "size"))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gram", as_index=False).agg(df_docs=("df_docs", "sum"))
+        return g.loc[g["df_docs"] >= min_df, ["gram"]]
+
+    dup = bucketed_combine(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["gram"],
+        combine,
+    ).to_pandas()
+    vocab = np.sort(dup["gram"].to_numpy(dtype=object))
+    ref = ray.put(vocab)
+
+    class SpanStage:
+        def __init__(self, ref, k):
+            self.vocab = ray.get(ref)
+            self.k = k
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "span_start": pd.Series([], dtype="int64"),
+                    "span_tokens": pd.Series([], dtype="int64"),
+                }
+            )
+            if len(self.vocab) == 0 or not len(df):
+                return empty
+            doc_idx, pos, grams = _gram_arrays(df["text"], self.k)
+            if len(grams) == 0:
+                return empty
+            j = np.searchsorted(self.vocab, grams)
+            j = np.clip(j, 0, len(self.vocab) - 1)
+            m = self.vocab[j] == grams
+            if not m.any():
+                return empty
+            d, p = doc_idx[m], pos[m]
+            # gaps-and-islands: a new island starts at a doc change or
+            # a position gap (input is (doc, pos)-sorted by build)
+            brk = np.ones(len(d), dtype=bool)
+            brk[1:] = (d[1:] != d[:-1]) | (p[1:] != p[:-1] + 1)
+            first = np.nonzero(brk)[0]
+            last = np.concatenate([first[1:] - 1, [len(d) - 1]])
+            ids = df["doc_id"].to_numpy(np.int64)[d[first]]
+            return pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "span_start": p[first].astype("int64"),
+                    "span_tokens": (p[last] - p[first] + self.k).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        SpanStage,
+        batch_format="pandas",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"ref": ref, "k": k},
+    )
 
 
 def unigram_surprisal(sf_dir: str) -> "ray.data.Dataset":

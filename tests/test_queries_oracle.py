@@ -98,7 +98,7 @@ def test_all_query_names_have_callables(contract):
         "events_hll_registers", "events_range_join",
         "emb_kmeans_fixed", "events_cms_registers", "events_cms_topk",
         "docs_bpe_tokens", "events_watermark_late", "docs_repeated_ngrams",
-        "docs_bottomk_sample",
+        "docs_bottomk_sample", "docs_dup_spans",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
@@ -859,3 +859,45 @@ def test_bloom_runtime_filter_kernels():
     assert merged.contains(
         _bloom_hash(pd.Series(["nope-1", "nope-2"]))
     ).sum() <= 1
+
+
+def test_dup_spans_island_merge_crafted(ray_session, tmp_path):
+    """ExactSubstr span semantics on a crafted corpus: consecutive
+    duplicated 3-gram starts merge into ONE maximal span, a position
+    gap splits spans, and an intra-doc-only repeat (df=1 distinct doc)
+    is NOT a duplicated gram."""
+    import pyarrow.parquet as pq
+
+    from snapcrawler_ray.functions import text
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e x y z",        # island [1..3] -> span (1, 5)
+                    "q a b c d e r",          # island [2..4] -> span (2, 5)
+                    "m n o p a b c m n o p",  # 'm n o' repeats only intra-doc
+                    "zz yy xx",               # shares nothing
+                    "a b c g g g c d e",      # two gapped spans (1,3) (7,3)
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = (
+        text.dup_spans(str(tmp_path), k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    expect = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 5, 5],
+            "span_start": [1, 2, 5, 1, 7],
+            "span_tokens": [5, 5, 3, 3, 3],
+        }
+    )
+    pd.testing.assert_frame_equal(
+        out.astype("int64"), expect.astype("int64")
+    )
