@@ -110,7 +110,8 @@ def run_queries(sf_dir: str) -> dict:
         "events_funnel", "events_retention", "events_value_quantiles_hist",
         "events_watermark_late",
         "docs_training_corpus", "docs_extended_images",
-        "docs_boilerplate_ngrams", "docs_unigram_surprisal",
+        "docs_boilerplate_ngrams", "docs_dup_spans",
+        "docs_unigram_surprisal",
         "emb_near_dup_exact",
     ]
     out = {}

@@ -1120,8 +1120,37 @@ def boilerplate_ngrams(
     return out.reset_index(drop=True)
 
 
+def _merge_islands(d: np.ndarray, p: np.ndarray, k: int) -> pd.DataFrame:
+    """Gaps-and-islands merge of duplicated-gram start positions, both
+    arrays already sorted by (doc_id, pos): a new island starts at a
+    doc change or a position gap; an island over gram starts [a, b]
+    covers tokens a..b+k−1."""
+    if len(d) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "span_start": pd.Series([], dtype="int64"),
+                "span_tokens": pd.Series([], dtype="int64"),
+            }
+        )
+    brk = np.ones(len(d), dtype=bool)
+    brk[1:] = (d[1:] != d[:-1]) | (p[1:] != p[:-1] + 1)
+    first = np.nonzero(brk)[0]
+    last = np.concatenate([first[1:] - 1, [len(d) - 1]])
+    return pd.DataFrame(
+        {
+            "doc_id": d[first].astype("int64"),
+            "span_start": p[first].astype("int64"),
+            "span_tokens": (p[last] - p[first] + k).astype("int64"),
+        }
+    )
+
+
 def dup_spans(
-    sf_dir: str, k: int = 5, min_df: int = 2
+    sf_dir: str,
+    k: int = 5,
+    min_df: int = 2,
+    max_broadcast_grams: int | None = None,
 ) -> "ray.data.Dataset":
     """doc_id, span_start, span_tokens — MAXIMAL cross-document
     duplicated token spans, the ExactSubstr primitive (Lee et al. 2022
@@ -1141,14 +1170,18 @@ def dup_spans(
     Shape: pass 1 folds DISTINCT (gram, doc) pairs through a
     gram-bucketed reduce to the df ≥ min_df dictionary (same topology
     as :func:`boilerplate_ngrams` — the gram vocabulary never
-    assembles in one place); the dictionary broadcasts once
-    (``ray.put`` sorted array — it is the bounded boilerplate
-    dictionary; at web scale the fallback is a gram-hash join, the
-    same escape hatch :func:`~..dedup.decontaminate` names); pass 2
-    re-derives grams per batch map-only, marks membership by
+    assembles in one place).  Below ``max_broadcast_grams`` (default
+    1M) the dictionary broadcasts once (``ray.put`` sorted array) and
+    pass 2 re-derives grams per batch map-only, marks membership by
     ``searchsorted``, and merges islands vectorized IN BATCH — a
     document never splits across batches, so its gram positions are
-    always co-resident and no shuffle touches the position stream."""
+    always co-resident and no shuffle touches the position stream.
+    Above the limit the dictionary NEVER reaches the driver: the
+    position stream inner-joins the dictionary Dataset on gram
+    (partitioned hash join, both sides shuffled on the key) and the
+    islands merge inside a doc-bucketed reduce — two shuffles, the
+    honest topology when the dictionary outgrows a broadcast; equality
+    with the broadcast path is pinned by a forced-low-threshold test."""
     from .agg import bucketed_combine
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1165,14 +1198,17 @@ def dup_spans(
         g = df.groupby("gram", as_index=False).agg(df_docs=("df_docs", "sum"))
         return g.loc[g["df_docs"] >= min_df, ["gram"]]
 
-    dup = bucketed_combine(
+    dict_ds = bucketed_combine(
         _docs(sf_dir, ["doc_id", "text"]).map_batches(
             partial, batch_format="pandas"
         ),
         ["gram"],
         combine,
-    ).to_pandas()
-    vocab = np.sort(dup["gram"].to_numpy(dtype=object))
+    ).materialize()
+    limit = 1_000_000 if max_broadcast_grams is None else max_broadcast_grams
+    if dict_ds.count() > limit:
+        return _dup_spans_join_path(sf_dir, dict_ds, k)
+    vocab = np.sort(dict_ds.to_pandas()["gram"].to_numpy(dtype=object))
     ref = ray.put(vocab)
 
     class SpanStage:
@@ -1198,22 +1234,12 @@ def dup_spans(
             m = self.vocab[j] == grams
             if not m.any():
                 return empty
-            d, p = doc_idx[m], pos[m]
-            # gaps-and-islands: a new island starts at a doc change or
-            # a position gap (input is (doc, pos)-sorted by build)
-            brk = np.ones(len(d), dtype=bool)
-            brk[1:] = (d[1:] != d[:-1]) | (p[1:] != p[:-1] + 1)
-            first = np.nonzero(brk)[0]
-            last = np.concatenate([first[1:] - 1, [len(d) - 1]])
-            ids = df["doc_id"].to_numpy(np.int64)[d[first]]
-            return pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "span_start": p[first].astype("int64"),
-                    "span_tokens": (p[last] - p[first] + self.k).astype(
-                        "int64"
-                    ),
-                }
+            # (doc, pos)-sorted by the gram build, so the island merge
+            # runs directly on the masked stream
+            return _merge_islands(
+                df["doc_id"].to_numpy(np.int64)[doc_idx[m]],
+                pos[m],
+                self.k,
             )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -1222,6 +1248,53 @@ def dup_spans(
         concurrency=(1, 8),
         fn_constructor_kwargs={"ref": ref, "k": k},
     )
+
+
+def _dup_spans_join_path(
+    sf_dir: str, dict_ds: "ray.data.Dataset", k: int
+) -> "ray.data.Dataset":
+    """:func:`dup_spans` above the broadcast limit: the per-doc gram
+    position stream inner-joins the duplicated-gram dictionary Dataset
+    on gram (partitioned hash join — the dictionary never reaches the
+    driver), then islands merge inside a doc-bucketed reduce (all of a
+    doc's surviving positions co-locate in one bucket)."""
+    from .agg import bucketed_combine
+    from .io import join_partitions, table_rows
+
+    def emit_positions(df: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, pos, grams = _gram_arrays(df["text"], k)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[doc_idx]
+                if len(grams)
+                else pd.Series([], dtype="int64"),
+                "pos": pos.astype("int64"),
+                "gram": pd.Series(grams, dtype=object),
+            }
+        )
+
+    pos_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        emit_positions, batch_format="pandas"
+    )
+    joined = pos_ds.join(
+        dict_ds,
+        join_type="inner",
+        num_partitions=join_partitions(
+            dict_ds.count(), table_rows(sf_dir, "documents")
+        ),
+        on=("gram",),
+        right_on=("gram",),
+    ).select_columns(["doc_id", "pos"])
+
+    def island_combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        return _merge_islands(
+            df["doc_id"].to_numpy(np.int64),
+            df["pos"].to_numpy(np.int64),
+            k,
+        )
+
+    return bucketed_combine(joined, ["doc_id"], island_combine)
 
 
 def unigram_surprisal(sf_dir: str) -> "ray.data.Dataset":

@@ -901,3 +901,25 @@ def test_dup_spans_island_merge_crafted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out.astype("int64"), expect.astype("int64")
     )
+
+
+def test_dup_spans_join_path_matches_broadcast(ray_session):
+    """Forcing the over-limit dictionary topology (max_broadcast_grams=0
+    -> partitioned gram join + doc-bucketed island reduce) must
+    reproduce the broadcast-path spans exactly."""
+    from snapcrawler_ray.functions import text
+
+    bc = (
+        text.dup_spans(SF_DIR)
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    jn = (
+        text.dup_spans(SF_DIR, max_broadcast_grams=0)
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    assert len(bc) > 0  # non-vacuous at this SF
+    pd.testing.assert_frame_equal(bc, jn, check_dtype=False)
