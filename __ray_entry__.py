@@ -95,6 +95,11 @@ def _run_crawl(sf_dir: str):
     # links); the crawl_visits/crawl_emissions/crawl_seen_set oracles
     # re-derive the whole crawl from it with a recursive CTE
     pq.write_table(eng.extraction_meta(), os.path.join(d, "meta.parquet"))
+    # the politeness-timeline oracle inputs+outputs: the SQL replay
+    # re-derives first_ts/delay from (n_urls, status) alone
+    sched, status = eng.politeness_log()
+    pq.write_table(sched, os.path.join(d, "polite_sched.parquet"))
+    pq.write_table(status, os.path.join(d, "polite_status.parquet"))
     _CRAWL_CACHE[key] = (res, cfg)
     return res, cfg
 
@@ -326,6 +331,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
         )
 
+    def crawl_politeness_schedule(sf_dir: str):
+        """T5/T6 adaptive politeness under the hard gate: the engine's
+        per-sub-batch virtual-time schedule (first_ts, delay per
+        scheduled host batch).  The oracle re-derives BOTH float
+        columns from (n_urls, status) alone with a recursive-CTE
+        replay of the delay recurrence (200 → max(base, d×decay);
+        429 → min(max, d×backoff); ≥500 → min(max, d×1.5); sched →
+        next_free += n×d) — op-for-op the shard's transitions
+        (state/politeness.py:PolitenessShard.schedule/report), so the
+        doubles match bit-for-bit."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        _run_crawl(sf_dir)
+        t = pq.read_table(
+            os.path.join(_oracle_tbl_dir(sf_dir), "polite_sched.parquet")
+        ).to_pandas()
+        return t[["host", "wave", "sub", "n_urls", "first_ts", "delay"]]
+
     def crawl_nav_scores(sf_dir: str):
         _, path = _corpus_for(sf_dir)
         return webops.nav_scores(
@@ -532,6 +556,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # status-counts — all over the same already-gated visits
         # parquet) rotate below the window to make room.
         "crawl_nav_scores": crawl_nav_scores,
+        # newest-in-r4: the T5/T6 adaptive politeness timeline under
+        # the hard gate (recursive-CTE replay of the delay recurrence);
+        # emb_knn_lsh rotates below the window to make room — it is
+        # rows-only (r02 row exists) and its value contract is the
+        # r03-green emb_knn_lsh_recall twin
+        "crawl_politeness_schedule": crawl_politeness_schedule,
         "events_range_join": lambda d: relational.events_range_join(d),
         "emb_kmeans_fixed": lambda d: similarity.kmeans_fixed(d),
         # the crawl×webtext bridge re-verified over the r4 engine
@@ -580,7 +610,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rolling 64-bit fingerprint over md5 token hashes — SQL-oracled
         # (DuckDB list_reduce fold in hugeint arithmetic)
         "docs_fingerprints": text.fingerprints,
-        "emb_knn_lsh": lambda d: similarity.knn_lsh(d, k=10, n_queries=5),
         "emb_knn_ivf": lambda d: similarity.knn_ivf(d, k=10, n_queries=5),
         "emb_near_dup": lambda d: dedup.embedding_near_dup_pairs(d),
         "emb_dedup_keep": lambda d: dedup.embedding_dedup_keep(d),
@@ -621,6 +650,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spans (k-gram seed + gaps-and-islands merge; the per-doc
         # cut list an ExactSubstr pass removes)
         "docs_dup_spans": text.dup_spans,
+        # rows-only (rotated out of the window for
+        # crawl_politeness_schedule in late r4): its r02 row exists and
+        # its value contract is the r03-green emb_knn_lsh_recall twin
+        "emb_knn_lsh": lambda d: similarity.knn_lsh(d, k=10, n_queries=5),
         # rows-only: iterative algorithm (Lloyd's k-means; monotone
         # inertia + brute-force parity asserted in tests) — outside the
         # r04 window; its rows-only record exists in r02
@@ -1321,6 +1354,44 @@ def oracle_sql() -> dict[str, str]:
         "crawl_host_visits": (
             "SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
             f"count(*) AS n_visits FROM {visits_pq} GROUP BY 1"
+        ),
+        "crawl_politeness_schedule": (
+            # recursive-CTE replay of the T5/T6 adaptive-delay
+            # recurrence over the engine-dumped event stream: per host,
+            # events are (wave, kind: 0=sched before 1=status, pos);
+            # a sched event reads (first_ts, delay) from the PREVIOUS
+            # state and advances next_free += n_urls*delay; a status
+            # event adapts delay (200 → max(2.5, d*0.9); 429 →
+            # min(30, d*2); ≥500 → min(30, d*1.5)) — op-for-op the
+            # shard transitions, so doubles match bit-for-bit
+            "WITH RECURSIVE "
+            "sc AS (SELECT * FROM read_parquet("
+            f"'{_oracle_tbl_dir('sf0.01')}/polite_sched.parquet')), "
+            "st AS (SELECT * FROM read_parquet("
+            f"'{_oracle_tbl_dir('sf0.01')}/polite_status.parquet')), "
+            "ev AS (SELECT host, wave, 0 AS kind, sub AS pos, "
+            "CAST(n_urls AS DOUBLE) AS val FROM sc "
+            "UNION ALL SELECT host, wave, 1, pos, "
+            "CAST(status AS DOUBLE) FROM st), "
+            "o AS (SELECT host, wave, kind, pos, val, "
+            "CAST(row_number() OVER (PARTITION BY host "
+            "ORDER BY wave, kind, pos) AS BIGINT) AS step FROM ev), "
+            "r(host, step, delay, next_free) AS ("
+            "SELECT DISTINCT host, CAST(0 AS BIGINT), CAST(2.5 AS DOUBLE), CAST(0.0 AS DOUBLE) FROM o "
+            "UNION ALL SELECT r.host, r.step + 1, "
+            "CASE WHEN o.kind = 1 THEN "
+            "CASE WHEN o.val = 200 THEN greatest(CAST(2.5 AS DOUBLE), r.delay * 0.9) "
+            "WHEN o.val = 429 THEN least(CAST(30.0 AS DOUBLE), r.delay * 2.0) "
+            "WHEN o.val >= 500 THEN least(CAST(30.0 AS DOUBLE), r.delay * 1.5) "
+            "ELSE r.delay END ELSE r.delay END, "
+            "CASE WHEN o.kind = 0 THEN r.next_free + o.val * r.delay "
+            "ELSE r.next_free END "
+            "FROM r JOIN o ON o.host = r.host AND o.step = r.step + 1) "
+            "SELECT o.host, o.wave, o.pos AS sub, "
+            "CAST(o.val AS BIGINT) AS n_urls, "
+            "r.next_free AS first_ts, r.delay AS delay "
+            "FROM o JOIN r ON r.host = o.host AND r.step = o.step - 1 "
+            "WHERE o.kind = 0"
         ),
         "docs_lang_filter": (
             "SELECT doc_id, lang, source, n_chars FROM documents "

@@ -870,6 +870,14 @@ class CrawlEngine:
             return t
         return t.take(pa.array(np.sort(first)))
 
+    def politeness_log(self) -> tuple[pa.Table, pa.Table]:
+        """(sched, status) tables of the T5/T6 virtual-time politeness
+        timeline this run produced — see PolitenessPool.oracle_log.
+        Written to Parquet alongside visits, a DuckDB recursive-CTE
+        replay re-derives every first_ts/delay from (n_urls, status)
+        alone (``crawl_politeness_schedule`` in the driver contract)."""
+        return self.politeness.oracle_log()
+
     def shutdown(self) -> None:
         if self.pool is not None:
             self.pool.shutdown()

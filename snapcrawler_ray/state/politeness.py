@@ -150,6 +150,18 @@ class PolitenessPool:
         # {host: [sub-batch sizes]} from the most recent schedule_hosts
         # call (only hosts that exceeded the heavy-hitter threshold)
         self.last_salt: dict[str, list[int]] = {}
+        # Oracle log: one row per POST-SALT schedule entry and one per
+        # reported status, in exact per-host state-transition order
+        # (sched entries of a wave precede its statuses; sub-batches
+        # keep their consecutive order).  A DuckDB recursive-CTE replay
+        # re-derives every first_ts/delay from (n_urls, status) alone —
+        # the T5/T6 adaptive-delay timeline's hard SQL oracle.  Driver
+        # memory is O(scheduled hosts + received statuses) per run; a
+        # RESUMED engine logs only post-resume waves (the oracle crawl
+        # always runs fresh).
+        self._wave = 0
+        self._log_sched: list[tuple[int, str, int, int, float, float]] = []
+        self._log_status: list[tuple[int, str, int, int]] = []
 
     def schedule_hosts(self, hosts: list[str], counts: list[int]) -> dict[str, tuple[float, float]]:
         """-> {host: (first_virtual_ts, per_url_delay)}
@@ -171,10 +183,15 @@ class PolitenessPool:
             cs = [c for c, sh in zip(counts, shard_of) if sh == s]
             if hs:
                 refs.append(self.shards[s].schedule.remote(hs, cs))
-                keys.append(hs)
+                keys.append((hs, cs))
+        self._wave += 1
+        sub_idx: dict[str, int] = {}
         out: dict[str, tuple[float, float]] = {}
-        for hs, res in zip(keys, ray.get(refs)):
-            for h, f, d in zip(hs, res["first_ts"], res["delay"]):
+        for (hs, cs), res in zip(keys, ray.get(refs)):
+            for h, c, f, d in zip(hs, cs, res["first_ts"], res["delay"]):
+                i = sub_idx.get(h, 0)
+                sub_idx[h] = i + 1
+                self._log_sched.append((self._wave, h, i, int(c), f, d))
                 if h not in out:  # first sub-batch owns the host's start
                     out[h] = (f, d)
         return out
@@ -232,6 +249,9 @@ class PolitenessPool:
     def report_hosts(self, hosts: list[str], statuses: list[np.ndarray]) -> None:
         if not hosts:
             return
+        for h, st_arr in zip(hosts, statuses):
+            for pos, code in enumerate(np.asarray(st_arr).tolist()):
+                self._log_status.append((self._wave, h, pos, int(code)))
         shard_of = host_shard(hosts, self.n_shards)
         refs = []
         for s in range(self.n_shards):
@@ -240,6 +260,39 @@ class PolitenessPool:
             if hs:
                 refs.append(self.shards[s].report.remote(hs, ss))
         ray.get(refs)
+
+    def oracle_log(self) -> tuple["object", "object"]:
+        """(sched, status) pyarrow tables of the recorded politeness
+        timeline — the replay inputs + outputs for the SQL oracle.
+        sched: (wave, host, sub, n_urls, first_ts, delay); status:
+        (wave, host, pos, status)."""
+        import pyarrow as pa
+
+        w, h, sub, c, f, d = (
+            zip(*self._log_sched) if self._log_sched else ((),) * 6
+        )
+        sched = pa.table(
+            {
+                "wave": pa.array(w, pa.int64()),
+                "host": pa.array(h, pa.string()),
+                "sub": pa.array(sub, pa.int64()),
+                "n_urls": pa.array(c, pa.int64()),
+                "first_ts": pa.array(f, pa.float64()),
+                "delay": pa.array(d, pa.float64()),
+            }
+        )
+        w2, h2, pos, code = (
+            zip(*self._log_status) if self._log_status else ((),) * 4
+        )
+        status = pa.table(
+            {
+                "wave": pa.array(w2, pa.int64()),
+                "host": pa.array(h2, pa.string()),
+                "pos": pa.array(pos, pa.int64()),
+                "status": pa.array(code, pa.int64()),
+            }
+        )
+        return sched, status
 
     def snapshot(self) -> dict:
         out: dict = {}

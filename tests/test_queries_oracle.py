@@ -923,3 +923,19 @@ def test_dup_spans_join_path_matches_broadcast(ray_session):
     )
     assert len(bc) > 0  # non-vacuous at this SF
     pd.testing.assert_frame_equal(bc, jn, check_dtype=False)
+
+
+def test_politeness_schedule_oracle(contract, con):
+    """T5/T6 adaptive politeness under the hard gate at sf0.001: the
+    DuckDB recursive-CTE replay re-derives every (first_ts, delay)
+    double bit-for-bit from the dumped (n_urls, status) event stream."""
+    qs, oracles = contract
+    ray_df = _canon(_to_pandas(qs["crawl_politeness_schedule"](SF_DIR)))
+    sql = oracles["crawl_politeness_schedule"].replace("sf0.01", "sf0.001")
+    sql_df = _canon(con.sql(sql).df())
+    assert list(ray_df.columns) == list(sql_df.columns)
+    assert len(ray_df) == len(sql_df) and len(ray_df) > 0
+    # the recurrence must actually adapt on this corpus (429/5xx occur)
+    assert ray_df["delay"].nunique() > 1
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
