@@ -650,6 +650,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spans (k-gram seed + gaps-and-islands merge; the per-doc
         # cut list an ExactSubstr pass removes)
         "docs_dup_spans": text.dup_spans,
+        # late r4: bigram conditional surprisal (the KenLM-style
+        # perplexity filter one order up from unigram_surprisal)
+        "docs_bigram_surprisal": text.bigram_surprisal,
         # rows-only (rotated out of the window for
         # crawl_politeness_schedule in late r4): its r02 row exists and
         # its value contract is the r03-green emb_knn_lsh_recall twin
@@ -1780,6 +1783,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM toks t JOIN v ON v.tok = t.tok CROSS JOIN tot) "
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(sum(su) AS BIGINT) AS surprisal_u "
+            "FROM u GROUP BY doc_id"
+        ),
+        "docs_bigram_surprisal": (
+            # bigram MLE LM: per-pair surprisal -ln(c(w1 w2)/c_ctx(w1))
+            # rounded half-away to integer micro-nats, summed per doc
+            # (exact int64 sum — order-free); float op order mirrors
+            # the engine bit-for-bit, as in docs_unigram_surprisal
+            "WITH d AS (SELECT doc_id, regexp_split_to_array("
+            r"trim(text), '\s+') AS toks FROM documents "
+            "WHERE trim(coalesce(text,'')) <> ''), "
+            "t AS (SELECT doc_id, unnest(toks) AS tok, "
+            "generate_subscripts(toks, 1) AS i FROM d), "
+            "g AS (SELECT doc_id, tok AS w1, "
+            "tok || ' ' || lead(tok, 1) OVER w AS gram, "
+            "lead(tok, 1) OVER w IS NOT NULL AS full_gram "
+            "FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY i)), "
+            "b AS (SELECT doc_id, gram, w1 FROM g WHERE full_gram), "
+            "v AS (SELECT gram, CAST(count(*) AS BIGINT) AS c2 "
+            "FROM b GROUP BY gram), "
+            "c AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 "
+            "FROM b GROUP BY w1), "
+            "u AS (SELECT bb.doc_id, CAST(floor(-ln(v.c2 / c.c1) "
+            "* 1000000 + 0.5) AS BIGINT) AS su "
+            "FROM b bb JOIN v ON v.gram = bb.gram "
+            "JOIN c ON c.w1 = bb.w1) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "CAST(sum(su) AS BIGINT) AS surprisal_b "
             "FROM u GROUP BY doc_id"
         ),
         "docs_boilerplate_ngrams": (

@@ -111,7 +111,7 @@ def run_queries(sf_dir: str) -> dict:
         "events_watermark_late",
         "docs_training_corpus", "docs_extended_images",
         "docs_boilerplate_ngrams", "docs_dup_spans",
-        "docs_unigram_surprisal",
+        "docs_unigram_surprisal", "docs_bigram_surprisal",
         "emb_near_dup_exact",
     ]
     out = {}

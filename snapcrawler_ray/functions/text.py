@@ -1378,3 +1378,92 @@ def unigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
         concurrency=(1, 8),
         fn_constructor_kwargs={"ref": ref},
     )
+
+
+def bigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
+    """doc_id, n_bigrams, surprisal_b — conditional language-model
+    scoring, the KenLM-style perplexity filter one order up from
+    :func:`unigram_surprisal`: per-doc Σ −ln p(wᵢ | wᵢ₋₁) over every
+    adjacent token pair, where p = c(wᵢ₋₁ wᵢ) / c_ctx(wᵢ₋₁) is the
+    corpus MLE (c_ctx = occurrences of wᵢ₋₁ as a bigram left context,
+    so every scored pair was seen — no smoothing term to de-SQL the
+    oracle).  Each pair's surprisal is individually rounded half-away
+    to INTEGER MICRO-NATS then summed as int64 — exact in any order,
+    so the distributed sum hash-matches the SQL oracle.  Docs with < 2
+    tokens emit no row.
+
+    Shape: bigram counts fold through a gram-bucketed reduce (the
+    vocabulary never assembles in one place); context counts derive
+    from the bigram table by left-token groupby; the per-gram micro-nat
+    table broadcasts once (``ray.put`` sorted gram array + values — at
+    web scale: min-count pruning before the broadcast, or the
+    :func:`dup_spans` gram-join topology) and every batch scores by
+    ``searchsorted``.  Float op order (int/int div → ln → ×1e6 →
+    floor(+0.5)) mirrors DuckDB bit-for-bit, as in
+    :func:`unigram_surprisal`."""
+    import ray as _ray
+
+    from .agg import bucketed_combine
+
+    def occ_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, grams = _gram_arrays(df["text"], 2)
+        if len(grams) == 0:
+            return pd.DataFrame(
+                {"gram": pd.Series([], dtype=object),
+                 "cnt": pd.Series([], dtype="int64")}
+            )
+        d = pd.DataFrame({"gram": grams})
+        return d.groupby("gram", as_index=False).agg(cnt=("gram", "size"))
+
+    model = (
+        bucketed_combine(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                occ_partial, batch_format="pandas"
+            ),
+            ["gram"],
+            lambda df: df.groupby("gram", as_index=False).agg(
+                cnt=("cnt", "sum")
+            ),
+        )
+        .to_pandas()
+        .sort_values("gram")
+    )
+    # context counts: tokens never contain whitespace (\s+ split), so
+    # the first space splits the bigram unambiguously
+    w1 = model["gram"].str.split(" ", n=1).str[0]
+    c1 = model.groupby(w1)["cnt"].transform("sum").to_numpy(np.int64)
+    c2 = model["cnt"].to_numpy(np.int64)
+    grams_sorted = model["gram"].to_numpy(dtype=object).astype(str)
+    u = np.floor(
+        -np.log(c2.astype(np.float64) / c1.astype(np.float64)) * 1e6 + 0.5
+    ).astype(np.int64)
+    ref = _ray.put((grams_sorted, u))
+
+    class Score:
+        def __init__(self, ref):
+            self.grams, self.u = _ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df)
+            doc_idx, _, grams = _gram_arrays(df["text"], 2)
+            sums = np.zeros(n, dtype=np.int64)
+            n_big = np.zeros(n, dtype=np.int64)
+            if len(grams):
+                pos = np.searchsorted(self.grams, grams.astype(str))
+                np.add.at(sums, doc_idx, self.u[pos])
+                np.add.at(n_big, doc_idx, 1)
+            out = pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(),
+                    "n_bigrams": n_big,
+                    "surprisal_b": sums,
+                }
+            )
+            return out[out["n_bigrams"] > 0]
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Score,
+        batch_format="pandas",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"ref": ref},
+    )

@@ -98,7 +98,7 @@ def test_all_query_names_have_callables(contract):
         "events_hll_registers", "events_range_join",
         "emb_kmeans_fixed", "events_cms_registers", "events_cms_topk",
         "docs_bpe_tokens", "events_watermark_late", "docs_repeated_ngrams",
-        "docs_bottomk_sample", "docs_dup_spans",
+        "docs_bottomk_sample", "docs_dup_spans", "docs_bigram_surprisal",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
