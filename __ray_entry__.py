@@ -653,6 +653,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late r4: bigram conditional surprisal (the KenLM-style
         # perplexity filter one order up from unigram_surprisal)
         "docs_bigram_surprisal": text.bigram_surprisal,
+        # late r4: the ExactSubstr CUT pass (duplicated spans removed
+        # from the token stream; map-only after the dictionary fold)
+        "docs_dup_spans_cut": text.dup_spans_cut,
         # rows-only (rotated out of the window for
         # crawl_politeness_schedule in late r4): its r02 row exists and
         # its value contract is the r03-green emb_knn_lsh_recall twin
@@ -1444,6 +1447,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start, "
             "CAST(max(s) - min(s) + 5 AS BIGINT) AS span_tokens "
             "FROM isl GROUP BY doc_id, grp"
+        ),
+        "docs_dup_spans_cut": (
+            # the cut pass: tokens covered by any duplicated-span
+            # island are dropped, the rest rejoin with single spaces;
+            # islands expand to per-token coverage via generate_series
+            r"WITH t AS (SELECT doc_id, str_split_regex(trim(text), '\s+') "
+            "AS toks FROM documents WHERE trim(coalesce(text,'')) <> ''), "
+            "i AS (SELECT doc_id, toks, "
+            "unnest(generate_series(1, len(toks)-4)) AS s FROM t), "
+            "g AS (SELECT doc_id, s, array_to_string(toks[s:s+4], ' ') "
+            "AS gram FROM i), "
+            "dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g) "
+            "GROUP BY gram HAVING count(*) >= 2), "
+            "p AS (SELECT doc_id, s FROM g WHERE gram IN "
+            "(SELECT gram FROM dup)), "
+            "isl AS (SELECT doc_id, s, s - row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY s) AS grp FROM p), "
+            "spans AS (SELECT doc_id, min(s) AS a, max(s) + 4 AS b "
+            "FROM isl GROUP BY doc_id, grp), "
+            "cover AS (SELECT DISTINCT doc_id, "
+            "unnest(generate_series(a, b)) AS ci FROM spans), "
+            "tok AS (SELECT doc_id, unnest(toks) AS tok, "
+            "generate_subscripts(toks, 1) AS ti FROM t), "
+            "keep AS (SELECT tk.doc_id, tk.tok, tk.ti FROM tok tk "
+            "LEFT JOIN cover c ON c.doc_id = tk.doc_id AND c.ci = tk.ti "
+            "WHERE c.ci IS NULL), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens "
+            "FROM tok GROUP BY doc_id), "
+            "kept AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) "
+            "AS clean_text, CAST(count(*) AS BIGINT) AS n_kept "
+            "FROM keep GROUP BY doc_id) "
+            "SELECT a.doc_id, coalesce(k.clean_text, '') AS clean_text, "
+            "CAST(a.n_tokens - coalesce(k.n_kept, 0) AS BIGINT) "
+            "AS n_removed "
+            "FROM agg a LEFT JOIN kept k ON k.doc_id = a.doc_id"
         ),
         "docs_repeated_ngrams": (
             # n_dup = grams beyond their first in-doc occurrence

@@ -1146,6 +1146,38 @@ def _merge_islands(d: np.ndarray, p: np.ndarray, k: int) -> pd.DataFrame:
     )
 
 
+def _dup_gram_dict(
+    sf_dir: str, k: int, min_df: int
+) -> "ray.data.Dataset":
+    """Materialized Dataset of token k-grams occurring in ≥ ``min_df``
+    DISTINCT documents — the duplicated-gram dictionary shared by
+    :func:`dup_spans` and :func:`dup_spans_cut` (gram-bucketed reduce
+    over distinct (gram, doc) partials, the boilerplate topology)."""
+    from .agg import bucketed_combine
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, _, grams = _gram_arrays(df["text"], k)
+        if len(grams) == 0:
+            return pd.DataFrame(
+                {"gram": pd.Series([], dtype=object),
+                 "df_docs": pd.Series([], dtype="int64")}
+            )
+        ex = pd.DataFrame({"i": doc_idx, "gram": grams}).drop_duplicates()
+        return ex.groupby("gram", as_index=False).agg(df_docs=("i", "size"))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gram", as_index=False).agg(df_docs=("df_docs", "sum"))
+        return g.loc[g["df_docs"] >= min_df, ["gram"]]
+
+    return bucketed_combine(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["gram"],
+        combine,
+    ).materialize()
+
+
 def dup_spans(
     sf_dir: str,
     k: int = 5,
@@ -1182,29 +1214,7 @@ def dup_spans(
     islands merge inside a doc-bucketed reduce — two shuffles, the
     honest topology when the dictionary outgrows a broadcast; equality
     with the broadcast path is pinned by a forced-low-threshold test."""
-    from .agg import bucketed_combine
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        doc_idx, _, grams = _gram_arrays(df["text"], k)
-        if len(grams) == 0:
-            return pd.DataFrame(
-                {"gram": pd.Series([], dtype=object),
-                 "df_docs": pd.Series([], dtype="int64")}
-            )
-        ex = pd.DataFrame({"i": doc_idx, "gram": grams}).drop_duplicates()
-        return ex.groupby("gram", as_index=False).agg(df_docs=("i", "size"))
-
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("gram", as_index=False).agg(df_docs=("df_docs", "sum"))
-        return g.loc[g["df_docs"] >= min_df, ["gram"]]
-
-    dict_ds = bucketed_combine(
-        _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            partial, batch_format="pandas"
-        ),
-        ["gram"],
-        combine,
-    ).materialize()
+    dict_ds = _dup_gram_dict(sf_dir, k, min_df)
     limit = 1_000_000 if max_broadcast_grams is None else max_broadcast_grams
     if dict_ds.count() > limit:
         return _dup_spans_join_path(sf_dir, dict_ds, k)
@@ -1295,6 +1305,82 @@ def _dup_spans_join_path(
         )
 
     return bucketed_combine(joined, ["doc_id"], island_combine)
+
+
+def dup_spans_cut(
+    sf_dir: str, k: int = 5, min_df: int = 2
+) -> "ray.data.Dataset":
+    """doc_id, clean_text, n_removed — the ExactSubstr CUT pass: the
+    token stream of every non-blank document with the spans
+    :func:`dup_spans` reports removed, rejoined with single spaces
+    (the cut operates on the token stream, so whitespace is
+    normalized), plus the count of removed tokens.  A document whose
+    every token is covered emits ``clean_text = ''``.
+
+    Shape: the shared df ≥ min_df gram dictionary broadcasts once;
+    the cut is then MAP-ONLY — per batch, a difference-array coverage
+    mask (+1 at each duplicated gram start, −1 past its end, running
+    sum > 0 = covered; islands never cross documents, so ranges stay
+    in-doc) marks tokens vectorized, and the per-doc rejoin is one
+    pandas groupby-join.  Zero shuffle; the whole corpus streams."""
+
+    dict_ds = _dup_gram_dict(sf_dir, k, min_df)
+    vocab = np.sort(dict_ds.to_pandas()["gram"].to_numpy(dtype=object))
+    ref = ray.put(vocab)
+
+    class CutStage:
+        def __init__(self, ref, k):
+            self.vocab = ray.get(ref)
+            self.k = k
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["text"].fillna("").str.strip() != ""]
+            n = len(df)
+            if n == 0:
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "clean_text": pd.Series([], dtype=object),
+                        "n_removed": pd.Series([], dtype="int64"),
+                    }
+                )
+            flat, lens = _token_lists(df["text"])
+            doc_idx, pos, grams = _gram_arrays(df["text"], self.k)
+            doc_off = np.concatenate([[0], np.cumsum(lens)])[:-1]
+            covered = np.zeros(len(flat), dtype=bool)
+            if len(grams) and len(self.vocab):
+                j = np.searchsorted(self.vocab, grams)
+                j = np.clip(j, 0, len(self.vocab) - 1)
+                m = self.vocab[j] == grams
+                if m.any():
+                    starts = doc_off[doc_idx[m]] + pos[m] - 1
+                    delta = np.zeros(len(flat) + self.k, dtype=np.int64)
+                    np.add.at(delta, starts, 1)
+                    np.add.at(delta, starts + self.k, -1)
+                    covered = np.cumsum(delta[: len(flat)]) > 0
+            tok_doc = np.repeat(np.arange(n), lens)
+            kept = pd.DataFrame(
+                {"i": tok_doc[~covered], "tok": flat[~covered]}
+            )
+            joined = kept.groupby("i")["tok"].agg(" ".join)
+            clean = np.full(n, "", dtype=object)
+            clean[joined.index.to_numpy()] = joined.to_numpy()
+            removed = np.zeros(n, dtype=np.int64)
+            np.add.at(removed, tok_doc[covered], 1)
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(np.int64),
+                    "clean_text": clean,
+                    "n_removed": removed,
+                }
+            )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        CutStage,
+        batch_format="pandas",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"ref": ref, "k": k},
+    )
 
 
 def unigram_surprisal(sf_dir: str) -> "ray.data.Dataset":

@@ -99,6 +99,7 @@ def test_all_query_names_have_callables(contract):
         "emb_kmeans_fixed", "events_cms_registers", "events_cms_topk",
         "docs_bpe_tokens", "events_watermark_late", "docs_repeated_ngrams",
         "docs_bottomk_sample", "docs_dup_spans", "docs_bigram_surprisal",
+        "docs_dup_spans_cut",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
@@ -939,3 +940,39 @@ def test_politeness_schedule_oracle(contract, con):
     assert ray_df["delay"].nunique() > 1
     pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False,
                                   check_exact=False, rtol=0, atol=1e-9)
+
+
+def test_dup_spans_cut_crafted(ray_session, tmp_path):
+    """Cut semantics on the crafted corpus: covered tokens drop, the
+    rest rejoin with single spaces, a fully-covered doc yields ''."""
+    import pyarrow.parquet as pq
+
+    from snapcrawler_ray.functions import text
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e x y z",  # span tokens 1-5 cut -> "x y z"
+                    "q a b c d e r",    # span tokens 2-6 cut -> "q r"
+                    "a b c d e",        # fully covered -> ""
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = (
+        text.dup_spans_cut(str(tmp_path), k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expect = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 2, 3], dtype="int64"),
+            "clean_text": ["x y z", "q r", ""],
+            "n_removed": pd.Series([5, 5, 5], dtype="int64"),
+        }
+    )
+    pd.testing.assert_frame_equal(out, expect, check_dtype=False)
