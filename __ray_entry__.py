@@ -656,6 +656,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late r4: the ExactSubstr CUT pass (duplicated spans removed
         # from the token stream; map-only after the dictionary fold)
         "docs_dup_spans_cut": text.dup_spans_cut,
+        # late r4: the published Gopher quality rules as one map-only
+        # filter (token bounds, mean word length, alpha fraction,
+        # symbol ratio — rounded before compare, SQL-oracled)
+        "docs_gopher_rules": text.gopher_rules,
         # rows-only (rotated out of the window for
         # crawl_politeness_schedule in late r4): its r02 row exists and
         # its value contract is the r03-green emb_knn_lsh_recall twin
@@ -1447,6 +1451,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start, "
             "CAST(max(s) - min(s) + 5 AS BIGINT) AS span_tokens "
             "FROM isl GROUP BY doc_id, grp"
+        ),
+        "docs_gopher_rules": (
+            # Gopher §A1.1 rules: ratios rounded half-away to 4dp
+            # before the threshold compare (round() is half-away in
+            # DuckDB), '...' counted non-overlapping via replace-length
+            r"WITH d AS (SELECT doc_id, trim(text) AS tx, "
+            r"str_split_regex(trim(text), '\s+') AS toks FROM documents "
+            "WHERE trim(coalesce(text,'')) <> ''), "
+            "t AS (SELECT doc_id, unnest(toks) AS tok FROM d), "
+            "a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(length(tok)) AS BIGINT) AS chars, "
+            "CAST(sum(CASE WHEN regexp_matches(tok, '[A-Za-z]') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha "
+            "FROM t GROUP BY doc_id), "
+            "s AS (SELECT doc_id, "
+            "CAST(length(tx) - length(replace(tx, '#', '')) + "
+            "(length(tx) - length(replace(tx, '...', ''))) / 3 "
+            "AS BIGINT) AS n_sym FROM d), "
+            "m AS (SELECT a.doc_id, a.n_tokens, "
+            "round(a.chars / a.n_tokens, 4) AS mean_word_len, "
+            "round(a.n_alpha / a.n_tokens, 4) AS alpha_frac, "
+            "round(s.n_sym / a.n_tokens, 4) AS sym_ratio "
+            "FROM a JOIN s ON s.doc_id = a.doc_id) "
+            "SELECT doc_id, n_tokens, mean_word_len, alpha_frac, "
+            "sym_ratio, (n_tokens >= 50 AND n_tokens <= 100000 "
+            "AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 "
+            "AND alpha_frac >= 0.8 AND sym_ratio <= 0.1) AS keep FROM m"
         ),
         "docs_dup_spans_cut": (
             # the cut pass: tokens covered by any duplicated-span

@@ -186,6 +186,75 @@ def bottomk_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
     )
 
 
+def gopher_rules(sf_dir: str) -> "ray.data.Dataset":
+    """doc_id, n_tokens, mean_word_len, alpha_frac, sym_ratio, keep —
+    the published Gopher repetition-free quality rules (Rae et al. 2021
+    §A1.1) as one map-only filter: token count bounds [50, 100000],
+    mean word length in [3, 10], ≥80% of words containing an alphabetic
+    character, and a ≤10% symbol-to-word ratio ('#' characters plus
+    non-overlapping '...' occurrences).  All ratios are rounded
+    half-away to 4 decimals BEFORE the threshold compare, so the
+    boolean is deterministic and the whole row sits behind the SQL
+    oracle.  Blank docs emit no row.  Vectorized flat-token kernels,
+    zero shuffle — streams at any corpus size."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].fillna("").str.strip() != ""]
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "mean_word_len": pd.Series([], dtype="float64"),
+                    "alpha_frac": pd.Series([], dtype="float64"),
+                    "sym_ratio": pd.Series([], dtype="float64"),
+                    "keep": pd.Series([], dtype=bool),
+                }
+            )
+        t = df["text"].str.strip()
+        flat, lens = _token_lists(t)
+        doc_idx = np.repeat(np.arange(n), lens)
+        s = pd.Series(flat, dtype=object)
+        chars = np.zeros(n, dtype=np.int64)
+        np.add.at(chars, doc_idx, s.str.len().to_numpy(np.int64))
+        alpha = np.zeros(n, dtype=np.int64)
+        np.add.at(
+            alpha,
+            doc_idx,
+            s.str.contains("[A-Za-z]", regex=True).to_numpy(np.int64),
+        )
+        n_sym = (
+            t.str.count("#") + t.str.count(r"\.\.\.")
+        ).to_numpy(np.int64)
+        n_tok = lens.astype(np.int64)
+        mwl = round4_half_away(chars.astype(np.float64) / n_tok)
+        af = round4_half_away(alpha.astype(np.float64) / n_tok)
+        sr = round4_half_away(n_sym.astype(np.float64) / n_tok)
+        keep = (
+            (n_tok >= 50)
+            & (n_tok <= 100_000)
+            & (mwl >= 3.0)
+            & (mwl <= 10.0)
+            & (af >= 0.8)
+            & (sr <= 0.1)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tokens": n_tok,
+                "mean_word_len": mwl,
+                "alpha_frac": af,
+                "sym_ratio": sr,
+                "keep": keep,
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
 def round4_half_away(x) -> np.ndarray:
     """Round to 4 decimals, ties away from zero — DuckDB ``round(x, 4)``
     semantics (numpy/pandas ``round`` is half-to-even; a quality value
