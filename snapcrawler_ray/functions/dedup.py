@@ -637,6 +637,100 @@ def simhashes(sf_dir: str) -> "ray.data.Dataset":
     ).map_batches(f, batch_format="pandas")
 
 
+def simhash_pairs(
+    sf_dir: str, max_hamming: int = 3, n_bands: int = 4
+) -> "ray.data.Dataset":
+    """doc_a, doc_b, hamming — SimHash near-duplicate pairs, completing
+    the SimHash family from signature to usable dedup: candidate pairs
+    come from ``n_bands`` 16-bit signature bands (two docs collide when
+    any band is bit-identical), then the exact Hamming distance of the
+    full 64-bit signatures keeps pairs ≤ ``max_hamming``.  Recall is
+    EXACT by pigeonhole — ≤ ``n_bands − 1`` differing bits touch at
+    most ``n_bands − 1`` bands, leaving at least one band equal — so
+    this is a lossless index, not an approximation (asserted:
+    ``max_hamming ≤ n_bands − 1``).
+
+    Shape: map-only band explode (4 rows per doc), one (band, key)
+    bucketed reduce emitting in-bucket pairs (identical-content
+    clusters of size m cost m²/2 pairs inside one bucket — the same
+    skew note as MinHash banding), and a final pair-keyed bucketed
+    DISTINCT (a pair colliding in several bands must count once).  No
+    driver-side pair state."""
+    assert max_hamming <= n_bands - 1, "pigeonhole recall needs ham < bands"
+    from .agg import bucketed_combine
+
+    sig = simhashes(sf_dir)
+
+    def band_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["simhash"].to_numpy(np.int64).view(np.uint64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        outs = []
+        for j in range(n_bands):
+            key = ((u >> np.uint64(16 * j)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "band": np.int64(j),
+                        "key": key,
+                        "doc_id": ids,
+                        "sig": u.view(np.int64),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    def _popcount64(x: np.ndarray) -> np.ndarray:
+        return (
+            np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+
+    def pair_combine(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for _, g in df.groupby(["band", "key"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id", kind="mergesort")
+            ids = g["doc_id"].to_numpy(np.int64)
+            sigs = g["sig"].to_numpy(np.int64).view(np.uint64)
+            ia, ib = np.triu_indices(len(g), 1)
+            ham = _popcount64(np.bitwise_xor(sigs[ia], sigs[ib]))
+            m = ham <= max_hamming
+            out_a.append(ids[ia[m]])
+            out_b.append(ids[ib[m]])
+            out_h.append(ham[m])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
+
+    cand = bucketed_combine(
+        sig.map_batches(band_partial, batch_format="pandas"),
+        ["band", "key"],
+        pair_combine,
+    )
+    # distinct across bands: same pair from different bands folds once
+    return bucketed_combine(
+        cand,
+        ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+    )
+
+
 # -------------------------------------------------- corpus cleansing
 
 def clean_corpus_keep(

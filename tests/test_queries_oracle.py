@@ -99,7 +99,7 @@ def test_all_query_names_have_callables(contract):
         "emb_kmeans_fixed", "events_cms_registers", "events_cms_topk",
         "docs_bpe_tokens", "events_watermark_late", "docs_repeated_ngrams",
         "docs_bottomk_sample", "docs_dup_spans", "docs_bigram_surprisal",
-        "docs_dup_spans_cut", "docs_gopher_rules",
+        "docs_dup_spans_cut", "docs_gopher_rules", "docs_simhash_pairs",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
