@@ -663,6 +663,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late r4: SimHash near-dup PAIRS (banded 16-bit buckets +
         # exact Hamming verify; pigeonhole-exact recall at ham<=3)
         "docs_simhash_pairs": dedup.simhash_pairs,
+        # ... and its keep-list (connected components, keep = min)
+        "docs_simhash_keep": dedup.simhash_keep,
         # rows-only (rotated out of the window for
         # crawl_politeness_schedule in late r4): its r02 row exists and
         # its value contract is the r03-green emb_knn_lsh_recall twin
@@ -1165,6 +1167,32 @@ def oracle_sql() -> dict[str, str]:
     # exact-Jaccard-verified).  Docs with
     # <3 tokens contribute their whole text as the single shingle, as in
     # dedup._shingle_hashes.
+    # SimHash near-dup pairs at Hamming <= 3 over the shared SimHash
+    # basis: the sig CTE is docs_simhash's, then an all-pairs bit_count
+    # join (the engine's banded index is a lossless pigeonhole
+    # accelerator of exactly this predicate).  Shared by
+    # docs_simhash_pairs and docs_simhash_keep.
+    simhash_pairs_sql = (
+        "WITH toks AS (SELECT doc_id, "
+        r"unnest(regexp_split_to_array(trim(coalesce(text,'')), '\s+')) "
+        "AS tok FROM documents WHERE trim(coalesce(text,'')) <> ''), "
+        "h AS (SELECT doc_id, "
+        "CAST(concat('0x', substr(md5(tok),1,16)) AS UBIGINT) AS hv "
+        "FROM toks), "
+        "bits AS (SELECT doc_id, b, "
+        "CASE WHEN sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) "
+        "> 0 THEN 1 ELSE 0 END AS bit "
+        "FROM h CROSS JOIN unnest(generate_series(0, 63)) AS t(b) "
+        "GROUP BY doc_id, b), "
+        "s AS (SELECT doc_id, sum(CAST(bit AS HUGEINT) * "
+        "(CAST(1 AS HUGEINT) << b)) AS v FROM bits GROUP BY doc_id), "
+        "sig AS (SELECT d.doc_id, CAST(coalesce(s.v, 0) AS UBIGINT) "
+        "AS u FROM documents d LEFT JOIN s USING (doc_id)) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.u, b.u)) AS BIGINT) AS hamming "
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.u, b.u)) <= 3"
+    )
     jaccard_pairs = (
         "WITH t AS (SELECT doc_id, "
         r"regexp_split_to_array(trim(coalesce(text,'')), '\s+') AS tk "
@@ -1819,30 +1847,20 @@ def oracle_sql() -> dict[str, str]:
             "18446744073709551616 ELSE coalesce(s.v, 0) END AS BIGINT) "
             "AS simhash FROM documents d LEFT JOIN s USING (doc_id)"
         ),
-        "docs_simhash_pairs": (
-            # pairs at Hamming <= 3 over the shared SimHash basis: the
-            # sig CTE is docs_simhash's, then an all-pairs bit_count
-            # join (the engine's banded index is a lossless pigeonhole
-            # accelerator of exactly this predicate)
-            "WITH toks AS (SELECT doc_id, "
-            r"unnest(regexp_split_to_array(trim(coalesce(text,'')), '\s+')) "
-            "AS tok FROM documents WHERE trim(coalesce(text,'')) <> ''), "
-            "h AS (SELECT doc_id, "
-            "CAST(concat('0x', substr(md5(tok),1,16)) AS UBIGINT) AS hv "
-            "FROM toks), "
-            "bits AS (SELECT doc_id, b, "
-            "CASE WHEN sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) "
-            "> 0 THEN 1 ELSE 0 END AS bit "
-            "FROM h CROSS JOIN unnest(generate_series(0, 63)) AS t(b) "
-            "GROUP BY doc_id, b), "
-            "s AS (SELECT doc_id, sum(CAST(bit AS HUGEINT) * "
-            "(CAST(1 AS HUGEINT) << b)) AS v FROM bits GROUP BY doc_id), "
-            "sig AS (SELECT d.doc_id, CAST(coalesce(s.v, 0) AS UBIGINT) "
-            "AS u FROM documents d LEFT JOIN s USING (doc_id)) "
-            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-            "CAST(bit_count(xor(a.u, b.u)) AS BIGINT) AS hamming "
-            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
-            "WHERE bit_count(xor(a.u, b.u)) <= 3"
+        "docs_simhash_pairs": simhash_pairs_sql,
+        "docs_simhash_keep": (
+            # connected components over the SimHash pair graph
+            # (transitive closure; keep = component min doc_id) —
+            # same recursive-CTE shape as docs_neardup_keep
+            "WITH RECURSIVE p AS ("
+            "SELECT doc_a AS va, doc_b AS vb FROM (" + simhash_pairs_sql
+            + ")), edges AS ("
+            "SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p"
+            "), reach(node, other) AS ("
+            "SELECT a, b FROM edges "
+            "UNION SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other"
+            ") SELECT node AS doc_id, least(node, min(other)) AS keep_id "
+            "FROM reach GROUP BY node"
         ),
         "events_daily_anomalies": (
             # |z| >= 2 daily-count outliers per event type; mean/var

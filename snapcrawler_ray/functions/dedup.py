@@ -731,6 +731,22 @@ def simhash_pairs(
     )
 
 
+def simhash_keep(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """doc_id, keep_id — keep/drop list over the :func:`simhash_pairs`
+    graph: connected components, keep = component min doc_id (the
+    SimHash twin of :func:`doc_neardup_keep`; transitive chains a~b,
+    b~c collapse to one keeper).  Union-find runs on the PAIR LIST —
+    the driver-sized result of the distributed banded index — with
+    :func:`connected_components_distributed` as the same escape hatch
+    the MinHash keep names for pair lists that outgrow one node."""
+    pairs = (
+        simhash_pairs(sf_dir, max_hamming)
+        .to_pandas()
+        .rename(columns={"doc_a": "vec_a", "doc_b": "vec_b"})
+    )
+    return _unionfind_keep(pairs, "doc_id")
+
+
 # -------------------------------------------------- corpus cleansing
 
 def clean_corpus_keep(
