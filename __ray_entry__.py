@@ -67,7 +67,12 @@ def _run_crawl(sf_dir: str):
     key = str(_sf_of(sf_dir))
     if key in _CRAWL_CACHE:
         return _CRAWL_CACHE[key]
-    from snapcrawler_ray.config import CrawlConfig, CrawlLimits, ImageFilterConfig
+    from snapcrawler_ray.config import (
+        CrawlConfig,
+        CrawlLimits,
+        ImageFilterConfig,
+        PolitenessConfig,
+    )
     from snapcrawler_ray.pipelines.crawl import CrawlEngine
     from snapcrawler_ray.sources.corpus import seeds_for
 
@@ -79,6 +84,8 @@ def _run_crawl(sf_dir: str):
         images=ImageFilterConfig(
             deduplication=True, watermark_enabled=True, watermark_sensitivity=15
         ),
+        # opt-in event log for the crawl_politeness_schedule oracle
+        politeness=PolitenessConfig(oracle_log=True),
     )
     eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets, mode="exact")
     try:
@@ -1410,13 +1417,13 @@ def oracle_sql() -> dict[str, str]:
             f"'{_oracle_tbl_dir('sf0.01')}/polite_sched.parquet')), "
             "st AS (SELECT * FROM read_parquet("
             f"'{_oracle_tbl_dir('sf0.01')}/polite_status.parquet')), "
-            "ev AS (SELECT host, wave, 0 AS kind, sub AS pos, "
+            "ev AS (SELECT seq, host, wave, 0 AS kind, sub AS pos, "
             "CAST(n_urls AS DOUBLE) AS val FROM sc "
-            "UNION ALL SELECT host, wave, 1, pos, "
+            "UNION ALL SELECT seq, host, wave, 1, pos, "
             "CAST(status AS DOUBLE) FROM st), "
             "o AS (SELECT host, wave, kind, pos, val, "
             "CAST(row_number() OVER (PARTITION BY host "
-            "ORDER BY wave, kind, pos) AS BIGINT) AS step FROM ev), "
+            "ORDER BY seq) AS BIGINT) AS step FROM ev), "
             "r(host, step, delay, next_free) AS ("
             "SELECT DISTINCT host, CAST(0 AS BIGINT), CAST(2.5 AS DOUBLE), CAST(0.0 AS DOUBLE) FROM o "
             "UNION ALL SELECT r.host, r.step + 1, "

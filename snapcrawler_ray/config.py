@@ -60,6 +60,11 @@ class PolitenessConfig:
     # Scale knob: hosts with more than this many frontier URLs in one
     # round get salted splits (SURVEY.md §4 skew row).
     heavy_hitter_threshold: int = 512
+    # Opt-in: record the per-sub-batch schedule + per-status event
+    # stream for the crawl_politeness_schedule SQL oracle.  OFF by
+    # default — the log is O(total URLs) driver memory, which ordinary
+    # crawls must not pay.
+    oracle_log: bool = False
 
 
 @dataclass

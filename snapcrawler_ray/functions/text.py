@@ -297,16 +297,20 @@ def _token_lists(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _gram_arrays(
-    texts: pd.Series, k: int
+    texts: pd.Series,
+    k: int,
+    tokens: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(doc_idx, pos, grams): every token ``k``-gram of every row as a
     ' '-joined string, with its batch row index and its 1-BASED in-doc
     start position (= the DuckDB ``generate_series`` subscript the SQL
     oracles use).  Rows with < k tokens contribute nothing.  Flat
     stride arithmetic over the batch token array — no per-token python
-    loop; output is sorted by (doc_idx, pos) by construction."""
+    loop; output is sorted by (doc_idx, pos) by construction.  Pass
+    ``tokens=(flat, lens)`` when the caller already tokenized the batch
+    (avoids a second regex split over every document)."""
     n = len(texts)
-    flat, lens = _token_lists(texts)
+    flat, lens = tokens if tokens is not None else _token_lists(texts)
     n_grams = np.maximum(0, lens - k + 1)
     total = int(n_grams.sum())
     if total == 0:
@@ -1160,18 +1164,8 @@ def boilerplate_ngrams(
     10^9-doc gram vocabulary never assembles in one place."""
     from .agg import bucketed_combine
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        doc_idx, _, grams = _gram_arrays(df["text"], k)
-        if len(grams) == 0:
-            return pd.DataFrame(
-                {"gram": pd.Series([], dtype=object),
-                 "df_docs": pd.Series([], dtype="int64")}
-            )
-        ex = pd.DataFrame({"i": doc_idx, "gram": grams}).drop_duplicates()
-        return ex.groupby("gram", as_index=False).agg(df_docs=("i", "size"))
-
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        partial, batch_format="pandas"
+        lambda df: _gram_df_partial(df["text"], k), batch_format="pandas"
     )
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
@@ -1215,36 +1209,56 @@ def _merge_islands(d: np.ndarray, p: np.ndarray, k: int) -> pd.DataFrame:
     )
 
 
+def _gram_df_partial(texts: pd.Series, k: int) -> pd.DataFrame:
+    """Per-batch (gram, df_docs) partial: distinct-per-document token
+    k-grams counted within the batch — summable across batches because
+    a document never splits across batches.  Shared by
+    :func:`boilerplate_ngrams` and :func:`_dup_gram_dict` so the
+    oracle-critical gram df-count has one definition."""
+    doc_idx, _, grams = _gram_arrays(texts, k)
+    if len(grams) == 0:
+        return pd.DataFrame(
+            {"gram": pd.Series([], dtype=object),
+             "df_docs": pd.Series([], dtype="int64")}
+        )
+    ex = pd.DataFrame({"i": doc_idx, "gram": grams}).drop_duplicates()
+    return ex.groupby("gram", as_index=False).agg(df_docs=("i", "size"))
+
+
+# (sf_dir, k, min_df) → materialized dictionary Dataset: dup_spans and
+# dup_spans_cut in one session (bench runs both) share one fold instead
+# of re-running the corpus-wide distinct-(gram, doc) shuffle.
+_DUP_DICT_CACHE: dict[tuple[str, int, int], "ray.data.Dataset"] = {}
+
+
 def _dup_gram_dict(
     sf_dir: str, k: int, min_df: int
 ) -> "ray.data.Dataset":
     """Materialized Dataset of token k-grams occurring in ≥ ``min_df``
     DISTINCT documents — the duplicated-gram dictionary shared by
     :func:`dup_spans` and :func:`dup_spans_cut` (gram-bucketed reduce
-    over distinct (gram, doc) partials, the boilerplate topology)."""
+    over distinct (gram, doc) partials, the boilerplate topology;
+    memoized per (sf_dir, k, min_df))."""
     from .agg import bucketed_combine
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        doc_idx, _, grams = _gram_arrays(df["text"], k)
-        if len(grams) == 0:
-            return pd.DataFrame(
-                {"gram": pd.Series([], dtype=object),
-                 "df_docs": pd.Series([], dtype="int64")}
-            )
-        ex = pd.DataFrame({"i": doc_idx, "gram": grams}).drop_duplicates()
-        return ex.groupby("gram", as_index=False).agg(df_docs=("i", "size"))
+    key = (sf_dir, k, min_df)
+    if key in _DUP_DICT_CACHE:
+        return _DUP_DICT_CACHE[key]
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("gram", as_index=False).agg(df_docs=("df_docs", "sum"))
         return g.loc[g["df_docs"] >= min_df, ["gram"]]
 
-    return bucketed_combine(
+    out = bucketed_combine(
         _docs(sf_dir, ["doc_id", "text"]).map_batches(
-            partial, batch_format="pandas"
+            lambda df: _gram_df_partial(df["text"], k),
+            batch_format="pandas",
         ),
         ["gram"],
         combine,
     ).materialize()
+    _DUP_DICT_CACHE[key] = out
+    return out
 
 
 def dup_spans(
@@ -1414,7 +1428,9 @@ def dup_spans_cut(
                     }
                 )
             flat, lens = _token_lists(df["text"])
-            doc_idx, pos, grams = _gram_arrays(df["text"], self.k)
+            doc_idx, pos, grams = _gram_arrays(
+                df["text"], self.k, tokens=(flat, lens)
+            )
             doc_off = np.concatenate([[0], np.cumsum(lens)])[:-1]
             covered = np.zeros(len(flat), dtype=bool)
             if len(grams) and len(self.vocab):
@@ -1512,7 +1528,15 @@ def unigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
             doc_idx = np.repeat(np.arange(n), lens)
             keep = flat != ""
             doc_idx, flat = doc_idx[keep], flat[keep]
-            pos = np.searchsorted(self.toks, flat.astype(str))
+            flat = flat.astype(str)
+            pos = np.clip(
+                np.searchsorted(self.toks, flat), 0, len(self.toks) - 1
+            )
+            if len(flat) and not (self.toks[pos] == flat).all():
+                # the model is built from the same corpus, so every
+                # scored token must be in it — fail loud, never charge
+                # a neighboring token's surprisal
+                raise ValueError("unigram LM lookup miss: model/corpus skew")
             su = self.u[pos]
             sums = np.zeros(n, dtype=np.int64)
             np.add.at(sums, doc_idx, su)
@@ -1604,7 +1628,16 @@ def bigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
             sums = np.zeros(n, dtype=np.int64)
             n_big = np.zeros(n, dtype=np.int64)
             if len(grams):
-                pos = np.searchsorted(self.grams, grams.astype(str))
+                g = grams.astype(str)
+                pos = np.clip(
+                    np.searchsorted(self.grams, g), 0, len(self.grams) - 1
+                )
+                if not (self.grams[pos] == g).all():
+                    # same-corpus model: every scored bigram was seen —
+                    # fail loud instead of mis-charging a neighbor
+                    raise ValueError(
+                        "bigram LM lookup miss: model/corpus skew"
+                    )
                 np.add.at(sums, doc_idx, self.u[pos])
                 np.add.at(n_big, doc_idx, 1)
             out = pd.DataFrame(

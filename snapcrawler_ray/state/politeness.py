@@ -150,18 +150,20 @@ class PolitenessPool:
         # {host: [sub-batch sizes]} from the most recent schedule_hosts
         # call (only hosts that exceeded the heavy-hitter threshold)
         self.last_salt: dict[str, list[int]] = {}
-        # Oracle log: one row per POST-SALT schedule entry and one per
-        # reported status, in exact per-host state-transition order
-        # (sched entries of a wave precede its statuses; sub-batches
-        # keep their consecutive order).  A DuckDB recursive-CTE replay
-        # re-derives every first_ts/delay from (n_urls, status) alone —
-        # the T5/T6 adaptive-delay timeline's hard SQL oracle.  Driver
-        # memory is O(scheduled hosts + received statuses) per run; a
-        # RESUMED engine logs only post-resume waves (the oracle crawl
-        # always runs fresh).
+        # Oracle log (OPT-IN via cfg.oracle_log — it is O(total URLs)
+        # driver memory, so ordinary crawls skip it): one row per
+        # POST-SALT schedule entry and one per reported status, each
+        # stamped with a pool-monotonic event sequence number ``seq``
+        # that IS the per-host replay order (robust by construction —
+        # no reliance on one-report-per-wave).  A DuckDB recursive-CTE
+        # replay re-derives every first_ts/delay from (n_urls, status)
+        # alone — the T5/T6 adaptive-delay timeline's hard SQL oracle.
+        # A RESUMED engine logs only post-resume waves (the oracle
+        # crawl always runs fresh).
         self._wave = 0
-        self._log_sched: list[tuple[int, str, int, int, float, float]] = []
-        self._log_status: list[tuple[int, str, int, int]] = []
+        self._ev_seq = 0
+        self._log_sched: list[tuple[int, int, str, int, int, float, float]] = []
+        self._log_status: list[tuple[int, int, str, int, int]] = []
 
     def schedule_hosts(self, hosts: list[str], counts: list[int]) -> dict[str, tuple[float, float]]:
         """-> {host: (first_virtual_ts, per_url_delay)}
@@ -189,9 +191,13 @@ class PolitenessPool:
         out: dict[str, tuple[float, float]] = {}
         for (hs, cs), res in zip(keys, ray.get(refs)):
             for h, c, f, d in zip(hs, cs, res["first_ts"], res["delay"]):
-                i = sub_idx.get(h, 0)
-                sub_idx[h] = i + 1
-                self._log_sched.append((self._wave, h, i, int(c), f, d))
+                if self.cfg.oracle_log:
+                    i = sub_idx.get(h, 0)
+                    sub_idx[h] = i + 1
+                    self._ev_seq += 1
+                    self._log_sched.append(
+                        (self._ev_seq, self._wave, h, i, int(c), f, d)
+                    )
                 if h not in out:  # first sub-batch owns the host's start
                     out[h] = (f, d)
         return out
@@ -249,9 +255,13 @@ class PolitenessPool:
     def report_hosts(self, hosts: list[str], statuses: list[np.ndarray]) -> None:
         if not hosts:
             return
-        for h, st_arr in zip(hosts, statuses):
-            for pos, code in enumerate(np.asarray(st_arr).tolist()):
-                self._log_status.append((self._wave, h, pos, int(code)))
+        if self.cfg.oracle_log:
+            for h, st_arr in zip(hosts, statuses):
+                for pos, code in enumerate(np.asarray(st_arr).tolist()):
+                    self._ev_seq += 1
+                    self._log_status.append(
+                        (self._ev_seq, self._wave, h, pos, int(code))
+                    )
         shard_of = host_shard(hosts, self.n_shards)
         refs = []
         for s in range(self.n_shards):
@@ -263,16 +273,24 @@ class PolitenessPool:
 
     def oracle_log(self) -> tuple["object", "object"]:
         """(sched, status) pyarrow tables of the recorded politeness
-        timeline — the replay inputs + outputs for the SQL oracle.
-        sched: (wave, host, sub, n_urls, first_ts, delay); status:
-        (wave, host, pos, status)."""
+        timeline — the replay inputs + outputs for the SQL oracle
+        (requires ``cfg.oracle_log``).  sched: (seq, wave, host, sub,
+        n_urls, first_ts, delay); status: (seq, wave, host, pos,
+        status).  ``seq`` is the pool-monotonic event order the replay
+        sorts on."""
         import pyarrow as pa
 
-        w, h, sub, c, f, d = (
-            zip(*self._log_sched) if self._log_sched else ((),) * 6
+        if not self.cfg.oracle_log:
+            raise RuntimeError(
+                "politeness oracle log is opt-in: set "
+                "PolitenessConfig.oracle_log=True before the crawl"
+            )
+        seq, w, h, sub, c, f, d = (
+            zip(*self._log_sched) if self._log_sched else ((),) * 7
         )
         sched = pa.table(
             {
+                "seq": pa.array(seq, pa.int64()),
                 "wave": pa.array(w, pa.int64()),
                 "host": pa.array(h, pa.string()),
                 "sub": pa.array(sub, pa.int64()),
@@ -281,11 +299,12 @@ class PolitenessPool:
                 "delay": pa.array(d, pa.float64()),
             }
         )
-        w2, h2, pos, code = (
-            zip(*self._log_status) if self._log_status else ((),) * 4
+        seq2, w2, h2, pos, code = (
+            zip(*self._log_status) if self._log_status else ((),) * 5
         )
         status = pa.table(
             {
+                "seq": pa.array(seq2, pa.int64()),
                 "wave": pa.array(w2, pa.int64()),
                 "host": pa.array(h2, pa.string()),
                 "pos": pa.array(pos, pa.int64()),
