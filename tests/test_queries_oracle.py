@@ -977,3 +977,60 @@ def test_dup_spans_cut_crafted(ray_session, tmp_path):
         }
     )
     pd.testing.assert_frame_equal(out, expect, check_dtype=False)
+
+
+def test_politeness_replay_covers_salted_subbatches(ray_session, tmp_path):
+    """Force heavy-hitter salting (threshold=3) so hosts schedule in
+    MULTIPLE consecutive sub-batches per wave, then check the DuckDB
+    recursive-CTE replay still re-derives every (first_ts, delay)
+    bit-for-bit — the per-sub-batch op order (next_free += c_i*delay,
+    one add per sub-batch) is exactly what the seq-ordered event
+    stream encodes."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from snapcrawler_ray.config import (
+        CrawlConfig,
+        CrawlLimits,
+        PolitenessConfig,
+    )
+    from snapcrawler_ray.pipelines.crawl import CrawlEngine
+    from snapcrawler_ray.sources.corpus import (
+        CorpusSpec,
+        generate_corpus,
+        seeds_for,
+    )
+
+    spec = CorpusSpec(seed=42, n_pages=300, n_hosts=4, buckets=8)
+    path = generate_corpus(str(tmp_path / "corpus"), spec, use_ray=False)
+    cfg = CrawlConfig(
+        start_urls=tuple(seeds_for(spec)),
+        limits=CrawlLimits(max_depth=3),
+        politeness=PolitenessConfig(
+            oracle_log=True, heavy_hitter_threshold=3
+        ),
+    )
+    eng = CrawlEngine(path, seeds_for(spec), cfg, n_buckets=spec.buckets,
+                      mode="exact")
+    try:
+        eng.run()
+        sched, status = eng.politeness_log()
+    finally:
+        eng.shutdown()
+    assert sched.num_rows > 0
+    sub = sched.column("sub").to_numpy()
+    assert (sub > 0).any(), "salting did not produce multi-sub-batch hosts"
+    pq.write_table(sched, tmp_path / "polite_sched.parquet")
+    pq.write_table(status, tmp_path / "polite_status.parquet")
+    import __ray_entry__ as e
+
+    sql = e.oracle_sql()["crawl_politeness_schedule"].replace(
+        e._oracle_tbl_dir("sf0.01"), str(tmp_path)
+    )
+    got = _canon(sched.to_pandas()[
+        ["host", "wave", "sub", "n_urls", "first_ts", "delay"]
+    ])
+    dcon = duckdb.connect()
+    want = _canon(dcon.sql(sql).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
