@@ -667,6 +667,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # filter (token bounds, mean word length, alpha fraction,
         # symbol ratio — rounded before compare, SQL-oracled)
         "docs_gopher_rules": text.gopher_rules,
+        # late r4: per-source unigram KL divergence from the corpus
+        # distribution (domain-mixing signal, integer micro-nats)
+        "docs_source_kl": text.source_kl,
         # late r4: SimHash near-dup PAIRS (banded 16-bit buckets +
         # exact Hamming verify; pigeonhole-exact recall at ham<=3)
         "docs_simhash_pairs": dedup.simhash_pairs,
@@ -1853,6 +1856,30 @@ def oracle_sql() -> dict[str, str]:
             "9223372036854775808 THEN coalesce(s.v, 0) - "
             "18446744073709551616 ELSE coalesce(s.v, 0) END AS BIGINT) "
             "AS simhash FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "docs_source_kl": (
+            # signed micro-nat terms: floor(x*1e6 + 0.5) on BOTH sides
+            # (round() would be half-away; the engine uses floor(+0.5),
+            # so the oracle does too), summed per source as BIGINT
+            "WITH toks AS (SELECT source, "
+            r"unnest(regexp_split_to_array(trim(text), '\s+')) AS tok "
+            "FROM documents WHERE trim(coalesce(text,'')) <> ''), "
+            "cts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_ts "
+            "FROM toks GROUP BY source, tok), "
+            "ct AS (SELECT tok, CAST(sum(c_ts) AS BIGINT) AS c_t "
+            "FROM cts GROUP BY tok), "
+            "ns AS (SELECT source, CAST(sum(c_ts) AS BIGINT) AS n_s "
+            "FROM cts GROUP BY source), "
+            "tot AS (SELECT CAST(sum(c_ts) AS BIGINT) AS n FROM cts), "
+            "terms AS (SELECT cts.source, CAST(floor((cts.c_ts / ns.n_s) "
+            "* ln((cts.c_ts / ns.n_s) / (ct.c_t / tot.n)) * 1000000 + 0.5) "
+            "AS BIGINT) AS u FROM cts "
+            "JOIN ns ON ns.source = cts.source "
+            "JOIN ct ON ct.tok = cts.tok CROSS JOIN tot) "
+            "SELECT t.source, ns.n_s AS n_tokens, "
+            "CAST(sum(t.u) AS BIGINT) AS kl_u "
+            "FROM terms t JOIN ns ON ns.source = t.source "
+            "GROUP BY t.source, ns.n_s"
         ),
         "docs_simhash_pairs": simhash_pairs_sql,
         "docs_simhash_keep": (

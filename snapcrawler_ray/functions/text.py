@@ -186,6 +186,91 @@ def bottomk_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
     )
 
 
+def source_kl(sf_dir: str) -> pd.DataFrame:
+    """source, n_tokens, kl_u — per-source unigram KL divergence from
+    the corpus distribution, Σ_t p_s(t)·ln(p_s(t)/p(t)) in INTEGER
+    MICRO-NATS (each term floor(x·1e6 + 0.5) — signed terms, so the
+    shared op is ``floor(+0.5)`` on BOTH sides, not round — summed as
+    int64, order-free exact): the domain-mixing / source-skew signal a
+    corpus-balancing pass weights by (cf. DoReMi/CCNet domain
+    reweighting).
+
+    Shape: a cheap pass folds per-source token totals (O(sources)
+    driver state); the (tok, source) count partials then fold through
+    a token-bucketed reduce whose combiner computes each term LOCALLY
+    (the totals ride in as a broadcast dict) and emits per-source
+    partial micro-nat sums — the token vocabulary never assembles
+    anywhere, and the driver folds buckets×sources rows."""
+    from .agg import bucketed_combine
+
+    def totals_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].fillna("").str.strip() != ""]
+        if not len(df):
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        _, lens = _token_lists(df["text"])
+        return (
+            pd.DataFrame({"source": df["source"].to_numpy(), "n": lens})
+            .groupby("source", as_index=False)
+            .agg(n=("n", "sum"))
+        )
+
+    totals = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(totals_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .agg(n=("n", "sum"))
+    )
+    n_s = dict(zip(totals["source"], totals["n"].astype(np.int64)))
+    n_total = int(totals["n"].sum())
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].fillna("").str.strip() != ""]
+        if not len(df):
+            return pd.DataFrame(
+                {"tok": pd.Series([], dtype=object),
+                 "source": pd.Series([], dtype=object),
+                 "cnt": pd.Series([], dtype="int64")}
+            )
+        flat, lens = _token_lists(df["text"])
+        src = np.repeat(df["source"].to_numpy(), lens)
+        return (
+            pd.DataFrame({"tok": flat, "source": src})
+            .groupby(["tok", "source"], as_index=False)
+            .agg(cnt=("tok", "size"))
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["tok", "source"], as_index=False).agg(
+            cnt=("cnt", "sum")
+        )
+        c_t = g.groupby("tok")["cnt"].transform("sum").to_numpy(np.float64)
+        c_ts = g["cnt"].to_numpy(np.float64)
+        ns_arr = g["source"].map(n_s).to_numpy(np.float64)
+        ps = c_ts / ns_arr
+        p = c_t / np.float64(n_total)
+        u = np.floor(ps * np.log(ps / p) * 1e6 + 0.5).astype(np.int64)
+        out = pd.DataFrame({"source": g["source"], "u": u})
+        return out.groupby("source", as_index=False).agg(kl_u=("u", "sum"))
+
+    parts = bucketed_combine(
+        _docs(sf_dir, ["source", "text"]).map_batches(
+            count_partial, batch_format="pandas"
+        ),
+        ["tok"],
+        combine,
+    ).to_pandas()
+    out = parts.groupby("source", as_index=False).agg(kl_u=("kl_u", "sum"))
+    out["n_tokens"] = out["source"].map(n_s).astype("int64")
+    out["kl_u"] = out["kl_u"].astype("int64")
+    return out[["source", "n_tokens", "kl_u"]].sort_values(
+        "source", kind="mergesort"
+    ).reset_index(drop=True)
+
+
 def gopher_rules(sf_dir: str) -> "ray.data.Dataset":
     """doc_id, n_tokens, mean_word_len, alpha_frac, sym_ratio, keep —
     the published Gopher repetition-free quality rules (Rae et al. 2021
