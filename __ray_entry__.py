@@ -543,6 +543,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     the full contract;
     # (3) the r03-green remainder (code untouched this round; their
     #     green rows in CORRECTNESS_r03 remain authoritative).
+    # Late-r4 additions past entry #50 (CMS, images_tags, BPE counts,
+    # watermark/late-data, repeated n-grams, bottom-k sample, dup
+    # spans + cut, bigram surprisal, Gopher rules, SimHash pairs +
+    # keep, source KL) rotate INTO the r5 window; until then their
+    # value truth is tests/test_queries_oracle.py (sf0.001) + the full
+    # sf0.01 rehearsal (tools/contract_rehearsal.py), both green.  The
+    # one in-window late addition is crawl_politeness_schedule (the
+    # last crawl-core component to reach the hard gate), swapped for
+    # rows-only emb_knn_lsh whose value contract is its r03-green
+    # recall twin.
     return {
         # --- [1] crawl scheduler — newly SQL-oracled (recursive-CTE
         # replay of reference crawling_module.py:80-189 over the
