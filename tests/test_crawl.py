@@ -608,3 +608,55 @@ def test_user_agent_rotation(small_corpus, tmp_path):
     idx = user_agent_idx(h, 3)
     assert set(idx.tolist()) == {0, 1, 2}
     assert np.bincount(idx, minlength=3).min() > 200
+
+
+def test_actor_death_fails_loud_then_resume_recovers(small_corpus, tmp_path):
+    """Fault-tolerance posture at node scale: a fetch actor dying
+    mid-crawl must surface as a LOUD error (never silently wrong
+    output), and a fresh engine resuming from the same checkpoint dir
+    must reproduce the uninterrupted run bit-for-bit — the per-round
+    per-partition checkpoints are the lineage the north rule asks for."""
+    import ray
+
+    spec, path = small_corpus
+    seeds = seeds_for(spec, 4)
+    cfg = CrawlConfig(start_urls=tuple(seeds), limits=CrawlLimits(max_depth=3))
+
+    ck_ref = str(tmp_path / "ck_ref")
+    eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets, mode="exact",
+                      checkpoint_dir=ck_ref)
+    try:
+        full = eng.run()
+    finally:
+        eng.shutdown()
+
+    ck = str(tmp_path / "ck_chaos")
+    eng2 = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets, mode="exact",
+                       checkpoint_dir=ck)
+    orig = eng2._fetch_and_extract
+    calls = {"n": 0}
+
+    def chaos(wave):
+        calls["n"] += 1
+        if calls["n"] == 2:  # round 0 checkpointed; kill mid-round-1
+            ray.kill(eng2.pool.actors[0])
+        return orig(wave)
+
+    eng2._fetch_and_extract = chaos
+    try:
+        with pytest.raises(Exception) as ei:
+            eng2.run()
+        # a dead actor must raise an actor/ray error, not corrupt data
+        assert "Actor" in type(ei.value).__name__ or "Ray" in repr(ei.value)
+    finally:
+        eng2.shutdown()
+
+    eng3 = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets, mode="exact",
+                       checkpoint_dir=ck)
+    try:
+        resumed = eng3.run(resume=True)
+    finally:
+        eng3.shutdown()
+    assert resumed.visits.to_pylist() == full.visits.to_pylist()
+    assert resumed.emissions.to_pylist() == full.emissions.to_pylist()
+    assert resumed.seen_urls == full.seen_urls
