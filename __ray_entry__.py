@@ -680,6 +680,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late r4: per-source unigram KL divergence from the corpus
         # distribution (domain-mixing signal, integer micro-nats)
         "docs_source_kl": text.source_kl,
+        # late r4: overlapping sliding-window chunker (RAG chunker —
+        # window 64, hop 48) alongside the fixed docs_chunks
+        "docs_chunks_overlap": text.doc_chunks_overlap,
         # late r4: SimHash near-dup PAIRS (banded 16-bit buckets +
         # exact Hamming verify; pigeonhole-exact recall at ham<=3)
         "docs_simhash_pairs": dedup.simhash_pairs,
@@ -1654,6 +1657,23 @@ def oracle_sql() -> dict[str, str]:
             "md5(array_to_string(arr[chunk_id*64+1 : "
             "least((chunk_id+1)*64, len(arr))], ' ')) AS chunk_md5 "
             "FROM c"
+        ),
+        "docs_chunks_overlap": (
+            # sliding 64-token windows, hop 48: chunk i covers tokens
+            # i*48+1 .. min(i*48+64, n); count = 1 + max(0,
+            # ceil((n-64)/48)) so short docs give one chunk and no
+            # fully-redundant tail is emitted
+            "WITH t AS (SELECT doc_id, "
+            r"regexp_split_to_array(trim(text), '\s+') AS arr "
+            "FROM documents WHERE trim(coalesce(text, '')) <> ''), "
+            "c AS (SELECT doc_id, arr, unnest(generate_series(0, "
+            "CAST(1 + greatest(0, ceil((len(arr) - 64) / 48.0)) AS INT) "
+            "- 1)) AS chunk_id FROM t) "
+            "SELECT doc_id, chunk_id, "
+            "CAST(len(arr[chunk_id*48+1 : least(chunk_id*48+64, len(arr))]) "
+            "AS BIGINT) AS n_tokens, "
+            "md5(array_to_string(arr[chunk_id*48+1 : "
+            "least(chunk_id*48+64, len(arr))], ' ')) AS chunk_md5 FROM c"
         ),
         "docs_fingerprints_norm": (
             "SELECT doc_id, md5(array_to_string("

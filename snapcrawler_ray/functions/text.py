@@ -546,6 +546,77 @@ def doc_chunks(sf_dir: str, chunk: int = 64) -> "ray.data.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+def doc_chunks_overlap(
+    sf_dir: str, chunk: int = 64, stride: int = 48
+) -> "ray.data.Dataset":
+    """doc_id, chunk_id, n_tokens, chunk_md5 — OVERLAPPING sliding
+    token windows (the RAG/packing chunker: window ``chunk`` tokens,
+    hop ``stride``, overlap chunk−stride): chunk *i* covers tokens
+    ``i·stride+1 .. min(i·stride+chunk, n)``; the chunk count is
+    ``1 + max(0, ⌈(n−chunk)/stride⌉)`` so a document shorter than one
+    window yields exactly one chunk and no fully-redundant tail chunk
+    is emitted.  Blank docs emit nothing.  Vectorized ragged gather
+    over the flat token array (no per-chunk python beyond the md5);
+    per-doc map, zero shuffle — streams at any corpus size."""
+    import hashlib
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].fillna("").str.strip() != ""]
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "chunk_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "chunk_md5": pd.Series([], dtype=object),
+            }
+        )
+        if not len(df):
+            return empty
+        flat, lens = _token_lists(df["text"])
+        n = len(df)
+        doc_off = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        n_chunks = (
+            1
+            + np.maximum(
+                0, np.ceil((lens - chunk) / float(stride))
+            ).astype(np.int64)
+        )
+        total_c = int(n_chunks.sum())
+        chunk_doc = np.repeat(np.arange(n), n_chunks)
+        c_off = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+        within = np.arange(total_c) - np.repeat(c_off, n_chunks)
+        starts0 = within * stride  # 0-based in-doc token start
+        lens_c = np.minimum(chunk, lens[chunk_doc] - starts0).astype(
+            np.int64
+        )
+        tok_off = np.concatenate([[0], np.cumsum(lens_c)])[:-1]
+        total_t = int(lens_c.sum())
+        idx = (
+            np.repeat(doc_off[chunk_doc] + starts0, lens_c)
+            + np.arange(total_t)
+            - np.repeat(tok_off, lens_c)
+        )
+        ex = pd.DataFrame(
+            {"c": np.repeat(np.arange(total_c), lens_c), "tok": flat[idx]}
+        )
+        joined = ex.groupby("c")["tok"].agg(" ".join)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[chunk_doc],
+                "chunk_id": within.astype("int64"),
+                "n_tokens": lens_c,
+                "chunk_md5": [
+                    hashlib.md5(s.encode("utf-8")).hexdigest()
+                    for s in joined.to_numpy()
+                ],
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
 def lang_id(sf_dir: str) -> "ray.data.Dataset":
     """doc_id, lang_pred — stopword-profile heuristic language ID.
 
