@@ -393,3 +393,72 @@ def test_batched_shingles_and_minhash_bit_identical(texts):
         pos = np.searchsorted(bench, u)
         pos[pos >= len(bench)] = 0
         assert got[i] == int((bench[pos] == u).sum()), i
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 40)),
+        min_size=0, max_size=60, unique=True,
+    ),
+    st.integers(2, 6),
+)
+@settings(max_examples=300, deadline=None)
+def test_merge_islands_matches_brute(pairs, k):
+    """_merge_islands (the ExactSubstr gaps-and-islands kernel) must
+    equal the brute per-doc interval merge for ANY (doc, pos) set."""
+    from snapcrawler_ray.functions.text import _merge_islands
+
+    pairs = sorted(pairs)
+    d = np.array([a for a, _ in pairs], dtype=np.int64)
+    p = np.array([b for _, b in pairs], dtype=np.int64)
+    got = _merge_islands(d, p, k)
+    # brute: per doc, merge consecutive positions
+    expect = []
+    by_doc = {}
+    for a, b in pairs:
+        by_doc.setdefault(a, []).append(b)
+    for doc in sorted(by_doc):
+        run = []
+        for pos in sorted(by_doc[doc]):
+            if run and pos == run[-1] + 1:
+                run.append(pos)
+            else:
+                if run:
+                    expect.append((doc, run[0], run[-1] - run[0] + k))
+                run = [pos]
+        if run:
+            expect.append((doc, run[0], run[-1] - run[0] + k))
+    want = pd.DataFrame(
+        expect, columns=["doc_id", "span_start", "span_tokens"]
+    ).astype("int64")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+
+
+TOKEN_TEXTS = st.lists(
+    st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=3),
+        min_size=0, max_size=12,
+    ).map(" ".join),
+    min_size=0, max_size=8,
+)
+
+
+@given(TOKEN_TEXTS, st.integers(1, 5))
+@settings(max_examples=300, deadline=None)
+def test_gram_arrays_matches_brute(texts, k):
+    """_gram_arrays (shared by boilerplate/dup-spans/bigram ops) must
+    enumerate exactly the brute per-row k-gram list with 1-based
+    positions, in (row, pos) order."""
+    from snapcrawler_ray.functions.text import _gram_arrays
+
+    s = pd.Series(texts, dtype=object)
+    doc_idx, pos, grams = _gram_arrays(s, k)
+    expect = []
+    for i, t in enumerate(texts):
+        toks = t.strip().split() if t.strip() else [""]
+        for j in range(max(0, len(toks) - k + 1)):
+            expect.append((i, j + 1, " ".join(toks[j : j + k])))
+    got = list(zip(doc_idx.tolist(), pos.tolist(), grams.tolist()))
+    assert got == expect
