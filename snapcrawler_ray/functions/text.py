@@ -1715,7 +1715,9 @@ def unigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def bigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
+def bigram_surprisal(
+    sf_dir: str, max_broadcast_grams: int | None = None
+) -> "ray.data.Dataset":
     """doc_id, n_bigrams, surprisal_b — conditional language-model
     scoring, the KenLM-style perplexity filter one order up from
     :func:`unigram_surprisal`: per-doc Σ −ln p(wᵢ | wᵢ₋₁) over every
@@ -1728,14 +1730,16 @@ def bigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
     tokens emit no row.
 
     Shape: bigram counts fold through a gram-bucketed reduce (the
-    vocabulary never assembles in one place); context counts derive
-    from the bigram table by left-token groupby; the per-gram micro-nat
-    table broadcasts once (``ray.put`` sorted gram array + values — at
-    web scale: min-count pruning before the broadcast, or the
-    :func:`dup_spans` gram-join topology) and every batch scores by
-    ``searchsorted``.  Float op order (int/int div → ln → ×1e6 →
-    floor(+0.5)) mirrors DuckDB bit-for-bit, as in
-    :func:`unigram_surprisal`."""
+    vocabulary never assembles in one place).  Below
+    ``max_broadcast_grams`` (default 1M) the per-gram micro-nat table
+    broadcasts once (``ray.put`` sorted gram array + values) and every
+    batch scores by ``searchsorted``; above it the model NEVER reaches
+    the driver — context counts fold by left token, the model joins
+    its context Dataset on w1, per-doc gram-count partials join the
+    scored model on gram, and a doc-bucketed reduce sums cnt·u
+    (:func:`_bigram_surprisal_join_path`; forced-threshold equality
+    test).  Float op order (int/int div → ln → ×1e6 → floor(+0.5))
+    mirrors DuckDB bit-for-bit, as in :func:`unigram_surprisal`."""
     import ray as _ray
 
     from .agg import bucketed_combine
@@ -1750,19 +1754,21 @@ def bigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
         d = pd.DataFrame({"gram": grams})
         return d.groupby("gram", as_index=False).agg(cnt=("gram", "size"))
 
-    model = (
-        bucketed_combine(
-            _docs(sf_dir, ["doc_id", "text"]).map_batches(
-                occ_partial, batch_format="pandas"
-            ),
-            ["gram"],
-            lambda df: df.groupby("gram", as_index=False).agg(
-                cnt=("cnt", "sum")
-            ),
-        )
-        .to_pandas()
-        .sort_values("gram")
+    model_ds = bucketed_combine(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            occ_partial, batch_format="pandas"
+        ),
+        ["gram"],
+        lambda df: df.groupby("gram", as_index=False).agg(
+            cnt=("cnt", "sum")
+        ),
+    ).materialize()
+    limit = (
+        1_000_000 if max_broadcast_grams is None else max_broadcast_grams
     )
+    if model_ds.count() > limit:
+        return _bigram_surprisal_join_path(sf_dir, model_ds)
+    model = model_ds.to_pandas().sort_values("gram")
     # context counts: tokens never contain whitespace (\s+ split), so
     # the first space splits the bigram unambiguously
     w1 = model["gram"].str.split(" ", n=1).str[0]
@@ -1811,3 +1817,106 @@ def bigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
         concurrency=(1, 8),
         fn_constructor_kwargs={"ref": ref},
     )
+
+
+def _bigram_surprisal_join_path(
+    sf_dir: str, model_ds: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """:func:`bigram_surprisal` above the broadcast limit — the model
+    never reaches the driver: (1) context counts fold by left token
+    (gram-bucketed reduce → w1-bucketed reduce), (2) the model joins
+    its context Dataset on w1 and each gram's micro-nat surprisal is
+    computed in the join output, (3) per-doc (gram, count) partials
+    join the scored model on gram (partitioned hash join), and (4) a
+    doc-bucketed reduce sums count·u — occurrence-weighted, identical
+    totals to the broadcast path's per-occurrence sum."""
+    from .agg import bucketed_combine
+    from .io import join_partitions, table_rows
+
+    n_model = model_ds.count()
+
+    def to_ctx(df: pd.DataFrame) -> pd.DataFrame:
+        w1 = df["gram"].str.split(" ", n=1).str[0]
+        return pd.DataFrame({"w1": w1, "cnt": df["cnt"]})
+
+    ctx_ds = bucketed_combine(
+        model_ds.map_batches(to_ctx, batch_format="pandas"),
+        ["w1"],
+        lambda df: df.groupby("w1", as_index=False).agg(c1=("cnt", "sum")),
+    )
+
+    def add_w1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["w1"] = df["gram"].str.split(" ", n=1).str[0]
+        return df
+
+    scored = (
+        model_ds.map_batches(add_w1, batch_format="pandas")
+        .join(
+            ctx_ds,
+            join_type="inner",
+            num_partitions=join_partitions(n_model),
+            on=("w1",),
+            right_on=("w1",),
+        )
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "gram": df["gram"],
+                    "u": np.floor(
+                        -np.log(
+                            df["cnt"].to_numpy(np.float64)
+                            / df["c1"].to_numpy(np.float64)
+                        )
+                        * 1e6
+                        + 0.5
+                    ).astype(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+
+    def doc_gram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, _, grams = _gram_arrays(df["text"], 2)
+        if len(grams) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "gram": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        ex = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64)[doc_idx],
+             "gram": grams}
+        )
+        return ex.groupby(["doc_id", "gram"], as_index=False).agg(
+            n=("gram", "size")
+        )
+
+    joined = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(doc_gram_partial, batch_format="pandas")
+        .join(
+            scored,
+            join_type="inner",
+            num_partitions=join_partitions(
+                n_model, table_rows(sf_dir, "documents")
+            ),
+            on=("gram",),
+            right_on=("gram",),
+        )
+        .select_columns(["doc_id", "n", "u"])
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        u = df["u"].to_numpy(np.int64)
+        g = pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_bigrams": n, "surprisal_b": n * u}
+        )
+        return g.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("n_bigrams", "sum"),
+            surprisal_b=("surprisal_b", "sum"),
+        )
+
+    return bucketed_combine(joined, ["doc_id"], fold)

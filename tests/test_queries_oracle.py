@@ -1034,3 +1034,25 @@ def test_politeness_replay_covers_salted_subbatches(ray_session, tmp_path):
     want = _canon(dcon.sql(sql).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=False, rtol=0, atol=1e-9)
+
+
+def test_bigram_surprisal_join_path_matches_broadcast(ray_session):
+    """Forcing the over-limit model topology (max_broadcast_grams=0 ->
+    context fold + two partitioned joins + doc-bucketed reduce) must
+    reproduce the broadcast-path scores exactly."""
+    from snapcrawler_ray.functions import text
+
+    bc = (
+        text.bigram_surprisal(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    jn = (
+        text.bigram_surprisal(SF_DIR, max_broadcast_grams=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(bc, jn, check_dtype=False)
