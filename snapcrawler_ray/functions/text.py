@@ -1624,7 +1624,9 @@ def dup_spans_cut(
     )
 
 
-def unigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
+def unigram_surprisal(
+    sf_dir: str, max_broadcast_tokens: int | None = None
+) -> "ray.data.Dataset":
     """doc_id, n_tokens, surprisal_u — language-model quality scoring
     via a corpus-trained unigram LM: per-doc total surprisal
     Σ −ln p(token) in INTEGER MICRO-NATS (each token's surprisal is
@@ -1634,12 +1636,16 @@ def unigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
     n-gram model reduced to its unigram core).
 
     Two passes: (1) vocabulary occurrence counts fold through a
-    token-bucketed reduce (at web scale: min-count pruning before the
-    broadcast); (2) the counts broadcast once (``ray.put`` sorted
-    token array + counts) and every batch scores its docs by
-    ``searchsorted`` lookup — float op order (int/int div → ln → mul)
-    mirrors DuckDB bit-for-bit, as in :func:`tfidf_top_terms`.  Empty
-    docs are excluded (no tokens to score)."""
+    token-bucketed reduce; (2) below ``max_broadcast_tokens`` (default
+    1M) the counts broadcast once (``ray.put`` sorted token array +
+    counts) and every batch scores its docs by ``searchsorted`` lookup;
+    above it the vocabulary never reaches the driver — the model is
+    scored map-only against the Dataset-aggregated total and per-doc
+    (token, count) partials join it on tok, folding in a doc-bucketed
+    reduce (:func:`_unigram_surprisal_join_path`; forced-threshold
+    equality test).  Float op order (int/int div → ln → mul) mirrors
+    DuckDB bit-for-bit, as in :func:`tfidf_top_terms`.  Empty docs are
+    excluded (no tokens to score)."""
     import ray as _ray
 
     from .agg import bucketed_combine
@@ -1650,19 +1656,21 @@ def unigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
         d = d[d["tok"] != ""]
         return d.groupby("tok", as_index=False).agg(cnt=("tok", "size"))
 
-    vocab = (
-        bucketed_combine(
-            _docs(sf_dir, ["doc_id", "text"]).map_batches(
-                occ_partial, batch_format="pandas"
-            ),
-            ["tok"],
-            lambda df: df.groupby("tok", as_index=False).agg(
-                cnt=("cnt", "sum")
-            ),
-        )
-        .to_pandas()
-        .sort_values("tok")
+    vocab_ds = bucketed_combine(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            occ_partial, batch_format="pandas"
+        ),
+        ["tok"],
+        lambda df: df.groupby("tok", as_index=False).agg(
+            cnt=("cnt", "sum")
+        ),
+    ).materialize()
+    limit = (
+        1_000_000 if max_broadcast_tokens is None else max_broadcast_tokens
     )
+    if vocab_ds.count() > limit:
+        return _unigram_surprisal_join_path(sf_dir, vocab_ds)
+    vocab = vocab_ds.to_pandas().sort_values("tok")
     toks_sorted = vocab["tok"].to_numpy(dtype=object).astype(str)
     cnts = vocab["cnt"].to_numpy(np.int64)
     total = int(cnts.sum())
@@ -1817,6 +1825,79 @@ def bigram_surprisal(
         concurrency=(1, 8),
         fn_constructor_kwargs={"ref": ref},
     )
+
+
+def _unigram_surprisal_join_path(
+    sf_dir: str, vocab_ds: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """:func:`unigram_surprisal` above the broadcast limit — the
+    vocabulary never reaches the driver: the corpus total is a Dataset
+    aggregate (one scalar), the model scores map-only, per-doc
+    (token, count) partials join the scored model on tok (partitioned
+    hash join), and a doc-bucketed reduce sums count·u."""
+    from .agg import bucketed_combine
+    from .io import join_partitions, table_rows
+
+    n_vocab = vocab_ds.count()
+    total = int(vocab_ds.sum("cnt"))
+
+    scored = vocab_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "tok": df["tok"],
+                "u": np.floor(
+                    -np.log(
+                        df["cnt"].to_numpy(np.float64) / np.float64(total)
+                    )
+                    * 1e6
+                    + 0.5
+                ).astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def doc_tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = _token_lists(df["text"])
+        doc_idx = np.repeat(np.arange(len(df)), lens)
+        keep = flat != ""
+        ex = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[doc_idx[keep]],
+                "tok": flat[keep],
+            }
+        )
+        return ex.groupby(["doc_id", "tok"], as_index=False).agg(
+            n=("tok", "size")
+        )
+
+    joined = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(doc_tok_partial, batch_format="pandas")
+        .join(
+            scored,
+            join_type="inner",
+            num_partitions=join_partitions(
+                n_vocab, table_rows(sf_dir, "documents")
+            ),
+            on=("tok",),
+            right_on=("tok",),
+        )
+        .select_columns(["doc_id", "n", "u"])
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        u = df["u"].to_numpy(np.int64)
+        g = pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_tokens": n, "surprisal_u": n * u}
+        )
+        return g.groupby("doc_id", as_index=False).agg(
+            n_tokens=("n_tokens", "sum"),
+            surprisal_u=("surprisal_u", "sum"),
+        )
+
+    return bucketed_combine(joined, ["doc_id"], fold)
 
 
 def _bigram_surprisal_join_path(

@@ -1056,3 +1056,24 @@ def test_bigram_surprisal_join_path_matches_broadcast(ray_session):
     )
     assert len(bc) > 0
     pd.testing.assert_frame_equal(bc, jn, check_dtype=False)
+
+
+def test_unigram_surprisal_join_path_matches_broadcast(ray_session):
+    """Forcing the over-limit vocabulary topology must reproduce the
+    broadcast-path scores exactly (same shape as the bigram test)."""
+    from snapcrawler_ray.functions import text
+
+    bc = (
+        text.unigram_surprisal(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    jn = (
+        text.unigram_surprisal(SF_DIR, max_broadcast_tokens=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(bc, jn, check_dtype=False)
