@@ -1546,8 +1546,105 @@ def _dup_spans_join_path(
     return bucketed_combine(joined, ["doc_id"], island_combine)
 
 
+def _dup_spans_cut_join_path(
+    sf_dir: str, dict_ds: "ray.data.Dataset", k: int
+) -> "ray.data.Dataset":
+    """:func:`dup_spans_cut` above the broadcast limit: spans from the
+    distributed :func:`_dup_spans_join_path` fold to ONE span-list row
+    per document (doc-bucketed reduce — the span side is dedup-rate ×
+    corpus, never the text), the documents LEFT-OUTER join that list
+    on doc_id (one-to-one: text is never duplicated per span), and a
+    final map applies the coverage cut."""
+    from .agg import bucketed_combine
+    from .io import join_partitions, table_rows
+
+    spans = _dup_spans_join_path(sf_dir, dict_ds, k)
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        # spans serialize to a compact "start:len,start:len" string —
+        # Arrow hash joins reject list/tensor non-key columns
+        df = df.sort_values(["doc_id", "span_start"], kind="mergesort")
+        g = df.groupby("doc_id")
+        return pd.DataFrame(
+            {
+                "doc_id": np.fromiter(
+                    (d for d, _ in g), dtype=np.int64, count=g.ngroups
+                ),
+                "spans": [
+                    ",".join(
+                        f"{a}:{l}"
+                        for a, l in zip(
+                            gg["span_start"], gg["span_tokens"]
+                        )
+                    )
+                    for _, gg in g
+                ],
+            }
+        )
+
+    span_lists = bucketed_combine(spans, ["doc_id"], pack)
+    n_docs = table_rows(sf_dir, "documents")
+    joined = _docs(sf_dir, ["doc_id", "text"]).join(
+        span_lists,
+        join_type="left_outer",
+        num_partitions=join_partitions(n_docs),
+        on=("doc_id",),
+        right_on=("doc_id",),
+    )
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].fillna("").str.strip() != ""]
+        has = (
+            df["spans"].notna() & (df["spans"].fillna("") != "")
+        ).to_numpy(bool) if len(df) else np.zeros(0, bool)
+        # the untouched majority is fully vectorized: normalize
+        # whitespace (the cut operates on the token stream)
+        easy = df[~has]
+        frames = [
+            pd.DataFrame(
+                {
+                    "doc_id": easy["doc_id"].to_numpy(np.int64),
+                    "clean_text": easy["text"]
+                    .str.strip()
+                    .str.split(_WS)
+                    .str.join(" "),
+                    "n_removed": np.zeros(len(easy), dtype=np.int64),
+                }
+            )
+        ]
+        out_id, out_text, out_rm = [], [], []
+        for _, row in df[has].iterrows():
+            toks = row["text"].strip().split()
+            cov = np.zeros(len(toks) + 1, dtype=np.int64)
+            for part in row["spans"].split(","):
+                a, ln = part.split(":")
+                cov[int(a) - 1] += 1
+                cov[min(len(toks), int(a) - 1 + int(ln))] -= 1
+            covered = np.cumsum(cov[: len(toks)]) > 0
+            out_id.append(int(row["doc_id"]))
+            out_text.append(
+                " ".join(t for t, c in zip(toks, covered) if not c)
+            )
+            out_rm.append(int(covered.sum()))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "clean_text": pd.Series(out_text, dtype=object),
+                    "n_removed": pd.Series(out_rm, dtype="int64"),
+                }
+            )
+        )
+        return pd.concat(frames, ignore_index=True)
+
+    return joined.map_batches(cut, batch_format="pandas")
+
+
 def dup_spans_cut(
-    sf_dir: str, k: int = 5, min_df: int = 2
+    sf_dir: str,
+    k: int = 5,
+    min_df: int = 2,
+    max_broadcast_grams: int | None = None,
 ) -> "ray.data.Dataset":
     """doc_id, clean_text, n_removed — the ExactSubstr CUT pass: the
     token stream of every non-blank document with the spans
@@ -1556,14 +1653,25 @@ def dup_spans_cut(
     normalized), plus the count of removed tokens.  A document whose
     every token is covered emits ``clean_text = ''``.
 
-    Shape: the shared df ≥ min_df gram dictionary broadcasts once;
-    the cut is then MAP-ONLY — per batch, a difference-array coverage
-    mask (+1 at each duplicated gram start, −1 past its end, running
-    sum > 0 = covered; islands never cross documents, so ranges stay
-    in-doc) marks tokens vectorized, and the per-doc rejoin is one
-    pandas groupby-join.  Zero shuffle; the whole corpus streams."""
+    Shape: below ``max_broadcast_grams`` (default 1M) the shared
+    df ≥ min_df gram dictionary broadcasts once and the cut is
+    MAP-ONLY — per batch, a difference-array coverage mask (+1 at each
+    duplicated gram start, −1 past its end, running sum > 0 = covered;
+    islands never cross documents, so ranges stay in-doc) marks tokens
+    vectorized, and the per-doc rejoin is one pandas groupby-join.
+    Zero shuffle; the whole corpus streams.  Above the limit the
+    dictionary never reaches the driver: the spans come from
+    :func:`_dup_spans_join_path`, fold to one span-list row per doc,
+    LEFT-OUTER join the documents on doc_id (text never duplicated
+    per span), and a map applies the cut
+    (:func:`_dup_spans_cut_join_path`; forced-threshold test)."""
 
     dict_ds = _dup_gram_dict(sf_dir, k, min_df)
+    limit = (
+        1_000_000 if max_broadcast_grams is None else max_broadcast_grams
+    )
+    if dict_ds.count() > limit:
+        return _dup_spans_cut_join_path(sf_dir, dict_ds, k)
     vocab = np.sort(dict_ds.to_pandas()["gram"].to_numpy(dtype=object))
     ref = ray.put(vocab)
 

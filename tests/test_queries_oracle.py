@@ -1077,3 +1077,25 @@ def test_unigram_surprisal_join_path_matches_broadcast(ray_session):
     )
     assert len(bc) > 0
     pd.testing.assert_frame_equal(bc, jn, check_dtype=False)
+
+
+def test_dup_spans_cut_join_path_matches_broadcast(ray_session):
+    """Forcing the over-limit dictionary topology for the CUT pass
+    (span-list fold + left-outer doc join + map cut) must reproduce
+    the broadcast-path output exactly."""
+    from snapcrawler_ray.functions import text
+
+    bc = (
+        text.dup_spans_cut(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    jn = (
+        text.dup_spans_cut(SF_DIR, max_broadcast_grams=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(bc) > 0 and (bc["n_removed"] > 0).any()
+    pd.testing.assert_frame_equal(bc, jn, check_dtype=False)
