@@ -731,19 +731,24 @@ def simhash_pairs(
     )
 
 
-def simhash_keep(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+def simhash_keep(
+    sf_dir: str, max_hamming: int = 3, distributed: bool = False
+) -> pd.DataFrame:
     """doc_id, keep_id — keep/drop list over the :func:`simhash_pairs`
     graph: connected components, keep = component min doc_id (the
     SimHash twin of :func:`doc_neardup_keep`; transitive chains a~b,
     b~c collapse to one keeper).  Union-find runs on the PAIR LIST —
-    the driver-sized result of the distributed banded index — with
-    :func:`connected_components_distributed` as the same escape hatch
-    the MinHash keep names for pair lists that outgrow one node."""
+    the driver-sized result of the distributed banded index;
+    ``distributed=True`` switches to the same min-label propagation
+    the MinHash keep uses for pair lists that outgrow one node."""
     pairs = (
         simhash_pairs(sf_dir, max_hamming)
         .to_pandas()
         .rename(columns={"doc_a": "vec_a", "doc_b": "vec_b"})
     )
+    if distributed:
+        cc = connected_components_distributed(pairs)
+        return cc.rename(columns={"node": "doc_id", "label": "keep_id"})
     return _unionfind_keep(pairs, "doc_id")
 
 

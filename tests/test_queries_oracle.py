@@ -1099,3 +1099,18 @@ def test_dup_spans_cut_join_path_matches_broadcast(ray_session):
     )
     assert len(bc) > 0 and (bc["n_removed"] > 0).any()
     pd.testing.assert_frame_equal(bc, jn, check_dtype=False)
+
+
+def test_simhash_keep_distributed_matches_unionfind(ray_session):
+    """The min-label-propagation escape hatch must equal the driver
+    union-find on the SimHash pair graph."""
+    from snapcrawler_ray.functions import dedup
+
+    a = dedup.simhash_keep(SF_DIR)
+    b = dedup.simhash_keep(SF_DIR, distributed=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False,
+    )
