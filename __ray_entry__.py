@@ -683,6 +683,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late r4: overlapping sliding-window chunker (RAG chunker —
         # window 64, hop 48) alongside the fixed docs_chunks
         "docs_chunks_overlap": text.doc_chunks_overlap,
+        # late r4: the first BPE-training merge step (top adjacent
+        # char pairs, occurrence-weighted — Sennrich et al. 2016)
+        "docs_bpe_merges": text.bpe_top_merges,
         # late r4: SimHash near-dup PAIRS (banded 16-bit buckets +
         # exact Hamming verify; pigeonhole-exact recall at ham<=3)
         "docs_simhash_pairs": dedup.simhash_pairs,
@@ -1657,6 +1660,20 @@ def oracle_sql() -> dict[str, str]:
             "md5(array_to_string(arr[chunk_id*64+1 : "
             "least((chunk_id+1)*64, len(arr))], ' ')) AS chunk_md5 "
             "FROM c"
+        ),
+        "docs_bpe_merges": (
+            # first BPE merge statistic: adjacent char pairs of each
+            # token weighted by the token's corpus occurrence count
+            "WITH toks AS (SELECT "
+            r"unnest(regexp_split_to_array(trim(text), '\s+')) AS tok "
+            "FROM documents WHERE trim(coalesce(text,'')) <> ''), "
+            "v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM toks GROUP BY tok), "
+            "p AS (SELECT substr(v.tok, CAST(gs.i AS INT), 2) AS pair, "
+            "v.cnt FROM v CROSS JOIN LATERAL "
+            "unnest(generate_series(1, length(v.tok) - 1)) AS gs(i)) "
+            "SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM p "
+            "GROUP BY pair ORDER BY n DESC, pair LIMIT 20"
         ),
         "docs_chunks_overlap": (
             # sliding 64-token windows, hop 48: chunk i covers tokens

@@ -186,6 +186,76 @@ def bottomk_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
     )
 
 
+def bpe_top_merges(sf_dir: str, top: int = 20) -> pd.DataFrame:
+    """pair, n — the first BPE TRAINING step (Sennrich et al. 2016):
+    the ``top`` most frequent adjacent character pairs over the corpus,
+    each token's pairs weighted by the token's occurrence count
+    (exactly the statistic whose argmax becomes merge #1; iterating =
+    training the tokenizer).  Deterministic order (n desc, pair asc).
+
+    Shape: the token vocabulary folds through the token-bucketed
+    reduce, then a map-only pass explodes each UNIQUE token's char
+    pairs × its count (pair stats never touch per-occurrence data),
+    a pair-bucketed reduce sums, and per-bucket top-``top`` partials
+    fold on the driver (buckets × top rows) — the token_topk topology
+    one level down, so a 10^9-type vocabulary never assembles."""
+    from .agg import bucketed_combine
+
+    def occ_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = _token_lists(df["text"])
+        d = pd.DataFrame({"tok": flat})
+        d = d[d["tok"] != ""]
+        return d.groupby("tok", as_index=False).agg(cnt=("tok", "size"))
+
+    vocab_ds = bucketed_combine(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            occ_partial, batch_format="pandas"
+        ),
+        ["tok"],
+        lambda df: df.groupby("tok", as_index=False).agg(
+            cnt=("cnt", "sum")
+        ),
+    )
+
+    def explode_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["tok"].to_numpy(dtype=object)
+        cnts = df["cnt"].to_numpy(np.int64)
+        lens = np.fromiter(
+            (len(t) for t in toks), dtype=np.int64, count=len(toks)
+        )
+        n_pairs = np.maximum(0, lens - 1)
+        total = int(n_pairs.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"pair": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        pairs = np.empty(total, dtype=object)
+        w = np.repeat(cnts, n_pairs)
+        j = 0
+        for t, np_ in zip(toks, n_pairs):
+            for i in range(np_):
+                pairs[j] = t[i : i + 2]
+                j += 1
+        d = pd.DataFrame({"pair": pairs, "n": w})
+        return d.groupby("pair", as_index=False).agg(n=("n", "sum"))
+
+    pair_parts = vocab_ds.map_batches(explode_pairs, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pair", as_index=False).agg(n=("n", "sum"))
+        return g.sort_values(
+            ["n", "pair"], ascending=[False, True], kind="mergesort"
+        ).head(top)
+
+    out = bucketed_combine(pair_parts, ["pair"], combine).to_pandas()
+    out = out.sort_values(
+        ["n", "pair"], ascending=[False, True], kind="mergesort"
+    ).head(top)
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def source_kl(sf_dir: str) -> pd.DataFrame:
     """source, n_tokens, kl_u — per-source unigram KL divergence from
     the corpus distribution, Σ_t p_s(t)·ln(p_s(t)/p(t)) in INTEGER
