@@ -686,6 +686,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late r4: the first BPE-training merge step (top adjacent
         # char pairs, occurrence-weighted — Sennrich et al. 2016)
         "docs_bpe_merges": text.bpe_top_merges,
+        # late r4: ITERATED BPE training (3 merges, disjoint pairing)
+        # — the unrolled-recursive-CTE oracle replays every iteration
+        "docs_bpe_train": text.bpe_train,
         # late r4: SimHash near-dup PAIRS (banded 16-bit buckets +
         # exact Hamming verify; pigeonhole-exact recall at ham<=3)
         "docs_simhash_pairs": dedup.simhash_pairs,
@@ -1198,6 +1201,66 @@ def oracle_sql() -> dict[str, str]:
     # join (the engine's banded index is a lossless pigeonhole
     # accelerator of exactly this predicate).  Shared by
     # docs_simhash_pairs and docs_simhash_keep.
+    def _bpe_train_sql(n: int = 3) -> str:
+        """Unrolled replay of BPE training (text.bpe_train): per merge
+        step, a pair-count CTE + argmax, then a per-token RECURSIVE
+        left-to-right disjoint merge application — the PageRank/k-means
+        unrolled-CTE playbook applied to tokenizer training."""
+        parts = [
+            "WITH RECURSIVE ",
+            "toks AS (SELECT unnest(regexp_split_to_array(trim(text), "
+            r"'\s+')) AS tok FROM documents "
+            "WHERE trim(coalesce(text,'')) <> ''), ",
+            "v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM toks GROUP BY tok), ",
+            "sym0 AS (SELECT tok, cnt, (SELECT list(substr(tok, "
+            "CAST(i AS INT), 1) ORDER BY i) FROM "
+            "unnest(generate_series(1, length(tok))) AS t(i)) AS arr "
+            "FROM v), ",
+        ]
+        for k in range(1, n + 1):
+            p = k - 1
+            parts.append(
+                f"c{k} AS (SELECT arr[CAST(i AS INT)] || ' ' || "
+                f"arr[CAST(i AS INT) + 1] AS pair, "
+                f"CAST(sum(cnt) AS BIGINT) AS n FROM sym{p} "
+                "CROSS JOIN LATERAL unnest(generate_series(1, "
+                "len(arr) - 1)) AS g(i) GROUP BY 1), "
+            )
+            parts.append(
+                f"m{k} AS (SELECT pair, n, split_part(pair, ' ', 1) AS a, "
+                f"split_part(pair, ' ', 2) AS b FROM c{k} "
+                "ORDER BY n DESC, pair LIMIT 1), "
+            )
+            if k < n:
+                parts.append(
+                    f"r{k}(tok, pos, acc) AS ("
+                    f"SELECT tok, CAST(1 AS BIGINT), "
+                    f"CAST([] AS VARCHAR[]) FROM sym{p} "
+                    f"UNION ALL SELECT r{k}.tok, "
+                    f"CASE WHEN r{k}.pos + 1 <= len(s.arr) "
+                    f"AND s.arr[r{k}.pos] = m.a "
+                    f"AND s.arr[r{k}.pos + 1] = m.b "
+                    f"THEN r{k}.pos + 2 ELSE r{k}.pos + 1 END, "
+                    f"CASE WHEN r{k}.pos + 1 <= len(s.arr) "
+                    f"AND s.arr[r{k}.pos] = m.a "
+                    f"AND s.arr[r{k}.pos + 1] = m.b "
+                    f"THEN list_append(r{k}.acc, m.a || m.b) "
+                    f"ELSE list_append(r{k}.acc, s.arr[r{k}.pos]) END "
+                    f"FROM r{k} JOIN sym{p} s ON s.tok = r{k}.tok "
+                    f"CROSS JOIN m{k} m WHERE r{k}.pos <= len(s.arr)), "
+                )
+                parts.append(
+                    f"sym{k} AS (SELECT r{k}.tok, s.cnt, r{k}.acc AS arr "
+                    f"FROM r{k} JOIN sym{p} s ON s.tok = r{k}.tok "
+                    f"WHERE r{k}.pos > len(s.arr)), "
+                )
+        sel = " UNION ALL ".join(
+            f"SELECT CAST({k} AS BIGINT) AS step, pair, n FROM m{k}"
+            for k in range(1, n + 1)
+        )
+        return "".join(parts).rstrip().rstrip(",") + " " + sel
+
     simhash_pairs_sql = (
         "WITH toks AS (SELECT doc_id, "
         r"unnest(regexp_split_to_array(trim(coalesce(text,'')), '\s+')) "
@@ -1661,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
             "least((chunk_id+1)*64, len(arr))], ' ')) AS chunk_md5 "
             "FROM c"
         ),
+        "docs_bpe_train": _bpe_train_sql(3),
         "docs_bpe_merges": (
             # first BPE merge statistic: adjacent char pairs of each
             # token weighted by the token's corpus occurrence count

@@ -256,6 +256,124 @@ def bpe_top_merges(sf_dir: str, top: int = 20) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _bpe_apply(syms: list[str], a: str, b: str) -> list[str]:
+    """One BPE merge applied left-to-right with DISJOINT pairing — the
+    canonical Sennrich et al. semantics ('c c c c c' → 'cc cc c'; a
+    padded string replace-until-fixpoint was tried and REFUTED by fuzz:
+    it pairs (4,5) instead of (3,4) on odd runs ≥ 5)."""
+    out, i = [], 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train(sf_dir: str, n_merges: int = 3) -> pd.DataFrame:
+    """step, pair, n — BPE tokenizer TRAINING, the first ``n_merges``
+    merges (Sennrich et al. 2016): start from characters, repeatedly
+    take the most frequent adjacent symbol pair over the corpus
+    (occurrence-weighted, ties pair-ascending) and merge it everywhere
+    with left-to-right disjoint pairing.  The returned merge table IS
+    the trained tokenizer prefix; the DuckDB oracle replays all
+    ``n_merges`` iterations with unrolled recursive CTEs (the
+    PageRank/k-means playbook applied to tokenizer training), so a
+    single wrong count or mis-ordered merge anywhere is a driver-red
+    value mismatch.
+
+    Shape: the TYPE vocabulary (token → count) folds once through the
+    token-bucketed reduce and is the only thing iterated on — pair
+    stats and merge application touch unique tokens, never the
+    corpus; per iteration one bucketed top-1 reduce (driver folds
+    buckets×1 rows) and one vocab-sized map.  Per-token python loops
+    are over the short symbol lists of UNIQUE tokens — the accepted
+    small-side cost class (cf. per-chunk md5)."""
+    from .agg import bucketed_combine
+
+    def occ_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = _token_lists(df["text"])
+        d = pd.DataFrame({"tok": flat})
+        d = d[d["tok"] != ""]
+        return d.groupby("tok", as_index=False).agg(cnt=("tok", "size"))
+
+    def to_seq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "seq": [" ".join(t) for t in df["tok"]],
+                "cnt": df["cnt"].astype("int64"),
+            }
+        )
+
+    cur = (
+        bucketed_combine(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                occ_partial, batch_format="pandas"
+            ),
+            ["tok"],
+            lambda df: df.groupby("tok", as_index=False).agg(
+                cnt=("cnt", "sum")
+            ),
+        )
+        .map_batches(to_seq, batch_format="pandas")
+        .materialize()
+    )
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d: dict[str, int] = {}
+        for seq, cnt in zip(df["seq"], df["cnt"]):
+            syms = seq.split(" ")
+            c = int(cnt)
+            for i in range(len(syms) - 1):
+                p = syms[i] + " " + syms[i + 1]
+                d[p] = d.get(p, 0) + c
+        return pd.DataFrame(
+            {"pair": list(d.keys()),
+             "n": pd.Series(list(d.values()), dtype="int64")}
+        )
+
+    def top1_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pair", as_index=False).agg(n=("n", "sum"))
+        return g.sort_values(
+            ["n", "pair"], ascending=[False, True], kind="mergesort"
+        ).head(1)
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        cands = bucketed_combine(
+            cur.map_batches(stats_partial, batch_format="pandas"),
+            ["pair"],
+            top1_combine,
+        ).to_pandas()
+        best = cands.sort_values(
+            ["n", "pair"], ascending=[False, True], kind="mergesort"
+        ).head(1)
+        if not len(best):
+            break
+        pair, n = str(best.iloc[0]["pair"]), int(best.iloc[0]["n"])
+        merges.append((step, pair, n))
+        a, b = pair.split(" ")
+
+        def apply(df: pd.DataFrame, a=a, b=b) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "seq": [
+                        " ".join(_bpe_apply(s.split(" "), a, b))
+                        for s in df["seq"]
+                    ],
+                    "cnt": df["cnt"],
+                }
+            )
+
+        cur = cur.map_batches(apply, batch_format="pandas").materialize()
+    return pd.DataFrame(merges, columns=["step", "pair", "n"]).astype(
+        {"step": "int64", "n": "int64"}
+    )
+
+
 def source_kl(sf_dir: str) -> pd.DataFrame:
     """source, n_tokens, kl_u — per-source unigram KL divergence from
     the corpus distribution, Σ_t p_s(t)·ln(p_s(t)/p(t)) in INTEGER

@@ -462,3 +462,29 @@ def test_gram_arrays_matches_brute(texts, k):
             expect.append((i, j + 1, " ".join(toks[j : j + k])))
     got = list(zip(doc_idx.tolist(), pos.tolist(), grams.tolist()))
     assert got == expect
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "ab", "aa"]), max_size=12),
+    st.sampled_from(["a", "b", "c", "ab", "aa"]),
+    st.sampled_from(["a", "b", "c", "ab", "aa"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_apply_invariants(syms, a, b):
+    """_bpe_apply: concatenation is preserved, every merge shortens by
+    one, and merged occurrences are disjoint left-to-right (the
+    canonical example 'c c c c c' -> 'cc cc c' is pinned below)."""
+    from snapcrawler_ray.functions.text import _bpe_apply
+
+    out = _bpe_apply(syms, a, b)
+    assert "".join(out) == "".join(syms)
+    n_merged = len(syms) - len(out)
+    assert n_merged >= 0
+    assert out.count(a + b) >= n_merged * (a + b != a)  # merged present
+
+
+def test_bpe_apply_disjoint_run():
+    from snapcrawler_ray.functions.text import _bpe_apply
+
+    assert _bpe_apply(list("ccccc"), "c", "c") == ["cc", "cc", "c"]
+    assert _bpe_apply(list("cccc"), "c", "c") == ["cc", "cc"]

@@ -101,7 +101,7 @@ def test_all_query_names_have_callables(contract):
         "docs_bottomk_sample", "docs_dup_spans", "docs_bigram_surprisal",
         "docs_dup_spans_cut", "docs_gopher_rules", "docs_simhash_pairs",
         "docs_simhash_keep", "docs_source_kl", "docs_chunks_overlap",
-        "docs_bpe_merges",
+        "docs_bpe_merges", "docs_bpe_train",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
