@@ -113,7 +113,7 @@ def run_queries(sf_dir: str) -> dict:
         "docs_boilerplate_ngrams", "docs_dup_spans",
         "docs_unigram_surprisal", "docs_bigram_surprisal",
         "docs_gopher_rules", "docs_dup_spans_cut", "docs_simhash_pairs",
-        "docs_source_kl",
+        "docs_source_kl", "docs_bpe_train",
         "emb_near_dup_exact",
     ]
     out = {}
