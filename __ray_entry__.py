@@ -529,31 +529,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ENTRY ORDER IS DELIBERATE.  The driver records CORRECTNESS rows
     # for exactly the first 50 dict entries each round, so the contract
-    # is rotated per round by verification priority.  r04 ordering:
-    # (1) everything NEWLY SQL-ORACLED this round: the crawl scheduler
-    #     rows (recursive-CTE replay over the engine-written edge
-    #     table), the scale/priority projections, the image verdict
-    #     table (pre-dedup dump + SQL F7 re-derivation), exact-integer
-    #     PageRank (unrolled-CTE replay), sitemap frontier and JSON API
-    #     harvest (payload dumps + SQL parse replays), plus the oracled
-    #     crawl aggregates whose engine code changed this round (UA
-    #     rotation, byte-cap chains, distributed verdict sort);
-    # (2) every entry whose green driver row exists only in r02 (r03's
-    #     50 rows skipped them) — re-recorded so r03∪r04 alone covers
-    #     the full contract;
-    # (3) the r03-green remainder (code untouched this round; their
-    #     green rows in CORRECTNESS_r03 remain authoritative).
-    # Late-r4 additions past entry #50 (CMS, images_tags, BPE counts,
-    # watermark/late-data, repeated n-grams, bottom-k sample, dup
-    # spans + cut, bigram surprisal, Gopher rules, SimHash pairs +
-    # keep, source KL) rotate INTO the r5 window; until then their
-    # value truth is tests/test_queries_oracle.py (sf0.001) + the full
-    # sf0.01 rehearsal (tools/contract_rehearsal.py), both green.  The
-    # one in-window late addition is crawl_politeness_schedule (the
-    # last crawl-core component to reach the hard gate), swapped for
-    # rows-only emb_knn_lsh whose value contract is its r03-green
-    # recall twin.
+    # is rotated per round by verification priority.  r04 window (the
+    # first 50), highest information per row first:
+    #   (1) the crawl core, newly SQL-ORACLED this round — recursive-CTE
+    #       replay of the reference crawl loop over the engine-written
+    #       extraction-meta parquet (visits / emissions / seen set /
+    #       robots), UA rotation, navigation scores, the adaptive
+    #       politeness timeline, the image-verdict table (pre-dedup dump
+    #       + SQL F7 re-derivation), scale/priority projections, JSON API
+    #       harvest, exact-integer PageRank, sitemap frontier, and the
+    #       crawl-x-webtext bridge re-run over the r4 engine;
+    #   (2) every operator ADDED in r4 (never driver-checked): CMS,
+    #       images_tags, BPE counts/merges/training, watermark late-data,
+    #       repeated n-grams, bottom-k sample, ExactSubstr dup spans +
+    #       cut, bigram surprisal, Gopher rules, source KL, overlapping
+    #       chunks, SimHash pairs + keep, int8-kNN recall, rolling
+    #       fingerprints (upgraded rows-only -> oracled);
+    #   (3) r02-green entries whose CODE CHANGED in r4 (SimHash md5
+    #       cache, vectorized MinHash/decontamination shingles, dim-join
+    #       topology switch on the q-family, components escape hatch,
+    #       top-k tie-break hardening) — re-recorded on the new code.
+    # Entries past #50 keep their green rows from CORRECTNESS_r02/r03
+    # (unchanged code), so the r02-r04 union covers all 110 entries;
+    # their sf0.01 value truth is also re-checked every session by
+    # tools/contract_rehearsal.py + tests/test_queries_oracle.py.
     return {
+        # --- [1] crawl core under the hard gate (new this round) ---
         # --- [1] crawl scheduler — newly SQL-oracled (recursive-CTE
         # replay of reference crawling_module.py:80-189 over the
         # engine-written extraction-meta parquet) ---
@@ -561,44 +562,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_emissions": crawl_emissions,
         "crawl_seen_set": crawl_seen_set,
         "crawl_robots_visits": crawl_robots_visits,
-        # T12 UA rotation (new in r4): per-agent request histogram of a
-        # rotation-enabled run, SQL-oracled over its visits parquet
         "crawl_ua_counts": crawl_ua_counts,
-        # late r4: navigation scoring under the hard oracle (raw
-        # integer feature dump + DuckDB arithmetic replay), the
-        # interval range join (the one custom-join class the suite
-        # still lacked), and fixed-point k-means (the last iterative
-        # algorithm moved under the gate via the PageRank playbook).
-        # The r03-green crawl aggregates (host-visits/depth-histogram/
-        # status-counts — all over the same already-gated visits
-        # parquet) rotate below the window to make room.
         "crawl_nav_scores": crawl_nav_scores,
-        # newest-in-r4: the T5/T6 adaptive politeness timeline under
-        # the hard gate (recursive-CTE replay of the delay recurrence);
-        # emb_knn_lsh rotates below the window to make room — it is
-        # rows-only (r02 row exists) and its value contract is the
-        # r03-green emb_knn_lsh_recall twin
         "crawl_politeness_schedule": crawl_politeness_schedule,
-        "events_range_join": lambda d: relational.events_range_join(d),
-        "emb_kmeans_fixed": lambda d: similarity.kmeans_fixed(d),
-        # the crawl×webtext bridge re-verified over the r4 engine
-        "web_training_corpus": web_training_corpus,
-        # rows-only entries whose code changed this round: image
-        # pipeline (byte-cap chain semantics, distributed verdict
-        # sort), scale-mode cascade, priority frontier, regex-harvest
         "crawl_image_verdicts": crawl_image_verdicts,
         "crawl_scale_visits": crawl_scale_visits,
         "crawl_priority_visits": crawl_priority_visits,
         "docs_api_harvest": docs_api_harvest,
         "crawl_host_pagerank": crawl_host_pagerank,
         "crawl_sitemap_frontier": crawl_sitemap_frontier,
-        # new in r4: the HLL register table itself under the hard
-        # oracle — md5-basis hashing (shared with SimHash/fingerprints)
-        # lets DuckDB recompute every (event_type, bucket) max-rank
-        # bit-for-bit; the approx_* estimates' error envelopes remain
-        # separately driver-checked via events_approx_*_check
+        "web_training_corpus": web_training_corpus,
+        # --- [2] operators added in r4 (first driver rows) ---
+        "events_range_join": lambda d: relational.events_range_join(d),
+        "emb_kmeans_fixed": lambda d: similarity.kmeans_fixed(d),
         "events_hll_registers": lambda d: sketch.hll_registers(d),
-        # --- [2] green only in r02 — re-recorded this round ---
+        "events_cms_registers": lambda d: sketch.cms_registers(d),
+        "events_cms_topk": lambda d: sketch.cms_topk_users(d),
+        "images_tags": images_tags,
+        "docs_bpe_tokens": text.bpe_token_counts,
+        "events_watermark_late": relational.events_watermark_late,
+        "docs_repeated_ngrams": text.repeated_ngrams,
+        "docs_bottomk_sample": text.bottomk_sample,
+        "docs_dup_spans": text.dup_spans,
+        "docs_bigram_surprisal": text.bigram_surprisal,
+        "docs_dup_spans_cut": text.dup_spans_cut,
+        "docs_gopher_rules": text.gopher_rules,
+        "docs_source_kl": text.source_kl,
+        "docs_chunks_overlap": text.doc_chunks_overlap,
+        "docs_bpe_merges": text.bpe_top_merges,
+        "docs_bpe_train": text.bpe_train,
+        "docs_simhash_pairs": dedup.simhash_pairs,
+        # ... and its keep-list (connected components, keep = min)
+        "docs_simhash_keep": dedup.simhash_keep,
+        "emb_knn_int8_recall": lambda d: similarity.knn_recall_check(
+            d, "int8", bound=0.7
+        ),
+        # rolling 64-bit fingerprint over md5 token hashes — SQL-oracled
+        # (DuckDB list_reduce fold in hugeint arithmetic)
+        "docs_fingerprints": text.fingerprints,
+        # --- [3] r02-green entries whose code changed in r4 ---
+        "docs_simhash": dedup.simhashes,
+        "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
+        "docs_neardup_keep": lambda d: dedup.doc_neardup_keep(d),
+        "docs_decontaminate": lambda d: dedup.decontaminate(d),
+        "docs_training_corpus": prep.training_corpus,
+        "docs_exact_dedup": dedup.exact_dedup,
+        "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
+        "docs_clean_corpus": lambda d: dedup.clean_corpus_keep(d),
+        "q1_pricing": relational.q1_pricing,
+        "q3_top_orders": lambda d: relational.q3_top_orders(d),
+        "q5_region_supplier": lambda d: relational.q5_region_supplier_revenue(d),
+        "nation_revenue": relational.nation_revenue,
+        "events_sessionize": lambda d: relational.events_sessionize(d),
+        "events_topk_users": lambda d: relational.events_topk_users(d),
+        # --- past the 50-row window: green rows in r02/r03 stand ---
         "events_rolling": lambda d: relational.events_rolling_window(d),
         "events_asof": lambda d: relational.events_asof_milestones(d),
         "events_hopping": lambda d: relational.events_hopping_window(d),
@@ -624,92 +641,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": text.weighted_sample,
         "docs_token_topk": lambda d: text.token_topk(d),
         "docs_token_topk_mg": lambda d: text.token_topk_mg(d),
-        # rolling 64-bit fingerprint over md5 token hashes — SQL-oracled
-        # (DuckDB list_reduce fold in hugeint arithmetic)
-        "docs_fingerprints": text.fingerprints,
         "emb_knn_ivf": lambda d: similarity.knn_ivf(d, k=10, n_queries=5),
         "emb_near_dup": lambda d: dedup.embedding_near_dup_pairs(d),
         "emb_dedup_keep": lambda d: dedup.embedding_dedup_keep(d),
         "emb_cluster_counts": lambda d: similarity.cluster_counts(d),
         "emb_cluster_quality": lambda d: similarity.cluster_quality(d),
-        "events_topk_users": lambda d: relational.events_topk_users(d),
-        # oracled + green only in r02 — must stay inside the 50-row
-        # driver window so r03∪r04 alone covers the contract
         "events_pivot_hourly": relational.events_pivot_hourly,
-        # new in late r4 (below the full window — rotate INTO the r5
-        # window): Count-Min sketch (Cormode & Muthukrishnan 2005) on
-        # the shared md5 hash basis; both the merged register table AND
-        # the top-k estimates are deterministic, so both carry full
-        # DuckDB value oracles (locally rehearsed in
-        # tests/test_queries_oracle.py until the r5 driver row lands)
-        "events_cms_registers": lambda d: sketch.cms_registers(d),
-        "events_cms_topk": lambda d: sketch.cms_topk_users(d),
-        # late r4 (rotate into the r5 window): the M22/M23 decision
-        # logic under the hard gate — integer-feature dump + DuckDB
-        # threshold-tree/tag replay (the images_analysis row stays the
-        # rows-only full-metadata form; this is its value-gated core)
-        "images_tags": images_tags,
-        # late r4: BPE-ish pre-tokenizer count (GPT-2 pattern on the
-        # re/RE2 common subset — text.BPE_PAT documents the boundary)
-        "docs_bpe_tokens": text.bpe_token_counts,
-        # late r4: streaming watermark / late-data detection — a global
-        # prefix-max over a simulated multi-partition arrival order
-        # (xor-block merge); kernel = per-range partials + driver
-        # exclusive cummax + one groupby co-location
-        "events_watermark_late": relational.events_watermark_late,
-        # late r4: intra-doc repeated 3-gram counts (the repetition
-        # signal behind repeated-substring dedup, Lee et al. 2022)
-        "docs_repeated_ngrams": text.repeated_ngrams,
-        # late r4: bottom-k-by-hash uniform sample (the deterministic
-        # distributed reservoir — fixed-size mergeable partials)
-        "docs_bottomk_sample": text.bottomk_sample,
-        # late r4: ExactSubstr-style maximal cross-doc duplicated
-        # spans (k-gram seed + gaps-and-islands merge; the per-doc
-        # cut list an ExactSubstr pass removes)
-        "docs_dup_spans": text.dup_spans,
-        # late r4: bigram conditional surprisal (the KenLM-style
-        # perplexity filter one order up from unigram_surprisal)
-        "docs_bigram_surprisal": text.bigram_surprisal,
-        # late r4: the ExactSubstr CUT pass (duplicated spans removed
-        # from the token stream; map-only after the dictionary fold)
-        "docs_dup_spans_cut": text.dup_spans_cut,
-        # late r4: the published Gopher quality rules as one map-only
-        # filter (token bounds, mean word length, alpha fraction,
-        # symbol ratio — rounded before compare, SQL-oracled)
-        "docs_gopher_rules": text.gopher_rules,
-        # late r4: per-source unigram KL divergence from the corpus
-        # distribution (domain-mixing signal, integer micro-nats)
-        "docs_source_kl": text.source_kl,
-        # late r4: overlapping sliding-window chunker (RAG chunker —
-        # window 64, hop 48) alongside the fixed docs_chunks
-        "docs_chunks_overlap": text.doc_chunks_overlap,
-        # late r4: the first BPE-training merge step (top adjacent
-        # char pairs, occurrence-weighted — Sennrich et al. 2016)
-        "docs_bpe_merges": text.bpe_top_merges,
-        # late r4: ITERATED BPE training (3 merges, disjoint pairing)
-        # — the unrolled-recursive-CTE oracle replays every iteration
-        "docs_bpe_train": text.bpe_train,
-        # late r4: SimHash near-dup PAIRS (banded 16-bit buckets +
-        # exact Hamming verify; pigeonhole-exact recall at ham<=3)
-        "docs_simhash_pairs": dedup.simhash_pairs,
-        # ... and its keep-list (connected components, keep = min)
-        "docs_simhash_keep": dedup.simhash_keep,
-        # rows-only (rotated out of the window for
-        # crawl_politeness_schedule in late r4): its r02 row exists and
-        # its value contract is the r03-green emb_knn_lsh_recall twin
         "emb_knn_lsh": lambda d: similarity.knn_lsh(d, k=10, n_queries=5),
-        # rows-only: iterative algorithm (Lloyd's k-means; monotone
-        # inertia + brute-force parity asserted in tests) — outside the
-        # r04 window; its rows-only record exists in r02
         "emb_kmeans": lambda d: similarity.kmeans(d),
-        # rows-only: approximate by construction (HLL sketch; the
-        # *_check twins below are the oracled error-envelope forms,
-        # and events_hll_registers puts the register kernel itself
-        # under the hard gate) — safely outside the r04 window: their
-        # row counts are recorded in both r02 and r03
         "events_approx_users": sketch.approx_distinct_users,
         "events_approx_hourly_users": sketch.approx_hourly_users,
-        # --- [3] r03-green remainder (CORRECTNESS_r03 rows stand) ---
         "crawl_host_visits": crawl_host_visits,
         "crawl_depth_histogram": crawl_depth_histogram,
         "crawl_status_counts": crawl_status_counts,
@@ -735,29 +676,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf_recall": lambda d: similarity.knn_recall_check(
             d, "ivf", bound=0.3
         ),
-        # late r4: int8-quantized scan (the memory-bandwidth play for
-        # billion-vector top-k) under the same machine-checked recall
-        # contract; measured 0.8-1.0 across sfs, floor 0.7
-        "emb_knn_int8_recall": lambda d: similarity.knn_recall_check(
-            d, "int8", bound=0.7
-        ),
         "events_approx_users_check": sketch.approx_users_check,
         "events_approx_hourly_check": sketch.approx_hourly_users_check,
-        "docs_simhash": dedup.simhashes,
         "docs_boilerplate_ngrams": lambda d: text.boilerplate_ngrams(d),
         "docs_unigram_surprisal": text.unigram_surprisal,
-        "docs_training_corpus": prep.training_corpus,
-        "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
-        "docs_neardup_keep": lambda d: dedup.doc_neardup_keep(d),
-        "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
-        "docs_exact_dedup": dedup.exact_dedup,
-        "docs_decontaminate": lambda d: dedup.decontaminate(d),
-        "docs_clean_corpus": lambda d: dedup.clean_corpus_keep(d),
-        "q1_pricing": relational.q1_pricing,
-        "q3_top_orders": lambda d: relational.q3_top_orders(d),
-        "q5_region_supplier": lambda d: relational.q5_region_supplier_revenue(d),
-        "nation_revenue": relational.nation_revenue,
-        "events_sessionize": lambda d: relational.events_sessionize(d),
     }
 
 
