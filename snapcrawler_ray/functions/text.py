@@ -459,6 +459,145 @@ def source_kl(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _dsir_log_ratios(
+    sf_dir: str, target_source: str, n_buckets: int
+) -> np.ndarray:
+    """The DSIR log-importance-ratio vector: int64 micro-nats per
+    hashed-unigram bucket, ln(p_tgt(b)/p_raw(b)) with add-1 smoothing
+    over ``n_buckets`` buckets.  Float op order (int/int div per
+    distribution → ratio div → ln → ×1e6 → floor(+0.5)) mirrors the
+    DuckDB oracle bit-for-bit.
+
+    Distributed shape: (bucket, c_raw, c_tgt) partials fold through a
+    bucket-keyed reduce; the feature space is FIXED at ``n_buckets``
+    regardless of corpus size — that is the point of DSIR's hashed
+    features — so the folded table is ≤n_buckets rows and the ratio
+    vector broadcasts to a map-only scorer."""
+    from .agg import bucketed_combine
+    from .dedup import _md5_u64
+
+    def counts_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].fillna("").str.strip() != ""]
+        if not len(df):
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype="int64"),
+                 "c_raw": pd.Series([], dtype="int64"),
+                 "c_tgt": pd.Series([], dtype="int64")}
+            )
+        flat, lens = _token_lists(df["text"])
+        hb = (_md5_u64(flat) % np.uint64(n_buckets)).astype(np.int64)
+        is_t = np.repeat(
+            (df["source"] == target_source).to_numpy(), lens
+        )
+        return (
+            pd.DataFrame(
+                {"bucket": hb,
+                 "c_raw": np.ones(len(hb), dtype=np.int64),
+                 "c_tgt": is_t.astype(np.int64)}
+            )
+            .groupby("bucket", as_index=False)
+            .sum()
+        )
+
+    folded = bucketed_combine(
+        _docs(sf_dir, ["source", "text"]).map_batches(
+            counts_partial, batch_format="pandas"
+        ),
+        ["bucket"],
+        lambda df: df.groupby("bucket", as_index=False).agg(
+            c_raw=("c_raw", "sum"), c_tgt=("c_tgt", "sum")
+        ),
+    ).to_pandas()
+    c_raw = np.zeros(n_buckets, dtype=np.int64)
+    c_tgt = np.zeros(n_buckets, dtype=np.int64)
+    idx = folded["bucket"].to_numpy(np.int64)
+    c_raw[idx] = folded["c_raw"].to_numpy(np.int64)
+    c_tgt[idx] = folded["c_tgt"].to_numpy(np.int64)
+    n_raw = int(c_raw.sum())
+    n_tgt = int(c_tgt.sum())
+    p_t = (c_tgt + 1).astype(np.float64) / np.float64(n_tgt + n_buckets)
+    p_r = (c_raw + 1).astype(np.float64) / np.float64(n_raw + n_buckets)
+    return np.floor(np.log(p_t / p_r) * 1e6 + 0.5).astype(np.int64)
+
+
+def dsir_weights(
+    sf_dir: str, target_source: str = "src0", n_buckets: int = 4096
+) -> "ray.data.Dataset":
+    """doc_id, n_tokens, dsir_w_u — DSIR importance weights (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): each document's log importance ratio between a
+    TARGET domain (the ``target_source`` docs) and the RAW corpus over
+    hashed unigram features.  Features are md5-derived token hashes
+    (dedup._md5_u64 — the same SQL-expressible basis as SimHash /
+    fingerprints) folded into ``n_buckets`` buckets; each token
+    contributes ln(p_tgt(b)/p_raw(b)) in INTEGER MICRO-NATS
+    (floor(x·1e6 + 0.5), summed as int64 — order-free exact, the
+    surprisal convention).  Blank docs are excluded on both sides.
+
+    Pass 2 is map-only: the ≤n_buckets-entry ratio vector rides into
+    the scorer as a closure constant (a few KiB — broadcast once per
+    task spec), per-doc sums via one ``np.bincount`` whose float64
+    partial sums stay exactly-representable integers (|term| < 2²⁵,
+    per-doc totals ≪ 2⁵³)."""
+    from .dedup import _md5_u64
+
+    lr = _dsir_log_ratios(sf_dir, target_source, n_buckets)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].fillna("").str.strip() != ""]
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_tokens": pd.Series([], dtype="int64"),
+                 "dsir_w_u": pd.Series([], dtype="int64")}
+            )
+        flat, lens = _token_lists(df["text"])
+        hb = (_md5_u64(flat) % np.uint64(n_buckets)).astype(np.int64)
+        idx = np.repeat(np.arange(len(df)), lens)
+        w = np.bincount(
+            idx, weights=lr[hb].astype(np.float64), minlength=len(df)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(),
+             "n_tokens": lens,
+             "dsir_w_u": w}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+
+
+def dsir_sample(
+    sf_dir: str, target_source: str = "src0", n_buckets: int = 4096,
+    k: int = 25,
+) -> pd.DataFrame:
+    """doc_id, dsir_w_u, rank — the k docs the DSIR pass SELECTS:
+    highest importance weight first (dsir_w_u desc, doc_id asc
+    tie-break; the deterministic top-k stand-in for the paper's
+    Gumbel-top-k resampling — same selection when weights dominate
+    the noise).  Per-batch partial top-k before any data movement (at
+    most k rows leave each batch), driver fold is O(k × n_batches)."""
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["dsir_w_u", "doc_id"], ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+
+    scored = dsir_weights(sf_dir, target_source, n_buckets)
+    out = (
+        scored.map_batches(
+            lambda df: topk(df[["doc_id", "dsir_w_u"]]),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out = topk(out).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["doc_id", "dsir_w_u", "rank"]]
+
+
 def gopher_rules(sf_dir: str) -> "ray.data.Dataset":
     """doc_id, n_tokens, mean_word_len, alpha_frac, sym_ratio, keep —
     the published Gopher repetition-free quality rules (Rae et al. 2021
