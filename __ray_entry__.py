@@ -607,6 +607,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and the scorer is map-only at any corpus scale
         "docs_dsir_weights": text.dsir_weights,
         "docs_dsir_sample": lambda d: text.dsir_sample(d),
+        # BM25 top-k retrieval (Robertson & Zaragoza 2009, Lucene idf):
+        # the decontamination/eval-search primitive — O(|terms|) driver
+        # state, broadcast idf/avgdl, map-only scorer + partial top-k
+        "docs_bm25_topk": lambda d: text.bm25_topk(d),
         # --- [3] r02-green entries whose code changed in r4 ---
         "docs_simhash": dedup.simhashes,
         "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
@@ -615,7 +619,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_training_corpus": prep.training_corpus,
         "docs_exact_dedup": dedup.exact_dedup,
         "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
-        "docs_clean_corpus": lambda d: dedup.clean_corpus_keep(d),
         "q3_top_orders": lambda d: relational.q3_top_orders(d),
         "q5_region_supplier": lambda d: relational.q5_region_supplier_revenue(d),
         "events_sessionize": lambda d: relational.events_sessionize(d),
@@ -625,6 +628,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # q5's dim-join path — both r02-green; q3/q5 above keep the r4
         # join-topology switch itself under a fresh row)
         "q1_pricing": relational.q1_pricing,
+        # clean_corpus composes exact-dedup + near-dup keep + quality,
+        # each separately in-window this round
+        "docs_clean_corpus": lambda d: dedup.clean_corpus_keep(d),
         "nation_revenue": relational.nation_revenue,
         "events_rolling": lambda d: relational.events_rolling_window(d),
         "events_asof": lambda d: relational.events_asof_milestones(d),
@@ -1926,6 +1932,39 @@ def oracle_sql() -> dict[str, str]:
             "9223372036854775808 THEN coalesce(s.v, 0) - "
             "18446744073709551616 ELSE coalesce(s.v, 0) END AS BIGINT) "
             "AS simhash FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "docs_bm25_topk": (
+            # BM25 (k1=1.2, b=0.75, Lucene idf) for query terms
+            # ('hash','window','spark'); per-(doc,term) contribution in
+            # integer micro-units floor(x*1e6 + 0.5), summed as BIGINT;
+            # float op order mirrors text.bm25_topk bit-for-bit
+            "WITH d AS (SELECT doc_id, regexp_split_to_array("
+            r"trim(text), '\s+') AS arr FROM documents "
+            "WHERE trim(coalesce(text,'')) <> ''), "
+            "dl AS (SELECT doc_id, CAST(length(arr) AS BIGINT) AS dl "
+            "FROM d), "
+            "stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(dl) AS BIGINT) AS n_toks FROM dl), "
+            "t AS (SELECT doc_id, unnest(arr) AS tok FROM d), "
+            "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf "
+            "FROM t WHERE tok IN ('hash', 'window', 'spark') "
+            "GROUP BY doc_id, tok), "
+            "dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df "
+            "FROM tf GROUP BY tok), "
+            "u AS (SELECT tf.doc_id, CAST(floor("
+            "ln((stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1) "
+            "* ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * "
+            "(dl.dl / (stats.n_toks / stats.n_docs))))) "
+            "* 1000000 + 0.5) AS BIGINT) AS u "
+            "FROM tf JOIN dfc USING (tok) "
+            "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats), "
+            "s AS (SELECT doc_id, CAST(sum(u) AS BIGINT) AS bm25_u "
+            "FROM u GROUP BY doc_id) "
+            "SELECT s.doc_id, dl.dl AS n_tokens, s.bm25_u, "
+            "CAST(row_number() OVER (ORDER BY s.bm25_u DESC, s.doc_id) "
+            "AS BIGINT) AS rank "
+            "FROM s JOIN dl USING (doc_id) "
+            "ORDER BY s.bm25_u DESC, s.doc_id LIMIT 10"
         ),
         "docs_dsir_weights": dsir_weights_sql,
         "docs_dsir_sample": (

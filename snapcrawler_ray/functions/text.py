@@ -598,6 +598,108 @@ def dsir_sample(
     return out[["doc_id", "dsir_w_u", "rank"]]
 
 
+def bm25_topk(
+    sf_dir: str,
+    terms: tuple[str, ...] = ("hash", "window", "spark"),
+    k: int = 10,
+) -> pd.DataFrame:
+    """doc_id, n_tokens, bm25_u, rank — BM25 top-k retrieval
+    (Robertson & Zaragoza 2009; Lucene's non-negative idf variant
+    ln(1 + (N − df + 0.5)/(df + 0.5)), k1=1.2, b=0.75) for a fixed
+    query-term set: the retrieval primitive behind decontamination /
+    eval-set search over a training corpus.  Each matching (doc, term)
+    contributes idf·(tf·(k1+1))/(tf + k1·(1−b+b·dl/avgdl)) in INTEGER
+    MICRO-UNITS (floor(x·1e6 + 0.5) per term, summed as int64 —
+    order-free exact); docs matching no term are excluded, ties break
+    on doc_id.  Blank docs are excluded from N/avgdl on both sides.
+
+    Shape: pass 1 folds (N, Σdl, df per term) — O(|terms|) driver
+    state; idf/avgdl broadcast into a map-only scorer whose per-batch
+    partial top-k means at most k rows leave each batch."""
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].fillna("").str.strip() != ""]
+        if not len(df):
+            return pd.DataFrame(
+                {"n_docs": pd.Series([], dtype="int64"),
+                 "n_toks": pd.Series([], dtype="int64"),
+                 **{f"df_{i}": pd.Series([], dtype="int64")
+                    for i in range(len(terms))}}
+            )
+        flat, lens = _token_lists(df["text"])
+        idx = np.repeat(np.arange(len(df)), lens)
+        row = {"n_docs": [np.int64(len(df))],
+               "n_toks": [np.int64(lens.sum())]}
+        for i, t in enumerate(terms):
+            tf = np.bincount(idx[flat == t], minlength=len(df))
+            row[f"df_{i}"] = [np.int64((tf > 0).sum())]
+        return pd.DataFrame(row)
+
+    stats = (
+        _docs(sf_dir, ["text"])
+        .map_batches(stats_partial, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    n_docs = np.int64(stats["n_docs"])
+    avgdl = np.float64(stats["n_toks"]) / np.float64(n_docs)
+    idf = np.array(
+        [
+            np.log((n_docs - np.int64(stats[f"df_{i}"]) + 0.5)
+                   / (np.int64(stats[f"df_{i}"]) + 0.5) + 1.0)
+            for i in range(len(terms))
+        ],
+        dtype=np.float64,
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["bm25_u", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].fillna("").str.strip() != ""]
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_tokens": pd.Series([], dtype="int64"),
+                 "bm25_u": pd.Series([], dtype="int64")}
+            )
+        flat, lens = _token_lists(df["text"])
+        idx = np.repeat(np.arange(len(df)), lens)
+        dl = lens.astype(np.float64)
+        total = np.zeros(len(df), dtype=np.int64)
+        matched = np.zeros(len(df), dtype=bool)
+        for i in range(len(terms)):
+            tf = np.bincount(
+                idx[flat == terms[i]], minlength=len(df)
+            ).astype(np.float64)
+            # float op order mirrors the DuckDB oracle bit-for-bit:
+            # dl/avgdl → ·0.75 → +0.25 → ·1.2 → +tf; tf·2.2 / that;
+            # ·idf (left-assoc) → ·1e6 → floor(+0.5)
+            u = np.floor(
+                idf[i] * ((tf * 2.2)
+                          / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+                * 1e6 + 0.5
+            ).astype(np.int64)
+            has = tf > 0
+            total[has] += u[has]
+            matched |= has
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(),
+             "n_tokens": lens,
+             "bm25_u": total}
+        )
+        return topk(out[matched])
+
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )
+    out = topk(scored.to_pandas()).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["doc_id", "n_tokens", "bm25_u", "rank"]]
+
+
 def gopher_rules(sf_dir: str) -> "ray.data.Dataset":
     """doc_id, n_tokens, mean_word_len, alpha_frac, sym_ratio, keep —
     the published Gopher repetition-free quality rules (Rae et al. 2021
