@@ -597,6 +597,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_int8_recall": lambda d: similarity.knn_recall_check(
             d, "int8", bound=0.7
         ),
+        # product quantization (Jégou et al. 2011): 8-byte ADC codes +
+        # exact re-rank of the per-batch shortlist — the 32×-compression
+        # billion-vector scan path; measured 0.7–1.0 across sfs,
+        # deterministic floor 0.6
+        "emb_knn_pq_recall": lambda d: similarity.knn_recall_check(
+            d, "pq", bound=0.6
+        ),
         # rolling 64-bit fingerprint over md5 token hashes — SQL-oracled
         # (DuckDB list_reduce fold in hugeint arithmetic)
         "docs_fingerprints": text.fingerprints,
@@ -617,7 +624,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_neardup_keep": lambda d: dedup.doc_neardup_keep(d),
         "docs_decontaminate": lambda d: dedup.decontaminate(d),
         "docs_training_corpus": prep.training_corpus,
-        "docs_exact_dedup": dedup.exact_dedup,
         "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
         "q3_top_orders": lambda d: relational.q3_top_orders(d),
         "q5_region_supplier": lambda d: relational.q5_region_supplier_revenue(d),
@@ -626,7 +632,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the 50-row window: green rows in r02/r03 stand ---
         # (q1 is a single-table aggregate and nation_revenue shares
         # q5's dim-join path — both r02-green; q3/q5 above keep the r4
-        # join-topology switch itself under a fresh row)
+        # join-topology switch itself under a fresh row.  exact_dedup
+        # is r02-green, its md5-bucketed reduce is unchanged, and its
+        # kernel is re-exercised in-window through docs_training_corpus
+        # and web_training_corpus — swapped below for emb_knn_pq_recall)
+        "docs_exact_dedup": dedup.exact_dedup,
         "q1_pricing": relational.q1_pricing,
         # clean_corpus composes exact-dedup + near-dup keep + quality,
         # each separately in-window this round
@@ -2131,6 +2141,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings WHERE vec_id < 5"
         ),
         "emb_knn_int8_recall": (
+            "SELECT vec_id AS query_id, true AS recall_ok "
+            "FROM embeddings WHERE vec_id < 5"
+        ),
+        "emb_knn_pq_recall": (
             "SELECT vec_id AS query_id, true AS recall_ok "
             "FROM embeddings WHERE vec_id < 5"
         ),

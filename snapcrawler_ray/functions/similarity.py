@@ -318,6 +318,139 @@ def knn_ivf(
     )
 
 
+def _train_pq_codebooks(
+    sample: np.ndarray, n_sub: int, n_codes: int, seed: int,
+    iters: int = 8,
+) -> np.ndarray:
+    """(n_sub, n_codes, sub_dim) product-quantization codebooks: plain
+    seeded Lloyd k-means per subspace on the training sample (Jégou,
+    Douze & Schmid 2011, "Product Quantization for Nearest Neighbor
+    Search").  Empty cells keep their previous centroid (deterministic,
+    like _train_centroids)."""
+    n, dim = sample.shape
+    sub_dim = dim // n_sub
+    rng = np.random.RandomState(seed)
+    books = np.empty((n_sub, min(n_codes, n), sub_dim), dtype=np.float64)
+    for s in range(n_sub):
+        x = sample[:, s * sub_dim:(s + 1) * sub_dim]
+        c = x[rng.choice(n, books.shape[1], replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(c)):
+                m = assign == j
+                if m.any():
+                    c[j] = x[m].mean(axis=0)
+        books[s] = c
+    return books
+
+
+def knn_pq(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 5,
+    n_sub: int = 8,
+    n_codes: int = 32,
+    sample_stride: int = 7,
+    seed: int = 43,
+    refine_r: int = 200,
+) -> pd.DataFrame:
+    """query_id, rank, vec_id — product-quantization top-k (Jégou et
+    al. 2011): unit vectors split into ``n_sub`` subspaces, each
+    encoded to its nearest codebook entry (here 64 float dims → 8
+    uint8 codes = 32× smaller than float32), queries score by
+    ASYMMETRIC DISTANCE: one (n_sub × n_codes) lookup table of
+    query-subvector · codeword dots per query, sim ≈ Σ_s LUT[s,
+    code_s], then the standard exact RE-RANK of the per-batch ADC
+    shortlist (top ``refine_r`` candidates — IVFADC+R, the paper's
+    §V refinement).  This is the billion-vector memory-bandwidth play
+    one step beyond int8: the scan touches only code bytes + a LUT
+    that lives in cache, and float rows are read for just R candidates
+    per query per batch.  At cluster scale the encode is a separate
+    write-once pass (codes stored as a fixed-width binary column);
+    at query scale here the encode runs fused in the same batch scan.
+    Codebooks are model-sized (n_sub × n_codes × sub_dim floats) and
+    broadcast once via ``ray.put``.  Recall vs the exact path is
+    machine-checked by ``emb_knn_pq_recall`` (same contract shape as
+    LSH/IVF/int8).  Deterministic: seeded sample + k-means, ties break
+    (sim desc, vec_id asc) via the batch-order-invariant lexsort."""
+    qids, qm = _load_queries(sf_dir, n_queries)
+    from .io import read_table
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"],
+                    blocks=16)
+
+    # deterministic model-sized training sample (same topology as IVF)
+    import pyarrow as pa
+
+    sample_df = ds.map_batches(
+        lambda b: b.filter(
+            pa.array(
+                b.column("vec_id").to_numpy(zero_copy_only=False)
+                % sample_stride
+                == 0
+            )
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    sm = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+    sm = sm / np.clip(np.linalg.norm(sm, axis=1, keepdims=True), 1e-12, None)
+    books = _train_pq_codebooks(sm, n_sub, n_codes, seed)
+    sub_dim = qm.shape[1] // n_sub
+    # per-query ADC lookup tables: LUT[q, s, j] = q_sub(s) · codeword_j
+    lut = np.einsum(
+        "qsd,sjd->qsj",
+        qm.reshape(len(qm), n_sub, sub_dim),
+        books,
+    )
+    ctx = ray.put((qids, qm, books, lut))
+
+    class PqScanStage:
+        def __init__(self, ref, k, refine):
+            self.qids, self.qm, self.books, self.lut = ray.get(ref)
+            self.k = k
+            self.refine = refine
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            mn = m / np.clip(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None
+            )
+            n_sub, _, sub_dim = self.books.shape
+            xs = mn.reshape(len(mn), n_sub, sub_dim)
+            # encode: nearest codeword per subspace by L2 (‖x−c‖² =
+            # ‖x‖² − 2x·c + ‖c‖²; argmin over c drops the x term)
+            norms = (self.books ** 2).sum(axis=2)  # (n_sub, n_codes)
+            dots = np.einsum("nsd,sjd->nsj", xs, self.books)
+            codes = (norms[None, :, :] - 2.0 * dots).argmin(axis=2)
+            # ADC shortlist + exact re-rank of the top `refine` rows
+            ids = df["vec_id"].to_numpy()
+            out = []
+            srange = np.arange(n_sub)
+            for qi, qid in enumerate(self.qids):
+                adc = self.lut[qi][srange[None, :], codes].sum(axis=1)
+                short = np.lexsort((ids, -adc))[: self.refine]
+                sims = mn[short] @ self.qm[qi]
+                sids = ids[short]
+                idx = np.lexsort((sids, -sims))[: self.k]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "vec_id": sids[idx],
+                         "sim": sims[idx]}
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+    partial = ds.map_batches(
+        PqScanStage,
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": ctx, "k": k, "refine": refine_r},
+    ).to_pandas()
+    return _merge_topk(partial, k)
+
+
 def knn_recall_check(
     sf_dir: str,
     variant: str = "lsh",
@@ -334,7 +467,8 @@ def knn_recall_check(
     driver-red value mismatch instead of an untested claim.  Both paths
     are deterministic (fixed seeds), so the bound is stable, not flaky."""
     exact = knn_bruteforce(sf_dir, k=k, n_queries=n_queries)
-    fn = {"lsh": knn_lsh, "ivf": knn_ivf, "int8": knn_int8}[variant]
+    fn = {"lsh": knn_lsh, "ivf": knn_ivf, "int8": knn_int8,
+          "pq": knn_pq}[variant]
     approx = fn(sf_dir, k=k, n_queries=n_queries)
     rows = []
     for qid, e in exact.groupby("query_id", sort=True):

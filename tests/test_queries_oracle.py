@@ -94,6 +94,7 @@ def test_all_query_names_have_callables(contract):
         "docs_unigram_surprisal", "docs_fingerprints",
         "emb_near_dup_exact", "emb_dedup_keep_exact",
         "emb_knn_lsh_recall", "emb_knn_ivf_recall", "emb_knn_int8_recall",
+        "emb_knn_pq_recall",
         "events_approx_users_check", "events_approx_hourly_check",
         "events_hll_registers", "events_range_join",
         "emb_kmeans_fixed", "events_cms_registers", "events_cms_topk",
