@@ -618,9 +618,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the decontamination/eval-search primitive — O(|terms|) driver
         # state, broadcast idf/avgdl, map-only scorer + partial top-k
         "docs_bm25_topk": lambda d: text.bm25_topk(d),
+        # SemDeDup (Abbas et al. 2023): within-k-means-cluster exact
+        # integer-cosine pairs + keep-farthest-from-centroid, sharing
+        # the kmeans_fixed fixed-point CTE replay
+        "emb_semdedup_pairs": lambda d: dedup.semdedup_pairs(d),
+        "emb_semdedup_keep": lambda d: dedup.semdedup_keep(d),
         # --- [3] r02-green entries whose code changed in r4 ---
-        "docs_simhash": dedup.simhashes,
-        "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
         "docs_neardup_keep": lambda d: dedup.doc_neardup_keep(d),
         "docs_decontaminate": lambda d: dedup.decontaminate(d),
         "docs_training_corpus": prep.training_corpus,
@@ -635,8 +638,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # join-topology switch itself under a fresh row.  exact_dedup
         # is r02-green, its md5-bucketed reduce is unchanged, and its
         # kernel is re-exercised in-window through docs_training_corpus
-        # and web_training_corpus — swapped below for emb_knn_pq_recall)
+        # and web_training_corpus — swapped below for emb_knn_pq_recall.
+        # docs_simhash / docs_minhash_pairs moved below for the two
+        # SemDeDup rows: their r4-changed kernels are exercised
+        # in-window TRANSITIVELY — docs_simhash_pairs calls simhashes()
+        # and docs_neardup_keep calls minhash_lsh_pairs() — and both
+        # keep their own green r02 rows plus the per-session rehearsal)
         "docs_exact_dedup": dedup.exact_dedup,
+        "docs_simhash": dedup.simhashes,
+        "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
         "q1_pricing": relational.q1_pricing,
         # clean_corpus composes exact-dedup + near-dup keep + quality,
         # each separately in-window this round
@@ -880,14 +890,16 @@ def _pagerank_sql(edges_pq: str, n_iter: int = 20) -> str:
     )
 
 
-def _kmeans_fixed_sql(k: int = 8, n_iter: int = 3, scale: int = 10**6) -> str:
-    """Unrolled-CTE DuckDB replay of similarity.kmeans_fixed: quantize
-    embeddings to int64 micro-units (round = half-away, same as the
-    engine's _round_half_away_int), then per iteration recompute the
-    argmin assignment (d2 BIGINT exact, ties to the smaller cluster),
-    the floor-division centroid update and the final integer inertia.
-    Fully self-contained over the pre-registered ``embeddings`` view —
-    no engine dump needed (the PageRank-oracle pattern)."""
+def _kmeans_cte_parts(
+    k: int = 8, n_iter: int = 3, scale: int = 10**6
+) -> list[str]:
+    """The shared unrolled-CTE chain replaying similarity's exact
+    fixed-point Lloyd iterations: ``qv`` (quantized vectors), ``cent0``
+    (seed centroids), then per iteration ``d{i}`` (BIGINT distances),
+    ``a{i}`` (argmin assignment, ties to the smaller cluster) and
+    ``cent{i}`` (floor-division update).  ``a{n_iter}`` is the final
+    assignment — both the kmeans_fixed oracle and the SemDeDup oracles
+    compose on top of it."""
     parts = [
         # CAST to DOUBLE before the multiply: DuckDB otherwise folds the
         # literal to FLOAT and rounds 150/3200 sf0.001 values differently
@@ -924,6 +936,18 @@ def _kmeans_fixed_sql(k: int = 8, n_iter: int = 3, scale: int = 10**6) -> str:
             f"END AS c FROM cent{p} c LEFT JOIN s{i} s "
             "USING (cluster_id, dim))"
         )
+    return parts
+
+
+def _kmeans_fixed_sql(k: int = 8, n_iter: int = 3, scale: int = 10**6) -> str:
+    """Unrolled-CTE DuckDB replay of similarity.kmeans_fixed: quantize
+    embeddings to int64 micro-units (round = half-away, same as the
+    engine's _round_half_away_int), then per iteration recompute the
+    argmin assignment (d2 BIGINT exact, ties to the smaller cluster),
+    the floor-division centroid update and the final integer inertia.
+    Fully self-contained over the pre-registered ``embeddings`` view —
+    no engine dump needed (the PageRank-oracle pattern)."""
+    parts = _kmeans_cte_parts(k, n_iter, scale)
     n = n_iter
     return (
         ", ".join(parts)
@@ -933,6 +957,87 @@ def _kmeans_fixed_sql(k: int = 8, n_iter: int = 3, scale: int = 10**6) -> str:
         f"LEFT JOIN (SELECT cluster_id, count(*) AS n FROM a{n} "
         "GROUP BY 1) cnt USING (cluster_id)"
     )
+
+
+def _semdedup_pair_parts(
+    k: int = 8, n_iter: int = 3, scale: int = 10**6,
+    tau_num: int = 2, tau_den: int = 5,
+) -> list[str]:
+    """kmeans CTE chain + the within-cluster exact-cosine pair CTEs:
+    ``norm`` (HUGEINT squared norms), ``cand`` (same-cluster id pairs
+    from the final assignment a{n}), ``dot`` (HUGEINT dot products),
+    ``sp`` (pairs passing the integer cross-multiplied cosine test
+    tau_den²·ab² ≥ tau_num²·aa·bb, ab > 0 — the engine's object-int
+    arithmetic in 128-bit)."""
+    n = n_iter
+    parts = _kmeans_cte_parts(k, n_iter, scale)
+    parts.append(
+        "norm AS (SELECT vec_id, sum(CAST(q AS HUGEINT) * q) AS aa "
+        "FROM qv GROUP BY 1)"
+    )
+    parts.append(
+        f"cand AS (SELECT x.vec_id AS va, y.vec_id AS vb, x.cluster_id "
+        f"FROM a{n} x JOIN a{n} y ON x.cluster_id = y.cluster_id "
+        "AND x.vec_id < y.vec_id)"
+    )
+    parts.append(
+        "dot AS (SELECT c.va, c.vb, c.cluster_id, "
+        "sum(CAST(qa.q AS HUGEINT) * qb.q) AS ab "
+        "FROM cand c JOIN qv qa ON qa.vec_id = c.va "
+        "JOIN qv qb ON qb.vec_id = c.vb AND qb.dim = qa.dim "
+        "GROUP BY 1, 2, 3)"
+    )
+    parts.append(
+        "sp AS (SELECT d.cluster_id, d.va, d.vb FROM dot d "
+        "JOIN norm na ON na.vec_id = d.va "
+        "JOIN norm nb ON nb.vec_id = d.vb "
+        f"WHERE d.ab > 0 AND {tau_den * tau_den} * d.ab * d.ab >= "
+        f"{tau_num * tau_num} * na.aa * nb.aa)"
+    )
+    return parts
+
+
+def _semdedup_pairs_sql() -> str:
+    """Within-cluster exact-cosine pairs over the shared fixed-point
+    kmeans replay (dedup.semdedup_pairs)."""
+    parts = _semdedup_pair_parts()
+    return (
+        ", ".join(parts)
+        + " SELECT cluster_id, va AS vec_a, vb AS vec_b FROM sp"
+    )
+
+
+def _semdedup_keep_sql(n_iter: int = 3) -> str:
+    """SemDeDup keep rule: connected components over the sp pair graph
+    (recursive reach, the doc_neardup_keep pattern), keep = the member
+    with the LARGEST assignment distance d2 (farthest from centroid),
+    ties → min vec_id."""
+    n = n_iter
+    parts = _semdedup_pair_parts(n_iter=n_iter)
+    parts.append(
+        "edges AS (SELECT va AS a, vb AS b FROM sp "
+        "UNION SELECT vb, va FROM sp)"
+    )
+    parts.append(
+        "reach(node, other) AS (SELECT a, b FROM edges "
+        "UNION SELECT r.node, e.b FROM reach r JOIN edges e "
+        "ON e.a = r.other)"
+    )
+    parts.append(
+        "members AS (SELECT node, other FROM reach "
+        "UNION SELECT DISTINCT node, node FROM reach)"
+    )
+    parts.append(
+        "ranked AS (SELECT m.node, m.other, row_number() OVER ("
+        "PARTITION BY m.node ORDER BY d.d2 DESC, m.other ASC) AS rn "
+        f"FROM members m JOIN a{n} d ON d.vec_id = m.other)"
+    )
+    sql = ", ".join(parts) + (
+        " SELECT r.node AS vec_id, a.cluster_id, r.other AS keep_id "
+        f"FROM ranked r JOIN a{n} a ON a.vec_id = r.node WHERE r.rn = 1"
+    )
+    # the reach CTE needs the RECURSIVE marker on the WITH list
+    return sql.replace("WITH qv AS", "WITH RECURSIVE qv AS", 1)
 
 
 def _range_join_sql() -> str:
@@ -2487,6 +2592,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_range_join": _range_join_sql(),
         "emb_kmeans_fixed": _kmeans_fixed_sql(),
+        "emb_semdedup_pairs": _semdedup_pairs_sql(),
+        "emb_semdedup_keep": _semdedup_keep_sql(),
         "events_hopping": (
             "SELECT time_bucket(INTERVAL '15 minutes', ts) "
             "- j * INTERVAL '15 minutes' AS window_start, "

@@ -1584,3 +1584,199 @@ def decontaminate(
         concurrency=(1, 8),
         fn_constructor_kwargs={"ref": ref},
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication within k-means clusters
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_assign(
+    sf_dir: str, k: int, n_iter: int, scale: int
+) -> "ray.data.Dataset":
+    """vec_id, cluster_id, d2, embedding — exact fixed-point assignment
+    against the centroids AFTER ``n_iter - 1`` Lloyd updates (what the
+    shared kmeans_fixed SQL replay calls ``cent{n_iter-1}``, the
+    centroids its final ``a{n_iter}`` assignment uses).  d2 is the
+    int64 quantized distance to the assigned centroid; ties break to
+    the smaller cluster index, matching both kmeans_fixed and the
+    oracle's ``ORDER BY d2 ASC, cluster_id ASC``."""
+    from .io import read_table
+    from .similarity import _round_half_away_int, kmeans_fixed_centroids
+
+    cent = kmeans_fixed_centroids(sf_dir, k, n_updates=n_iter - 1,
+                                  scale=scale)
+    ref = ray.put(cent)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)  # (k, dim) int64
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = _round_half_away_int(m * scale)
+        d2 = (
+            (q * q).sum(1, keepdims=True)
+            - 2 * (q @ c.T)
+            + (c * c).sum(1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(),
+                "cluster_id": a.astype(np.int64),
+                "d2": d2[np.arange(len(a)), a],
+                "embedding": df["embedding"].to_numpy(),
+            }
+        )
+
+    return read_table(
+        sf_dir, "embeddings", ["vec_id", "embedding"], blocks=16
+    ).map_batches(assign, batch_format="pandas")
+
+
+def _semdedup_cluster_pairs(
+    g: pd.DataFrame, scale: int, tau_num: int, tau_den: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ids sorted asc, ia, ib) — within-cluster index pairs (ia < ib)
+    whose EXACT cosine ≥ tau_num/tau_den: integer test
+    ``tau_den²·(a·b)² ≥ tau_num²·(a·a)(b·b) AND a·b > 0`` on the
+    quantized vectors.  Dots fit int64 (64 dims × scale² ≤ 6.4e13);
+    the squared comparison runs in arbitrary-precision Python ints
+    (object dtype) exactly like the oracle's HUGEINT arithmetic."""
+    from .similarity import _round_half_away_int
+
+    ids = g["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.stack(g["embedding"].to_numpy())[order].astype(np.float64)
+    q = _round_half_away_int(m * scale)
+    gram = q @ q.T  # int64 exact
+    aa = np.diag(gram).copy()
+    ia, ib = np.triu_indices(len(ids), 1)
+    dots = gram[ia, ib]
+    pos = dots > 0  # cos ≤ 0 can never reach a positive tau
+    ia, ib, dots = ia[pos], ib[pos], dots[pos]
+    lhs = (tau_den * tau_den) * (dots.astype(object) ** 2)
+    rhs = (tau_num * tau_num) * (
+        aa[ia].astype(object) * aa[ib].astype(object)
+    )
+    hit = np.asarray(lhs >= rhs, dtype=bool)
+    return ids, ia[hit], ib[hit]
+
+
+def semdedup_pairs(
+    sf_dir: str,
+    k: int = 8,
+    n_iter: int = 3,
+    tau_num: int = 2,
+    tau_den: int = 5,
+    scale: int = 10**6,
+) -> pd.DataFrame:
+    """cluster_id, vec_a, vec_b — SemDeDup candidate structure (Abbas
+    et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): embeddings are k-means-clustered,
+    then ONLY within-cluster pairs are swept for cosine ≥ τ — the
+    clustering bounds the quadratic sweep to cluster-sized blocks, the
+    same role the IVF cells play in the blocked near-dup kernel.
+
+    Exactness: assignment reuses kmeans_fixed's int64 fixed-point
+    pipeline (micro-unit quantization, exact argmin, floor-division
+    updates), and the cosine test is the integer cross-multiplication
+    ``tau_den²(a·b)² ≥ tau_num²(a·a)(b·b), a·b > 0`` — no float
+    anywhere a tie could flip, so a DuckDB HUGEINT replay reproduces
+    the pair set bit-for-bit (τ = 2/5 is non-vacuous on the synthetic
+    embeddings, whose max off-diagonal cosine is ≈0.51 at sf0.01).
+
+    Scale: the paper runs k ≈ 50k clusters over LAION so each cluster
+    is a few thousand rows; here the cluster sweep is a
+    ``groupby(cluster_id).map_groups`` — one all-to-all keyed by the
+    small int cluster id, each group swept locally, nothing quadratic
+    in the corpus.  k is the knob that holds cluster size constant as
+    the corpus grows."""
+    asg = _semdedup_assign(sf_dir, k, n_iter, scale)
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        ids, ia, ib = _semdedup_cluster_pairs(g, scale, tau_num, tau_den)
+        cid = np.int64(g["cluster_id"].iloc[0]) if len(g) else np.int64(0)
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(len(ia), cid, dtype=np.int64),
+                "vec_a": ids[ia],
+                "vec_b": ids[ib],
+            }
+        )
+
+    return (
+        asg.groupby("cluster_id")
+        .map_groups(sweep, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def semdedup_keep(
+    sf_dir: str,
+    k: int = 8,
+    n_iter: int = 3,
+    tau_num: int = 2,
+    tau_den: int = 5,
+    scale: int = 10**6,
+) -> pd.DataFrame:
+    """vec_id, cluster_id, keep_id — SemDeDup's keep rule over the
+    within-cluster dup graph: connected components of the τ-cosine
+    pairs, and from each component keep the member FARTHEST from the
+    cluster centroid (the paper keeps the lowest
+    centroid-similarity example — the most extreme point — because
+    points near the centroid are the redundant ones; here "farthest"
+    is the exact int64 quantized distance d2, ties → min vec_id).
+    Rows cover every member of a multi-vector component, keepers
+    included, mirroring :func:`doc_neardup_keep`'s output shape.
+
+    Components are CLUSTER-LOCAL by construction (pairs never cross
+    clusters), so the union-find runs inside the same
+    ``map_groups`` — no driver state, no global label propagation."""
+    asg = _semdedup_assign(sf_dir, k, n_iter, scale)
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        ids, ia, ib = _semdedup_cluster_pairs(g, scale, tau_num, tau_den)
+        if not len(ia):
+            return pd.DataFrame(
+                {
+                    "vec_id": np.array([], dtype=np.int64),
+                    "cluster_id": np.array([], dtype=np.int64),
+                    "keep_id": np.array([], dtype=np.int64),
+                }
+            )
+        order = np.argsort(g["vec_id"].to_numpy())
+        d2 = g["d2"].to_numpy()[order]  # aligned with sorted ids
+        cid = np.int64(g["cluster_id"].iloc[0])
+        # union-find over the cluster-sized index space
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ia, ib):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(len(ids))])
+        touched = np.zeros(len(ids), dtype=bool)
+        touched[ia] = True
+        touched[ib] = True
+        rows = []
+        for r in np.unique(roots[touched]):
+            members = np.flatnonzero(roots == r)
+            # keep = max d2 (farthest from centroid), tie → min vec_id
+            best = members[np.lexsort((ids[members], -d2[members]))[0]]
+            for i in members:
+                rows.append((ids[i], cid, ids[best]))
+        return pd.DataFrame(
+            rows, columns=["vec_id", "cluster_id", "keep_id"]
+        ).astype(np.int64)
+
+    return (
+        asg.groupby("cluster_id")
+        .map_groups(sweep, batch_format="pandas")
+        .to_pandas()
+    )

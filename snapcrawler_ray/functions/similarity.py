@@ -713,6 +713,70 @@ def _round_half_away_int(y: np.ndarray) -> np.ndarray:
     return (np.sign(y) * out).astype(np.int64)
 
 
+def kmeans_fixed_centroids(
+    sf_dir: str, k: int = 8, n_updates: int = 2, scale: int = 10**6
+) -> np.ndarray:
+    """(k, dim) int64 centroids after ``n_updates`` exact fixed-point
+    Lloyd updates — bit-identical to :func:`kmeans_fixed`'s ``cent``
+    after the same number of iterations (same seeds, argmin ties,
+    floor-division update) and to the DuckDB oracle's ``cent{n}`` CTE.
+    Split out so SemDeDup (functions/dedup.py) can assign against the
+    same centroids the shared SQL replay derives.  Distributed shape:
+    per-iteration centroid broadcast, one streaming partial-sums pass,
+    O(k·dim) driver fold — no assignments ever leave the workers."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .io import read_table
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = t.filter(pc.less(t.column("vec_id"), k))
+    order = np.argsort(t.column("vec_id").to_numpy())
+    seeds = np.stack(t.column("embedding").to_pylist()).astype(np.float64)[
+        order
+    ]
+    cent = _round_half_away_int(seeds * scale)  # (k, dim) int64
+    if n_updates <= 0:
+        return cent
+    kk = len(cent)
+
+    ds = read_table(sf_dir, "embeddings", ["embedding"], blocks=16)
+    if n_updates > 1:
+        ds = ds.materialize()
+    for _ in range(n_updates):
+        ref = ray.put(cent)
+
+        def partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            c = ray.get(_ref)  # (k, dim) int64
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            q = _round_half_away_int(m * scale)
+            d2 = (
+                (q * q).sum(1, keepdims=True)
+                - 2 * (q @ c.T)
+                + (c * c).sum(1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)  # ties → smaller index
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, q)
+            cnt = np.bincount(a, minlength=len(c)).astype(np.int64)
+            out = pd.DataFrame(
+                {"cluster": np.arange(len(c), dtype=np.int64), "cnt": cnt}
+            )
+            out["sums"] = list(sums)
+            return out
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        counts = parts.groupby("cluster")["cnt"].sum().to_numpy(np.int64)
+        sums = np.zeros_like(cent)
+        for cid, g in parts.groupby("cluster"):
+            sums[cid] = np.stack(g["sums"].to_numpy()).sum(0)
+        nz = counts > 0
+        cent[nz] = sums[nz] // counts[nz, None]  # floor div, exact
+    return cent
+
+
 def kmeans_fixed(
     sf_dir: str, k: int = 8, n_iter: int = 3, scale: int = 10**6
 ) -> pd.DataFrame:

@@ -104,6 +104,7 @@ def test_all_query_names_have_callables(contract):
         "docs_simhash_keep", "docs_source_kl", "docs_chunks_overlap",
         "docs_bpe_merges", "docs_bpe_train",
         "docs_dsir_weights", "docs_dsir_sample", "docs_bm25_topk",
+        "emb_semdedup_pairs", "emb_semdedup_keep",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
