@@ -623,9 +623,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the kmeans_fixed fixed-point CTE replay
         "emb_semdedup_pairs": lambda d: dedup.semdedup_pairs(d),
         "emb_semdedup_keep": lambda d: dedup.semdedup_keep(d),
+        # CCNet perplexity terciles (Wenzek et al. 2020): head/middle/
+        # tail by unigram-LM mean surprisal, exact integer-rank
+        # thresholds over a BOUNDED milli-nat histogram
+        "docs_ppl_buckets": lambda d: text.ppl_buckets(d),
+        # source-mixing resample (Pile/Dolma mixture step): largest
+        # corpus matching target weights, md5-bucket selection
+        "docs_mix_sample": lambda d: text.mix_sample(d),
         # --- [3] r02-green entries whose code changed in r4 ---
-        "docs_neardup_keep": lambda d: dedup.doc_neardup_keep(d),
-        "docs_decontaminate": lambda d: dedup.decontaminate(d),
         "docs_training_corpus": prep.training_corpus,
         "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
         "q3_top_orders": lambda d: relational.q3_top_orders(d),
@@ -643,10 +648,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup rows: their r4-changed kernels are exercised
         # in-window TRANSITIVELY — docs_simhash_pairs calls simhashes()
         # and docs_neardup_keep calls minhash_lsh_pairs() — and both
-        # keep their own green r02 rows plus the per-session rehearsal)
+        # keep their own green r02 rows plus the per-session rehearsal.
+        # docs_neardup_keep / docs_decontaminate likewise: the in-window
+        # docs_training_corpus chain calls doc_neardup_keep() and runs
+        # the same _batch_distinct_hits decontamination probe — swapped
+        # below for docs_ppl_buckets / docs_mix_sample)
         "docs_exact_dedup": dedup.exact_dedup,
         "docs_simhash": dedup.simhashes,
         "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
+        "docs_neardup_keep": lambda d: dedup.doc_neardup_keep(d),
+        "docs_decontaminate": lambda d: dedup.decontaminate(d),
         "q1_pricing": relational.q1_pricing,
         # clean_corpus composes exact-dedup + near-dup keep + quality,
         # each separately in-window this round
@@ -2164,6 +2175,57 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(sum(su) AS BIGINT) AS surprisal_u "
             "FROM u GROUP BY doc_id"
+        ),
+        "docs_ppl_buckets": (
+            # CCNet terciles over the unigram-LM mean surprisal:
+            # mean_m = surprisal_u // (n_tokens*1000) (integer
+            # milli-nats), thresholds = smallest value whose cumulative
+            # count reaches ceil(n/3) / ceil(2n/3) — all integer, no
+            # float interpolation a boundary doc could flip on
+            "WITH toks AS (SELECT doc_id, "
+            r"unnest(regexp_split_to_array(trim(text), '\s+')) AS tok "
+            "FROM documents WHERE trim(coalesce(text,'')) <> ''), "
+            "v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM toks GROUP BY tok), "
+            "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v), "
+            "u AS (SELECT t.doc_id, CAST(floor(-ln(v.cnt / tot.total) "
+            "* 1000000 + 0.5) AS BIGINT) AS su "
+            "FROM toks t JOIN v ON v.tok = t.tok CROSS JOIN tot), "
+            "s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(su) AS BIGINT) AS surprisal_u FROM u GROUP BY 1), "
+            "m AS (SELECT doc_id, surprisal_u // (n_tokens * 1000) "
+            "AS mean_m FROM s), "
+            "h AS (SELECT mean_m, count(*) AS n, "
+            "sum(count(*)) OVER (ORDER BY mean_m) AS cum "
+            "FROM m GROUP BY mean_m), "
+            "nt AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM h), "
+            "t AS (SELECT "
+            "(SELECT min(mean_m) FROM h CROSS JOIN nt "
+            "WHERE cum >= (nt.n + 2) // 3) AS t1, "
+            "(SELECT min(mean_m) FROM h CROSS JOIN nt "
+            "WHERE cum >= (2 * nt.n + 2) // 3) AS t2) "
+            "SELECT m.doc_id, m.mean_m, CASE WHEN m.mean_m <= t.t1 "
+            "THEN 'head' WHEN m.mean_m <= t.t2 THEN 'middle' "
+            "ELSE 'tail' END AS bucket FROM m CROSS JOIN t"
+        ),
+        "docs_mix_sample": (
+            # source-mixing resample: K = min_s(n_s*sw // w_s) largest
+            # target-composition corpus, per-source keep rate in
+            # integer permille, md5(text) bucket selection (the
+            # docs_sample basis); weights = suffix%5+1 (text.mix_weight)
+            "WITH w AS (SELECT source, "
+            "CAST(substr(source, 4) AS BIGINT) % 5 + 1 AS wt, "
+            "count(*) AS n FROM documents GROUP BY source), "
+            "tot AS (SELECT CAST(sum(wt) AS BIGINT) AS sw FROM w), "
+            "kmax AS (SELECT min(w.n * tot.sw // w.wt) AS k "
+            "FROM w CROSS JOIN tot), "
+            "r AS (SELECT w.source, least(1000, "
+            "w.wt * kmax.k * 1000 // (tot.sw * w.n)) AS rp "
+            "FROM w CROSS JOIN tot CROSS JOIN kmax) "
+            "SELECT d.doc_id, d.source FROM documents d "
+            "JOIN r USING (source) WHERE CAST(concat('0x', "
+            "substr(md5(coalesce(d.text,'')), 1, 8)) AS UBIGINT) "
+            "% 1000 < r.rp"
         ),
         "docs_bigram_surprisal": (
             # bigram MLE LM: per-pair surprisal -ln(c(w1 w2)/c_ctx(w1))

@@ -2538,3 +2538,136 @@ def _bigram_surprisal_join_path(
         )
 
     return bucketed_combine(joined, ["doc_id"], fold)
+
+
+def ppl_buckets(sf_dir: str) -> "ray.data.Dataset":
+    """doc_id, mean_m, bucket — CCNet-style perplexity bucketing
+    (Wenzek et al. 2020): docs split into head / middle / tail thirds
+    by unigram-LM perplexity, the published recipe for keeping the
+    fluent third of a web crawl.
+
+    Per-doc score: mean token surprisal in integer MILLI-nats —
+    ``mean_m = surprisal_u // (n_tokens·1000)`` over the exact
+    micro-nat sums of :func:`unigram_surprisal`.  The milli-nat
+    quantization is the scale device: mean_m lives in a range bounded
+    by the max token surprisal (ln(corpus_tokens)·1000 ≈ 35k values at
+    100 TB), so the tercile pass reduces the corpus to a BOUNDED
+    per-value histogram regardless of document count — the
+    adaptive_quality_filter pattern with a value grid instead of a
+    quality unit.
+
+    Thresholds are exact integer ranks (no float interpolation a
+    boundary doc could flip on): t1 = smallest value whose cumulative
+    count reaches ceil(n/3), t2 = likewise for ceil(2n/3); bucket =
+    'head' (mean_m ≤ t1, lowest perplexity), 'middle' (≤ t2), else
+    'tail'.  Ties share a value and therefore a bucket, so thirds are
+    approximate at value collisions — deterministic and SQL-identical.
+    Two streaming passes: histogram fold, then a broadcast-threshold
+    map — nothing O(corpus) on the driver."""
+    sur = unigram_surprisal(sf_dir).materialize()
+
+    def to_mean(df: pd.DataFrame) -> pd.DataFrame:
+        mean_m = df["surprisal_u"].to_numpy(np.int64) // (
+            df["n_tokens"].to_numpy(np.int64) * 1000
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "mean_m": mean_m}
+        )
+
+    means = sur.map_batches(to_mean, batch_format="pandas").materialize()
+    hist = (
+        means.map_batches(
+            lambda df: df.groupby("mean_m", as_index=False).agg(
+                n=("mean_m", "size")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("mean_m", as_index=False)
+        .agg(n=("n", "sum"))
+        .sort_values("mean_m")
+    )
+    vals = hist["mean_m"].to_numpy(np.int64)
+    cum = np.cumsum(hist["n"].to_numpy(np.int64))
+    n = int(cum[-1])
+    t1 = int(vals[np.searchsorted(cum, (n + 2) // 3)])
+    t2 = int(vals[np.searchsorted(cum, (2 * n + 2) // 3)])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["mean_m"].to_numpy(np.int64)
+        bucket = np.where(m <= t1, "head", np.where(m <= t2, "middle", "tail"))
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "mean_m": m, "bucket": bucket}
+        )
+
+    return means.map_batches(bucketize, batch_format="pandas")
+
+
+def mix_weight(source: str) -> int:
+    """Deterministic per-source mixing weight (the target-composition
+    table a real pipeline would read from config): numeric source
+    suffix mod 5, plus 1 — non-uniform across the synthetic src0..N
+    so the resample is non-vacuous.  SQL: CAST(substr(source, 4) AS
+    BIGINT) % 5 + 1; keep the two in lockstep."""
+    return int(source[3:]) % 5 + 1
+
+
+def mix_sample(sf_dir: str) -> "ray.data.Dataset":
+    """doc_id, source — deterministic source-mixing resample: carve
+    the largest corpus whose per-source composition matches target
+    weights (the Pile/Dolma-style mixture step, downsampling only).
+
+    With target share w_s/Σw and n_s docs in source s, the max total
+    respecting every source's supply is K = min_s(n_s·Σw // w_s); each
+    source keeps at rate (w_s·K)/(Σw·n_s) — implemented as the integer
+    permille floor, selecting docs by the same md5(text) hash buckets
+    as :func:`sample_docs` (reproducible across runs/nodes, no seed
+    state).  Pass 1 is a tiny per-source count fold; pass 2 is a
+    broadcast-rate map-only filter — both corpus-streaming.  Floor
+    rounding undershoots each source by <0.1%, documented and mirrored
+    exactly in SQL."""
+    counts = (
+        _docs(sf_dir, ["source"])
+        .map_batches(
+            lambda df: df.groupby("source", as_index=False).agg(
+                n=("source", "size")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .agg(n=("n", "sum"))
+    )
+    ns = {s: int(x) for s, x in zip(counts["source"], counts["n"])}
+    ws = {s: mix_weight(s) for s in ns}
+    sw = sum(ws.values())
+    kmax = min(ns[s] * sw // ws[s] for s in ns)
+    rp = {
+        s: min(1000, ws[s] * kmax * 1000 // (sw * ns[s])) for s in ns
+    }
+    ref = ray.put(rp)
+
+    class Pick:
+        def __init__(self, ref):
+            self.rp = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            import hashlib
+
+            h = np.array(
+                [
+                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                    % 1000
+                    for t in df["text"].fillna("")
+                ],
+                dtype=np.int64,
+            )
+            lim = df["source"].map(self.rp).to_numpy(np.int64)
+            return df.loc[h < lim, ["doc_id", "source"]]
+
+    return _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        Pick,
+        batch_format="pandas",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": ref},
+    )
