@@ -630,10 +630,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source-mixing resample (Pile/Dolma mixture step): largest
         # corpus matching target weights, md5-bucket selection
         "docs_mix_sample": lambda d: text.mix_sample(d),
+        # BPE tokenizer APPLICATION: encode the corpus with the trained
+        # merge table (broadcast type vocabulary, map-only lookup);
+        # oracle replays training AND encoding in unrolled CTEs
+        "docs_bpe_encode": lambda d: text.bpe_encode(d),
         # --- [3] r02-green entries whose code changed in r4 ---
         "docs_training_corpus": prep.training_corpus,
         "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
-        "q3_top_orders": lambda d: relational.q3_top_orders(d),
         "q5_region_supplier": lambda d: relational.q5_region_supplier_revenue(d),
         "events_sessionize": lambda d: relational.events_sessionize(d),
         "events_topk_users": lambda d: relational.events_topk_users(d),
@@ -658,6 +661,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
         "docs_neardup_keep": lambda d: dedup.doc_neardup_keep(d),
         "docs_decontaminate": lambda d: dedup.decontaminate(d),
+        # q3 swapped below for docs_bpe_encode: in-window q3/q5 both
+        # existed to re-record the r4 dim-join topology switch; q5
+        # exercises that same switch (plus the region dim), and q3
+        # keeps its green r02 row
+        "q3_top_orders": lambda d: relational.q3_top_orders(d),
         "q1_pricing": relational.q1_pricing,
         # clean_corpus composes exact-dedup + near-dup keep + quality,
         # each separately in-window this round
@@ -1292,11 +1300,13 @@ def oracle_sql() -> dict[str, str]:
     # join (the engine's banded index is a lossless pigeonhole
     # accelerator of exactly this predicate).  Shared by
     # docs_simhash_pairs and docs_simhash_keep.
-    def _bpe_train_sql(n: int = 3) -> str:
-        """Unrolled replay of BPE training (text.bpe_train): per merge
-        step, a pair-count CTE + argmax, then a per-token RECURSIVE
-        left-to-right disjoint merge application — the PageRank/k-means
-        unrolled-CTE playbook applied to tokenizer training."""
+    def _bpe_cte_parts(n: int, apply_last: bool) -> list[str]:
+        """Unrolled replay of BPE training (text._bpe_train_core): per
+        merge step, a pair-count CTE + argmax, then a per-token
+        RECURSIVE left-to-right disjoint merge application — the
+        PageRank/k-means unrolled-CTE playbook applied to tokenizer
+        training.  ``apply_last`` also applies merge ``n`` (needed by
+        the encode oracle, skipped by the train oracle)."""
         parts = [
             "WITH RECURSIVE ",
             "toks AS (SELECT unnest(regexp_split_to_array(trim(text), "
@@ -1323,7 +1333,7 @@ def oracle_sql() -> dict[str, str]:
                 f"split_part(pair, ' ', 2) AS b FROM c{k} "
                 "ORDER BY n DESC, pair LIMIT 1), "
             )
-            if k < n:
+            if k < n or apply_last:
                 parts.append(
                     f"r{k}(tok, pos, acc) AS ("
                     f"SELECT tok, CAST(1 AS BIGINT), "
@@ -1346,9 +1356,37 @@ def oracle_sql() -> dict[str, str]:
                     f"FROM r{k} JOIN sym{p} s ON s.tok = r{k}.tok "
                     f"WHERE r{k}.pos > len(s.arr)), "
                 )
+        return parts
+
+    def _bpe_train_sql(n: int = 3) -> str:
+        parts = _bpe_cte_parts(n, apply_last=False)
         sel = " UNION ALL ".join(
             f"SELECT CAST({k} AS BIGINT) AS step, pair, n FROM m{k}"
             for k in range(1, n + 1)
+        )
+        return "".join(parts).rstrip().rstrip(",") + " " + sel
+
+    def _bpe_encode_sql(n: int = 3) -> str:
+        """Training chain with merge n applied too, then every doc
+        joined to the encoded type vocabulary: n_symbols = Σ per-token
+        symbol counts, enc_md5 = md5 over the in-order encoded stream
+        ('|' inside a token, ' ' between — text.bpe_encode)."""
+        parts = _bpe_cte_parts(n, apply_last=True)
+        parts.append(
+            f"enc AS (SELECT tok, array_to_string(arr, '|') AS e, "
+            f"CAST(len(arr) AS BIGINT) AS m FROM sym{n}), "
+        )
+        parts.append(
+            "dt AS (SELECT doc_id, unnest(regexp_split_to_array("
+            r"trim(text), '\s+')) AS tok, "
+            "generate_subscripts(regexp_split_to_array(trim(text), "
+            r"'\s+'), 1) AS i FROM documents "
+            "WHERE trim(coalesce(text,'')) <> ''), "
+        )
+        sel = (
+            "SELECT dt.doc_id, CAST(sum(enc.m) AS BIGINT) AS n_symbols, "
+            "md5(string_agg(enc.e, ' ' ORDER BY dt.i)) AS enc_md5 "
+            "FROM dt JOIN enc USING (tok) GROUP BY dt.doc_id"
         )
         return "".join(parts).rstrip().rstrip(",") + " " + sel
 
@@ -1816,6 +1854,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM c"
         ),
         "docs_bpe_train": _bpe_train_sql(3),
+        "docs_bpe_encode": _bpe_encode_sql(3),
         "docs_bpe_merges": (
             # first BPE merge statistic: adjacent char pairs of each
             # token weighted by the token's corpus occurrence count

@@ -115,6 +115,7 @@ def run_queries(sf_dir: str) -> dict:
         "docs_gopher_rules", "docs_dup_spans_cut", "docs_simhash_pairs",
         "docs_source_kl", "docs_bpe_train",
         "emb_near_dup_exact",
+        "emb_semdedup_keep", "docs_ppl_buckets", "docs_mix_sample",
     ]
     out = {}
     for name in bench_set:

@@ -273,13 +273,17 @@ def _bpe_apply(syms: list[str], a: str, b: str) -> list[str]:
     return out
 
 
-def bpe_train(sf_dir: str, n_merges: int = 3) -> pd.DataFrame:
-    """step, pair, n — BPE tokenizer TRAINING, the first ``n_merges``
+def _bpe_train_core(
+    sf_dir: str, n_merges: int = 3
+) -> tuple[pd.DataFrame, "ray.data.Dataset"]:
+    """(merges, vocab) — BPE tokenizer TRAINING, the first ``n_merges``
     merges (Sennrich et al. 2016): start from characters, repeatedly
     take the most frequent adjacent symbol pair over the corpus
     (occurrence-weighted, ties pair-ascending) and merge it everywhere
-    with left-to-right disjoint pairing.  The returned merge table IS
-    the trained tokenizer prefix; the DuckDB oracle replays all
+    with left-to-right disjoint pairing.  Returns the merge table (the
+    trained tokenizer prefix) AND the post-merge type vocabulary
+    Dataset (tok, seq, cnt) that :func:`bpe_encode` applies to the
+    corpus; the DuckDB oracle replays all
     ``n_merges`` iterations with unrolled recursive CTEs (the
     PageRank/k-means playbook applied to tokenizer training), so a
     single wrong count or mis-ordered merge anywhere is a driver-red
@@ -303,6 +307,7 @@ def bpe_train(sf_dir: str, n_merges: int = 3) -> pd.DataFrame:
     def to_seq(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
+                "tok": df["tok"],
                 "seq": [" ".join(t) for t in df["tok"]],
                 "cnt": df["cnt"].astype("int64"),
             }
@@ -360,6 +365,7 @@ def bpe_train(sf_dir: str, n_merges: int = 3) -> pd.DataFrame:
         def apply(df: pd.DataFrame, a=a, b=b) -> pd.DataFrame:
             return pd.DataFrame(
                 {
+                    "tok": df["tok"],
                     "seq": [
                         " ".join(_bpe_apply(s.split(" "), a, b))
                         for s in df["seq"]
@@ -369,8 +375,95 @@ def bpe_train(sf_dir: str, n_merges: int = 3) -> pd.DataFrame:
             )
 
         cur = cur.map_batches(apply, batch_format="pandas").materialize()
-    return pd.DataFrame(merges, columns=["step", "pair", "n"]).astype(
-        {"step": "int64", "n": "int64"}
+    return (
+        pd.DataFrame(merges, columns=["step", "pair", "n"]).astype(
+            {"step": "int64", "n": "int64"}
+        ),
+        cur,
+    )
+
+
+def bpe_train(sf_dir: str, n_merges: int = 3) -> pd.DataFrame:
+    """step, pair, n — the trained merge table (see
+    :func:`_bpe_train_core` for semantics and the distributed shape)."""
+    merges, _ = _bpe_train_core(sf_dir, n_merges)
+    return merges
+
+
+def bpe_encode(sf_dir: str, n_merges: int = 3) -> "ray.data.Dataset":
+    """doc_id, n_symbols, enc_md5 — BPE tokenizer APPLICATION: train
+    the ``n_merges``-step merge table (same deterministic loop as
+    :func:`bpe_train`), then encode every document with it.  Per doc:
+    total symbol count after all merges, plus an order-sensitive
+    checksum of the encoded stream (md5 over per-token symbol strings
+    — symbols joined by '|' inside a token, tokens by ' '; the
+    synthetic corpus is plain words, so neither separator collides).
+
+    The encoding is a function of the token TYPE, so the trained
+    vocabulary (token → final symbol string) is the only state: it
+    broadcasts once (``ray.put`` of sorted arrays, the unigram-LM
+    pattern) and the corpus pass is a map-only searchsorted lookup —
+    the corpus itself is never re-tokenized per merge step.  Every
+    scored token must be in the model (same loud skew guard as
+    :func:`unigram_surprisal`).  The DuckDB oracle replays training
+    AND encoding with unrolled recursive CTEs."""
+    import hashlib
+
+    import ray as _ray
+
+    _, cur = _bpe_train_core(sf_dir, n_merges)
+    vocab = cur.to_pandas().sort_values("tok")
+    toks_sorted = vocab["tok"].to_numpy(dtype=object).astype(str)
+    enc = np.array(
+        ["|".join(s.split(" ")) for s in vocab["seq"]], dtype=object
+    )
+    n_syms = np.array(
+        [s.count(" ") + 1 for s in vocab["seq"]], dtype=np.int64
+    )
+    ref = _ray.put((toks_sorted, enc, n_syms))
+
+    class Encode:
+        def __init__(self, ref):
+            self.toks, self.enc, self.n_syms = _ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            flat, lens = _token_lists(df["text"])
+            n = len(df)
+            doc_idx = np.repeat(np.arange(n), lens)
+            keep = flat != ""
+            doc_idx, flat = doc_idx[keep], flat[keep]
+            flat = flat.astype(str)
+            pos = np.clip(
+                np.searchsorted(self.toks, flat), 0, len(self.toks) - 1
+            )
+            if len(flat) and not (self.toks[pos] == flat).all():
+                raise ValueError("BPE vocab lookup miss: model/corpus skew")
+            sym_counts = np.zeros(n, dtype=np.int64)
+            np.add.at(sym_counts, doc_idx, self.n_syms[pos])
+            out_rows = []
+            enc_strs = self.enc[pos]
+            bounds = np.concatenate([[0], np.cumsum(np.bincount(
+                doc_idx, minlength=n))])
+            for i in range(n):
+                seg = enc_strs[bounds[i]:bounds[i + 1]]
+                if not len(seg):
+                    continue
+                out_rows.append(
+                    (
+                        int(df["doc_id"].iloc[i]),
+                        int(sym_counts[i]),
+                        hashlib.md5(" ".join(seg).encode()).hexdigest(),
+                    )
+                )
+            return pd.DataFrame(
+                out_rows, columns=["doc_id", "n_symbols", "enc_md5"]
+            ).astype({"doc_id": "int64", "n_symbols": "int64"})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Encode,
+        batch_format="pandas",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"ref": ref},
     )
 
 

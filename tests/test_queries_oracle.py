@@ -105,7 +105,7 @@ def test_all_query_names_have_callables(contract):
         "docs_bpe_merges", "docs_bpe_train",
         "docs_dsir_weights", "docs_dsir_sample", "docs_bm25_topk",
         "emb_semdedup_pairs", "emb_semdedup_keep",
-        "docs_ppl_buckets", "docs_mix_sample",
+        "docs_ppl_buckets", "docs_mix_sample", "docs_bpe_encode",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
