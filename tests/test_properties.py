@@ -488,3 +488,64 @@ def test_bpe_apply_disjoint_run():
 
     assert _bpe_apply(list("ccccc"), "c", "c") == ["cc", "cc", "c"]
     assert _bpe_apply(list("cccc"), "c", "c") == ["cc", "cc"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1.0, 1.0, allow_nan=False, width=32),
+            min_size=8, max_size=8,
+        ),
+        min_size=2, max_size=12,
+    )
+)
+def test_semdedup_integer_cosine_matches_float_off_boundary(vecs):
+    """The exact integer cross-multiplied cosine test (25·ab² ≥ 4·aa·bb,
+    ab>0 ⟺ cos ≥ 0.4 on the quantized vectors) agrees with a float
+    cosine on the SAME quantized vectors whenever the pair is clearly
+    off the threshold (the integer test exists precisely to decide the
+    boundary deterministically; off it, both must agree)."""
+    from snapcrawler_ray.functions.dedup import _semdedup_cluster_pairs
+
+    m = np.array(vecs, dtype=np.float64)
+    ids = np.arange(len(m), dtype=np.int64)
+    g = pd.DataFrame({"vec_id": ids, "embedding": list(m)})
+    got_ids, ia, ib = _semdedup_cluster_pairs(
+        g, scale=10**6, tau_num=2, tau_den=5
+    )
+    hits = {(int(got_ids[a]), int(got_ids[b])) for a, b in zip(ia, ib)}
+
+    q = np.floor(np.abs(m) * 1e6 + 0.5) * np.sign(m)
+    norms = np.sqrt((q * q).sum(1))
+    for i in range(len(m)):
+        for j in range(i + 1, len(m)):
+            den = norms[i] * norms[j]
+            if den == 0:
+                assert (i, j) not in hits
+                continue
+            cos = float(q[i] @ q[j]) / den
+            if cos > 0.4 + 1e-9:
+                assert (i, j) in hits
+            elif cos < 0.4 - 1e-9:
+                assert (i, j) not in hits
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=60),
+)
+def test_ppl_bucket_thresholds_are_exact_integer_ranks(values):
+    """head/middle/tail cut rule: t_k = smallest value whose cumulative
+    count reaches ceil(k·n/3) — verified against the brute definition
+    on arbitrary multisets (the engine computes it via searchsorted on
+    the histogram cumsum)."""
+    vals = np.sort(np.array(values, dtype=np.int64))
+    uniq, counts = np.unique(vals, return_counts=True)
+    cum = np.cumsum(counts)
+    n = len(vals)
+    for k, target in ((1, (n + 2) // 3), (2, (2 * n + 2) // 3)):
+        t_engine = int(uniq[np.searchsorted(cum, target)])
+        t_brute = int(min(v for v in uniq
+                          if (vals <= v).sum() >= target))
+        assert t_engine == t_brute
