@@ -403,7 +403,12 @@ def bpe_encode(sf_dir: str, n_merges: int = 3) -> "ray.data.Dataset":
     vocabulary (token → final symbol string) is the only state: it
     broadcasts once (``ray.put`` of sorted arrays, the unigram-LM
     pattern) and the corpus pass is a map-only searchsorted lookup —
-    the corpus itself is never re-tokenized per merge step.  Every
+    the corpus itself is never re-tokenized per merge step.  The
+    broadcast table is the unique-TOKEN table (corpus-dependent, like
+    the unigram LM's vocabulary) — past a broadcast-sized type count
+    the tok-keyed join topology of
+    :func:`_unigram_surprisal_join_path` is the drop-in shape, since
+    the trained vocab Dataset already carries ``tok``.  Every
     scored token must be in the model (same loud skew guard as
     :func:`unigram_surprisal`).  The DuckDB oracle replays training
     AND encoding with unrolled recursive CTEs."""
@@ -2657,7 +2662,7 @@ def ppl_buckets(sf_dir: str) -> "ray.data.Dataset":
     approximate at value collisions — deterministic and SQL-identical.
     Two streaming passes: histogram fold, then a broadcast-threshold
     map — nothing O(corpus) on the driver."""
-    sur = unigram_surprisal(sf_dir).materialize()
+    sur = unigram_surprisal(sf_dir)
 
     def to_mean(df: pd.DataFrame) -> pd.DataFrame:
         mean_m = df["surprisal_u"].to_numpy(np.int64) // (
