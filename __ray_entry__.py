@@ -634,11 +634,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # merge table (broadcast type vocabulary, map-only lookup);
         # oracle replays training AND encoding in unrolled CTEs
         "docs_bpe_encode": lambda d: text.bpe_encode(d),
+        # winnowing fingerprint selection (Schleimer et al. 2003, MOSS):
+        # rightmost-min-per-window gram hashes, HUGEINT-packed oracle
+        "docs_winnow": lambda d: text.winnow_fingerprints(d),
         # --- [3] r02-green entries whose code changed in r4 ---
         "docs_training_corpus": prep.training_corpus,
         "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
         "q5_region_supplier": lambda d: relational.q5_region_supplier_revenue(d),
-        "events_sessionize": lambda d: relational.events_sessionize(d),
         "events_topk_users": lambda d: relational.events_topk_users(d),
         # --- past the 50-row window: green rows in r02/r03 stand ---
         # (q1 is a single-table aggregate and nation_revenue shares
@@ -666,6 +668,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exercises that same switch (plus the region dim), and q3
         # keeps its green r02 row
         "q3_top_orders": lambda d: relational.q3_top_orders(d),
+        # sessionize swapped below for docs_winnow: its kernel has NO
+        # r4 hunks (the relational.py changes are the join topology,
+        # which q5/nation re-record) — the r03 green row stands
+        "events_sessionize": lambda d: relational.events_sessionize(d),
         "q1_pricing": relational.q1_pricing,
         # clean_corpus composes exact-dedup + near-dup keep + quality,
         # each separately in-window this round
@@ -1885,6 +1891,37 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_tokens, "
             "md5(array_to_string(arr[chunk_id*48+1 : "
             "least(chunk_id*48+64, len(arr))], ' ')) AS chunk_md5 FROM c"
+        ),
+        "docs_winnow": (
+            # winnowing (Schleimer et al. 2003): per doc, uint64 md5
+            # gram hashes; each width-4 window (frame-clipped at the
+            # tail; docs with < w grams get one window via the i = 1
+            # row) selects its min hash, RIGHTMOST on ties — packed as
+            # one HUGEINT min: key = h·2^20 + (2^20−1−i), so min key =
+            # (min h, max i).  DISTINCT selected (doc_id, pos, fp);
+            # fp re-cast to int64 two's complement like
+            # docs_fingerprints
+            "WITH t AS (SELECT doc_id, regexp_split_to_array("
+            r"trim(text), '\s+') AS arr FROM documents "
+            "WHERE trim(coalesce(text,'')) <> ''), "
+            "g AS (SELECT doc_id, CAST(gs.i AS BIGINT) AS i, "
+            "CAST(concat('0x', substr(md5(array_to_string("
+            "arr[CAST(gs.i AS INT) : CAST(gs.i AS INT) + 3], ' ')), "
+            "1, 16)) AS UBIGINT) AS h "
+            "FROM t CROSS JOIN LATERAL unnest(generate_series(1, "
+            "len(arr) - 3)) AS gs(i)), "
+            "wm AS (SELECT doc_id, i, "
+            "min(CAST(h AS HUGEINT) * 1048576 + (1048575 - i)) OVER ("
+            "PARTITION BY doc_id ORDER BY i "
+            "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk, "
+            "count(*) OVER (PARTITION BY doc_id) AS n FROM g), "
+            "sel AS (SELECT DISTINCT doc_id, "
+            "1048575 - (mk % 1048576) AS pos, mk // 1048576 AS v "
+            "FROM wm WHERE i <= greatest(1, n - 3)) "
+            "SELECT doc_id, CAST(pos AS BIGINT) AS pos, "
+            "CAST(v - CASE WHEN v >= 9223372036854775808 "
+            "THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS fp "
+            "FROM sel"
         ),
         "docs_fingerprints_norm": (
             "SELECT doc_id, md5(array_to_string("

@@ -2769,3 +2769,93 @@ def mix_sample(sf_dir: str) -> "ray.data.Dataset":
         concurrency=(1, 4),
         fn_constructor_kwargs={"ref": ref},
     )
+
+
+def winnow_fingerprints(
+    sf_dir: str, k: int = 4, w: int = 4
+) -> "ray.data.Dataset":
+    """doc_id, pos, fp — winnowing fingerprint selection (Schleimer,
+    Wilkerson & Aiken 2003, the MOSS algorithm): hash every word
+    ``k``-gram, slide a window of ``w`` consecutive gram hashes, and
+    select each window's minimum (RIGHTMOST position on ties — the
+    paper's rule, which guarantees the selected set is position-robust:
+    any substring match of length ≥ w+k−1 shares a fingerprint).  The
+    result is the deduplicated (doc_id, pos) selection, the standard
+    local-fingerprint scheme between whole-doc hashing
+    (:func:`fingerprints`) and all-gram shingling (MinHash): density is
+    guaranteed ≥ 1/w with no adversarial gaps.
+
+    Docs with fewer than ``w`` grams contribute one window over all
+    their grams; docs shorter than ``k`` tokens emit nothing.  Gram
+    hash = first-16-hex md5 of the space-joined gram, as a uint64 —
+    the SimHash/fingerprints basis, so the DuckDB oracle replays
+    selection bit-for-bit by packing (hash, rightmost-tie) into one
+    HUGEINT min per window frame.  ``pos`` is the 1-based gram index
+    (loud-guarded < 2²⁰ per doc — the oracle's packing headroom).
+    Map-only, zero shuffle: a doc's grams never leave its batch; per
+    batch, unique grams are hashed once and windows reduce via a
+    vectorized sliding view."""
+    import hashlib
+
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens = _token_lists(df["text"])
+        n_grams = np.maximum(lens - (k - 1), 0)
+        ok = n_grams > 0
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "pos": pd.Series([], dtype="int64"),
+                "fp": pd.Series([], dtype="int64"),
+            }
+        )
+        if not ok.any():
+            return empty
+        if int(n_grams.max()) >= 1 << 20:
+            raise ValueError("winnowing: >2^20 grams in one doc")
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos_flat = np.concatenate(
+            [s + np.arange(g) for s, g in zip(starts[ok], n_grams[ok])]
+        ).astype(np.int64)
+        grams = flat[pos_flat]
+        for j in range(1, k):
+            grams = grams + " " + flat[pos_flat + j]
+        uniq, inv = np.unique(grams, return_inverse=True)
+        hu = np.fromiter(
+            (
+                int(hashlib.md5(g.encode("utf-8")).hexdigest()[:16], 16)
+                for g in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        h = hu[inv]
+        ids = df["doc_id"].to_numpy(np.int64)[ok]
+        gcounts = n_grams[ok]
+        bounds = np.concatenate([[0], np.cumsum(gcounts)])
+        out_doc, out_pos, out_fp = [], [], []
+        for di in range(len(ids)):
+            hd = h[bounds[di]:bounds[di + 1]]
+            wi = min(w, len(hd))
+            win = sliding_window_view(hd, wi)
+            # rightmost argmin: argmin over the reversed window returns
+            # the FIRST minimum there = the LAST in the original order
+            am = win[:, ::-1].argmin(axis=1)
+            sel = np.unique(np.arange(len(win)) + wi - 1 - am)
+            out_doc.append(np.full(len(sel), ids[di], dtype=np.int64))
+            out_pos.append(sel + 1)  # 1-based, matching the oracle
+            out_fp.append(hd[sel].astype(np.int64))  # two's complement
+        if not out_doc:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(out_doc),
+                "pos": np.concatenate(out_pos),
+                "fp": np.concatenate(out_fp),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
