@@ -637,11 +637,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # winnowing fingerprint selection (Schleimer et al. 2003, MOSS):
         # rightmost-min-per-window gram hashes, HUGEINT-packed oracle
         "docs_winnow": lambda d: text.winnow_fingerprints(d),
+        # ... and its MATCH step: pairs sharing >= 2 selected values
+        # via the inverted-index topology
+        "docs_winnow_pairs": lambda d: dedup.winnow_pairs(d),
         # --- [3] r02-green entries whose code changed in r4 ---
         "docs_training_corpus": prep.training_corpus,
         "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
         "q5_region_supplier": lambda d: relational.q5_region_supplier_revenue(d),
-        "events_topk_users": lambda d: relational.events_topk_users(d),
         # --- past the 50-row window: green rows in r02/r03 stand ---
         # (q1 is a single-table aggregate and nation_revenue shares
         # q5's dim-join path — both r02-green; q3/q5 above keep the r4
@@ -668,10 +670,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exercises that same switch (plus the region dim), and q3
         # keeps its green r02 row
         "q3_top_orders": lambda d: relational.q3_top_orders(d),
-        # sessionize swapped below for docs_winnow: its kernel has NO
-        # r4 hunks (the relational.py changes are the join topology,
-        # which q5/nation re-record) — the r03 green row stands
+        # sessionize and topk_users swapped below for docs_winnow /
+        # docs_winnow_pairs: NEITHER kernel has r4 hunks (the
+        # relational.py changes are the join topology, re-recorded by
+        # in-window q5; the r4 top-k tie-break hardening lives in
+        # similarity.py, re-recorded by the in-window int8/pq recall
+        # rows) — their r02/r03 green rows stand
         "events_sessionize": lambda d: relational.events_sessionize(d),
+        "events_topk_users": lambda d: relational.events_topk_users(d),
         "q1_pricing": relational.q1_pricing,
         # clean_corpus composes exact-dedup + near-dup keep + quality,
         # each separately in-window this round
@@ -1417,6 +1423,29 @@ def oracle_sql() -> dict[str, str]:
         "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
         "WHERE bit_count(xor(a.u, b.u)) <= 3"
     )
+    # shared winnowing selection chain (text.winnow_fingerprints): md5
+    # gram hashes, width-4 window min with rightmost ties via the
+    # HUGEINT (hash, -pos) packing; `sel` = (doc_id, pos, v raw value)
+    winnow_sel = (
+        "WITH t AS (SELECT doc_id, regexp_split_to_array("
+        r"trim(text), '\s+') AS arr FROM documents "
+        "WHERE trim(coalesce(text,'')) <> ''), "
+        "g AS (SELECT doc_id, CAST(gs.i AS BIGINT) AS i, "
+        "CAST(concat('0x', substr(md5(array_to_string("
+        "arr[CAST(gs.i AS INT) : CAST(gs.i AS INT) + 3], ' ')), "
+        "1, 16)) AS UBIGINT) AS h "
+        "FROM t CROSS JOIN LATERAL unnest(generate_series(1, "
+        "len(arr) - 3)) AS gs(i)), "
+        "wm AS (SELECT doc_id, i, "
+        "min(CAST(h AS HUGEINT) * 1048576 + (1048575 - i)) OVER ("
+        "PARTITION BY doc_id ORDER BY i "
+        "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk, "
+        "count(*) OVER (PARTITION BY doc_id) AS n FROM g), "
+        "sel AS (SELECT DISTINCT doc_id, "
+        "1048575 - (mk % 1048576) AS pos, mk // 1048576 AS v "
+        "FROM wm WHERE i <= greatest(1, n - 3))"
+    )
+
     jaccard_pairs = (
         "WITH t AS (SELECT doc_id, "
         r"regexp_split_to_array(trim(coalesce(text,'')), '\s+') AS tk "
@@ -1893,35 +1922,31 @@ def oracle_sql() -> dict[str, str]:
             "least(chunk_id*48+64, len(arr))], ' ')) AS chunk_md5 FROM c"
         ),
         "docs_winnow": (
-            # winnowing (Schleimer et al. 2003): per doc, uint64 md5
-            # gram hashes; each width-4 window (frame-clipped at the
-            # tail; docs with < w grams get one window via the i = 1
-            # row) selects its min hash, RIGHTMOST on ties — packed as
-            # one HUGEINT min: key = h·2^20 + (2^20−1−i), so min key =
-            # (min h, max i).  DISTINCT selected (doc_id, pos, fp);
-            # fp re-cast to int64 two's complement like
-            # docs_fingerprints
-            "WITH t AS (SELECT doc_id, regexp_split_to_array("
-            r"trim(text), '\s+') AS arr FROM documents "
-            "WHERE trim(coalesce(text,'')) <> ''), "
-            "g AS (SELECT doc_id, CAST(gs.i AS BIGINT) AS i, "
-            "CAST(concat('0x', substr(md5(array_to_string("
-            "arr[CAST(gs.i AS INT) : CAST(gs.i AS INT) + 3], ' ')), "
-            "1, 16)) AS UBIGINT) AS h "
-            "FROM t CROSS JOIN LATERAL unnest(generate_series(1, "
-            "len(arr) - 3)) AS gs(i)), "
-            "wm AS (SELECT doc_id, i, "
-            "min(CAST(h AS HUGEINT) * 1048576 + (1048575 - i)) OVER ("
-            "PARTITION BY doc_id ORDER BY i "
-            "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk, "
-            "count(*) OVER (PARTITION BY doc_id) AS n FROM g), "
-            "sel AS (SELECT DISTINCT doc_id, "
-            "1048575 - (mk % 1048576) AS pos, mk // 1048576 AS v "
-            "FROM wm WHERE i <= greatest(1, n - 3)) "
-            "SELECT doc_id, CAST(pos AS BIGINT) AS pos, "
+            # winnowing (Schleimer et al. 2003): each width-4 window
+            # (frame-clipped at the tail; docs with < w grams get one
+            # window via the i = 1 row) selects its min gram hash,
+            # RIGHTMOST on ties — min key = (min h, max i) under the
+            # shared packing.  fp re-cast to int64 two's complement
+            # like docs_fingerprints
+            winnow_sel
+            + " SELECT doc_id, CAST(pos AS BIGINT) AS pos, "
             "CAST(v - CASE WHEN v >= 9223372036854775808 "
             "THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS fp "
             "FROM sel"
+        ),
+        "docs_winnow_pairs": (
+            # MOSS match step: pairs sharing >= 2 distinct selected
+            # fingerprint values, boilerplate fps (df > 200) pruned —
+            # same prune as the engine, so the contract is exact
+            winnow_sel
+            + ", u AS (SELECT DISTINCT doc_id, v FROM sel), "
+            "dfc AS (SELECT v, count(*) AS df FROM u GROUP BY v), "
+            "uu AS (SELECT u.doc_id, u.v FROM u JOIN dfc USING (v) "
+            "WHERE dfc.df BETWEEN 2 AND 200) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(count(*) AS BIGINT) AS n_shared "
+            "FROM uu a JOIN uu b ON a.v = b.v AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING count(*) >= 2"
         ),
         "docs_fingerprints_norm": (
             "SELECT doc_id, md5(array_to_string("

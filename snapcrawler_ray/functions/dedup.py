@@ -1780,3 +1780,79 @@ def semdedup_keep(
         .map_groups(sweep, batch_format="pandas")
         .to_pandas()
     )
+
+
+def winnow_pairs(
+    sf_dir: str,
+    min_shared: int = 2,
+    max_df: int = 200,
+) -> pd.DataFrame:
+    """doc_a, doc_b, n_shared — the MOSS MATCH step over winnowed
+    fingerprints (Schleimer et al. 2003 §4): document pairs sharing at
+    least ``min_shared`` distinct selected fingerprint VALUES.  Because
+    winnowing guarantees any common substring of length ≥ w+k−1 shares
+    a selected fingerprint, n_shared lower-bounds the number of such
+    local matches — the plagiarism/near-dup candidate signal that
+    whole-doc hashing misses and full shingling pays quadratically for.
+
+    Distributed shape = the n-gram-Jaccard inverted index: explode to
+    per-doc DISTINCT fingerprint values, hash-partition by the uint64
+    value (never text), per-partition self-merge at C speed, partial
+    pair counts folded by a bucketed reduce.  Fingerprints selected by
+    more than ``max_df`` docs are pruned before pairing (boilerplate
+    fingerprints; pruned identically in the SQL oracle, so the
+    contract is exact)."""
+    from .agg import bucketed_combine
+    from .io import read_table  # noqa: F401  (re-export parity)
+    from .text import winnow_fingerprints
+
+    n_parts = 64
+    sel = winnow_fingerprints(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["doc_id", "fp"]].drop_duplicates()
+        fp = d["fp"].to_numpy(np.int64).view(np.uint64)
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].to_numpy(np.int64),
+                "fp": d["fp"].to_numpy(np.int64),
+                "part": (fp % np.uint64(n_parts)).astype(np.int64),
+            }
+        )
+
+    def part_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # the per-batch drop_duplicates in explode is only a partial
+        # pre-reduction (a rebatch can split a doc's rows); the
+        # partition sees every row of an fp, so THIS dedup is the
+        # authoritative one — df counts below are per distinct doc
+        df = df.drop_duplicates(subset=["doc_id", "fp"])
+        vc = df["fp"].value_counts()
+        keep = vc[(vc >= 2) & (vc <= max_df)].index
+        d = df[df["fp"].isin(keep)][["doc_id", "fp"]]
+        if d.empty:
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype="int64")
+                    for c in ("doc_a", "doc_b", "n")
+                }
+            )
+        m = d.merge(d, on="fp")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return (
+            m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+            .agg(n=("fp", "size"))
+            .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            n_shared=("n", "sum")
+        )
+        return g[g["n_shared"] >= min_shared].astype("int64")
+
+    co = (
+        sel.map_batches(explode, batch_format="pandas")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
+    )
+    return bucketed_combine(co, ["doc_a", "doc_b"], finish).to_pandas()

@@ -106,7 +106,7 @@ def test_all_query_names_have_callables(contract):
         "docs_dsir_weights", "docs_dsir_sample", "docs_bm25_topk",
         "emb_semdedup_pairs", "emb_semdedup_keep",
         "docs_ppl_buckets", "docs_mix_sample", "docs_bpe_encode",
-        "docs_winnow",
+        "docs_winnow", "docs_winnow_pairs",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
