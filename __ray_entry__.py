@@ -540,11 +540,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #       harvest, exact-integer PageRank, sitemap frontier, and the
     #       crawl-x-webtext bridge re-run over the r4 engine;
     #   (2) every operator ADDED in r4 (never driver-checked): CMS,
-    #       images_tags, BPE counts/merges/training, watermark late-data,
-    #       repeated n-grams, bottom-k sample, ExactSubstr dup spans +
-    #       cut, bigram surprisal, Gopher rules, source KL, overlapping
-    #       chunks, SimHash pairs + keep, int8-kNN recall, rolling
-    #       fingerprints (upgraded rows-only -> oracled);
+    #       images_tags, BPE counts/merges/training/ENCODING, watermark
+    #       late-data, repeated n-grams, bottom-k sample, ExactSubstr
+    #       dup spans + cut, bigram surprisal, Gopher rules, source KL,
+    #       overlapping chunks, SimHash pairs + keep, int8- and
+    #       PQ-kNN recall, rolling fingerprints (upgraded rows-only ->
+    #       oracled), DSIR weights + resample, BM25 top-k, SemDeDup
+    #       pairs + keep, CCNet perplexity terciles, source-mixing
+    #       resample, winnowing selection + match pairs;
     #   (3) r02-green entries whose CODE CHANGED in r4 (SimHash md5
     #       cache, vectorized MinHash/decontamination shingles, dim-join
     #       topology switch on the q-family, components escape hatch,

@@ -116,6 +116,7 @@ def run_queries(sf_dir: str) -> dict:
         "docs_source_kl", "docs_bpe_train",
         "emb_near_dup_exact",
         "emb_semdedup_keep", "docs_ppl_buckets", "docs_mix_sample",
+        "docs_bpe_encode", "docs_winnow_pairs",
     ]
     out = {}
     for name in bench_set:
