@@ -308,8 +308,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from snapcrawler_ray.functions import webops
 
     def docs_extended_images(sf_dir: str):
+        """M5–M10 spider-superset extractor under the hard gate: the
+        engine dumps the pre-filter candidate stream (page_url, stage,
+        raw) from the SAME extraction pass that produced the result,
+        and DuckDB re-derives the final rows from the dump alone —
+        per-stage extension filter, strip, the urlsplit \\t\\r\\n
+        removal, urljoin (absolute / protocol-relative / root-relative
+        / bare-relative / one-level ../), final endswith validation,
+        set-dedup, sort (reference semantics image_spider.py:165-235,
+        :228-235).  HTML parsing / regex scanning stay conformance-
+        tested locally — the images_tags trust split.  Synth torture
+        pages (webops.synth_extended_pages) keep every replay arm
+        non-vacuous; the plain corpus only emits absolute URLs."""
         _, path = _corpus_for(sf_dir)
-        return webops.extended_images(path)
+        return webops.extended_images(
+            path,
+            raw_out=os.path.join(_oracle_tbl_dir(sf_dir), "extended_raw"),
+            with_synth_pages=True,
+        )
 
     def docs_api_harvest(sf_dir: str):
         """M11 AJAX/JSON harvest.  SQL-ORACLED: DuckDB replays the
@@ -1206,6 +1222,59 @@ FROM ct
 """
 
 
+def _extended_images_sql(raw_dir: str) -> str:
+    """DuckDB replay of the M5–M10 extractor's downstream composition
+    over the engine-written pre-filter candidate dump (page_url, stage,
+    raw): per-stage extension filter (lazy/resp/css/jsonld drop
+    non-image extensions before the merge; img/js have no per-stage
+    filter — html/extended.py:extended_extract_images), Python
+    str.strip, the urlsplit unsafe-byte removal (\\t \\r \\n are
+    deleted anywhere in a URL, CPython bpo-43882), urljoin resolution
+    (pass-through absolute http(s), protocol-relative '//', root-
+    relative '/', one-level '../', bare-relative against the base
+    directory), the final endswith-extension validation
+    (image_spider.py:653), set-dedup and sort (:228-235)."""
+    exts = (".jpg", ".jpeg", ".png", ".gif", ".webp", ".avif", ".svg",
+            ".bmp", ".tiff", ".ico", ".heic", ".heif")
+
+    def ext_pred(col: str) -> str:
+        return "(" + " OR ".join(
+            f"lower({col}) LIKE '%{e}'" for e in exts
+        ) + ")"
+
+    # Python str.strip default = ASCII whitespace incl. \v \f
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    return f"""
+WITH r AS (
+  SELECT page_url, stage, raw
+  FROM read_parquet('{raw_dir}/*.parquet')),
+staged AS (
+  SELECT page_url, raw FROM r
+  WHERE stage IN ('img', 'js') OR {ext_pred('raw')}),
+cleaned AS (
+  SELECT page_url,
+    replace(replace(replace(trim(raw, {ws}),
+      chr(9), ''), chr(10), ''), chr(13), '') AS t
+  FROM staged),
+joined AS (
+  SELECT page_url,
+    CASE
+      WHEN t LIKE 'http://%' OR t LIKE 'https://%' THEN t
+      WHEN t LIKE '//%' THEN
+        regexp_extract(page_url, '^([a-z][a-z0-9+.-]*):', 1) || ':' || t
+      WHEN t LIKE '/%' THEN
+        regexp_extract(page_url, '^(https?://[^/]*)', 1) || t
+      WHEN t LIKE '../%' THEN
+        regexp_replace(regexp_replace(page_url, '[^/]*$', ''),
+                       '[^/]+/$', '') || substr(t, 4)
+      ELSE regexp_replace(page_url, '[^/]*$', '') || t
+    END AS image_url
+  FROM cleaned)
+SELECT DISTINCT page_url, image_url FROM joined
+WHERE {ext_pred('image_url')}
+ORDER BY page_url, image_url"""
+
+
 def _api_harvest_sql(payloads_pq: str) -> str:
     """DuckDB replay of jsonx.extract_images_from_api_payload over the
     engine-written payload parquet: a WITH RECURSIVE walk over
@@ -1642,6 +1711,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "images_tags": _images_tags_sql(
             f"{_oracle_tbl_dir('sf0.01')}/image_features"
+        ),
+        "docs_extended_images": _extended_images_sql(
+            f"{_oracle_tbl_dir('sf0.01')}/extended_raw"
         ),
         "crawl_ua_counts": (
             "SELECT user_agent, count(*) AS n FROM "

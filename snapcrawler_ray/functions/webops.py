@@ -40,28 +40,201 @@ def _read_corpus(corpus_dir: str, columns: list[str]) -> "ray.data.Dataset":
 
 # ------------------------------------------------- M5–M10: extended extract
 
-def extended_images(corpus_dir: str) -> "ray.data.Dataset":
+def synth_extended_pages() -> pa.Table:
+    """Deterministic extractor-torture pages unioned into the
+    ``docs_extended_images`` input so the SQL oracle's urljoin / strip /
+    per-stage-filter replay exercises every branch with real variance —
+    the plain corpus only emits absolute lowercase https URLs, which
+    would leave the relative-resolution and filter arms
+    driver-unverified (the r2 'vacuous pass' lesson).
+
+    Page k cycles through: every lazy attribute (k mod 10) with image
+    and NON-image values, loading=lazy, picture/source srcset +
+    data-srcset, img srcset, all ten CSS url() patterns + the var()
+    indirection, the three JS string regexes, nested JSON-LD
+    (dict/list/invalid-JSON), and raw URL forms — absolute,
+    protocol-relative (//cdn), root-relative (/x), bare-relative
+    (x.png), one-level ../ , surrounding whitespace, uppercase .JPG,
+    query-string suffixes (dropped by the endswith rule) and
+    cross-stage duplicates (set-dedup arm)."""
+    from ..html.extended import LAZY_ATTRS
+
+    urls, htmls = [], []
+    for k in range(40):
+        base = f"https://synthext{k % 4}.example/gal/{k}/view"
+        parts = ["<html><head>"]
+        if k % 2 == 0:
+            parts.append(
+                "<style>.a { background-image: url('/css/bg%d.png'); }\n"
+                "--hero%d: url(rel/var%d.jpg);\n"
+                ".b { mask-image: url(\"//cdn%d.example/m.webp\"); }\n"
+                ".c { content: url(../up%d.gif); }\n"
+                ".d { border-image-source: url(/css/not%d.txt); }\n"
+                ".e { background: red url('q%d.jpg?w=64') no-repeat; }\n"
+                ".f { image-set('set%d.avif' 1x); }\n"
+                ".g { -webkit-image-set('wset%d.ico' 1x); }\n"
+                ".h { clip-path: url(clip%d.svg); }\n"
+                ".i { border-image: url(bi%d.bmp); }\n"
+                ".j { background-image: var(--hero%d); }</style>"
+                % tuple([k] * 12)
+            )
+        parts.append("</head><body>")
+        attr = LAZY_ATTRS[k % len(LAZY_ATTRS)]
+        parts.append(f'<img src="  plain{k}.JPG  " {attr}="lazy{k}.webp"/>')
+        parts.append(f'<img {attr}="lazy{k}.html"/>')  # per-stage filtered
+        parts.append(f'<div {attr}="dlazy{k}.tiff">x</div>')
+        if k % 3 == 0:
+            parts.append(f'<img loading="lazy" src="/ll/{k}.heic"/>')
+            parts.append(f'<div data-background-image="dbg{k}.heif">y</div>')
+        if k % 3 == 1:
+            parts.append(
+                f'<picture><source srcset="//cdn{k}.example/r1.jpg 1x,'
+                f' r2-{k}.jpeg 2x" data-srcset="/r3/{k}.png 640w"/>'
+                f'<img src="fb{k}.gif" srcset="s1-{k}.webp 320w"/></picture>'
+            )
+        if k % 3 == 2:
+            parts.append(
+                '<script type="application/ld+json">'
+                f'{{"image": " /ld/{k}.jpg", "x": {{"thumbnail":'
+                f' "ld-t{k}.png", "deep": [{{"photo": "ld-p{k}.pdf"}},'
+                f' {{"picture": "../ld-q{k}.webp"}}]}}}}</script>'
+            )
+            parts.append(
+                '<script type="application/ld+json">{broken json'
+                f' "image": "never{k}.jpg"</script>'
+            )
+        if k % 4 == 0:
+            parts.append(
+                f'<script>var hero = "//cdn{k}.example/js/h{k}.jpg";'
+                f" obj.src = 'js-i{k}.png';"
+                f' cfg.image = "/js/deep{k}.svg";</script>'
+            )
+        # cross-stage duplicate: same URL via src and CSS and JS
+        parts.append(f'<img src="/dup/{k}.png"/>')
+        parts.append(f'<div style="background-image:url(/dup/{k}.png)">z</div>')
+        parts.append("</body></html>")
+        urls.append(base)
+        htmls.append("".join(parts).encode())
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.binary()),
+        }
+    )
+
+
+def extended_images(
+    corpus_dir: str,
+    raw_out: str | None = None,
+    with_synth_pages: bool = False,
+) -> "ray.data.Dataset":
     """(page_url, image_url) — one row per spider-superset-extracted
-    image, sorted-unique per page (engine canonicalization §2.8)."""
+    image, sorted-unique per page (engine canonicalization §2.8).
+
+    ``raw_out``: also write the pre-filter candidate stream
+    ``(page_url, stage, raw)`` (see html.extended collect contract)
+    there as a distributed ``write_parquet`` directory; the DuckDB
+    oracle (``__ray_entry__._extended_images_sql``) re-derives the
+    final rows from that dump alone — per-stage extension filter,
+    strip, urljoin (absolute / protocol-relative / root-relative /
+    bare-relative / one-level ../), final endswith validation,
+    set-dedup and sort — so the whole downstream composition sits
+    under the driver's hard value gate."""
     from ..html.extended import extended_extract_from_html
 
     def f(batch: pa.Table) -> pa.Table:
         src, img = [], []
+        rsrc, rstage, rraw = [], [], []
         for u, h in zip(
             batch.column("url").to_pylist(), batch.column("html").to_pylist()
         ):
-            for iu in extended_extract_from_html(h, u):
+            buf: list[tuple[str, str]] | None = (
+                [] if raw_out is not None else None
+            )
+            for iu in extended_extract_from_html(h, u, collect=buf):
                 src.append(u)
                 img.append(iu)
-        return pa.table(
+            if buf:
+                for stage, rv in buf:
+                    rsrc.append(u)
+                    rstage.append(stage)
+                    rraw.append(rv)
+        out = pa.table(
             {
                 "page_url": pa.array(src, pa.string()),
                 "image_url": pa.array(img, pa.string()),
             }
         )
+        if raw_out is None:
+            return out
+        return {
+            "out": out,
+            "raw": pa.table(
+                {
+                    "page_url": pa.array(rsrc, pa.string()),
+                    "stage": pa.array(rstage, pa.string()),
+                    "raw": pa.array(rraw, pa.string()),
+                }
+            ),
+        }
 
-    return _read_corpus(corpus_dir, ["url", "html"]).map_batches(
-        f, batch_format="pyarrow", batch_size=128
+    inp = _read_corpus(corpus_dir, ["url", "html"])
+    if with_synth_pages:
+        inp = inp.union(ray.data.from_arrow(synth_extended_pages()))
+    if raw_out is None:
+        return inp.map_batches(f, batch_format="pyarrow", batch_size=128)
+
+    # one extraction pass feeds both the result and the oracle dump:
+    # tag each block's rows, write the raw side, return the out side
+    import os
+    import shutil
+
+    both = inp.map_batches(
+        lambda b: _tagged_union(f(b)), batch_format="pyarrow", batch_size=128
+    ).materialize()
+    shutil.rmtree(raw_out, ignore_errors=True)
+    os.makedirs(raw_out, exist_ok=True)
+    import pyarrow.compute as pc
+
+    both.map_batches(
+        lambda b: b.filter(pc.equal(b.column("side"), "raw")).select(
+            ["page_url", "stage", "raw"]
+        ),
+        batch_format="pyarrow",
+    ).write_parquet(raw_out)
+    return both.map_batches(
+        lambda b: b.filter(pc.equal(b.column("side"), "out")).select(
+            ["page_url", "image_url"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _tagged_union(parts: dict) -> pa.Table:
+    """Stack the ``out`` and ``raw`` tables of one extraction batch into
+    a single tagged table (side, page_url, image_url, stage, raw) so a
+    single map_batches pass can feed both the result and the dump."""
+    out, raw = parts["out"], parts["raw"]
+    n_o, n_r = out.num_rows, raw.num_rows
+    return pa.table(
+        {
+            "side": pa.array(["out"] * n_o + ["raw"] * n_r, pa.string()),
+            "page_url": pa.array(
+                out.column("page_url").to_pylist()
+                + raw.column("page_url").to_pylist(),
+                pa.string(),
+            ),
+            "image_url": pa.array(
+                out.column("image_url").to_pylist() + [None] * n_r,
+                pa.string(),
+            ),
+            "stage": pa.array(
+                [None] * n_o + raw.column("stage").to_pylist(), pa.string()
+            ),
+            "raw": pa.array(
+                [None] * n_o + raw.column("raw").to_pylist(), pa.string()
+            ),
+        }
     )
 
 

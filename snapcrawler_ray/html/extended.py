@@ -80,19 +80,25 @@ def parse_srcset(srcset: str) -> list[str]:
     return urls
 
 
-def _from_json(data) -> list[str]:
-    """image_spider.py:572-585 recursive walk."""
+def _from_json(data, collect: list | None = None) -> list[str]:
+    """image_spider.py:572-585 recursive walk.
+
+    ``collect``: optional list receiving every string leaf found under
+    an image key BEFORE the extension check — the pre-filter candidate
+    stream the ``docs_extended_images`` SQL oracle re-filters."""
     images: list[str] = []
     if isinstance(data, dict):
         for key, value in data.items():
             if key.lower() in _JSON_IMG_KEYS and isinstance(value, str):
+                if collect is not None:
+                    collect.append(value)
                 if is_image_url_ext(value):
                     images.append(value)
             elif isinstance(value, (dict, list)):
-                images.extend(_from_json(value))
+                images.extend(_from_json(value, collect))
     elif isinstance(data, list):
         for item in data:
-            images.extend(_from_json(item))
+            images.extend(_from_json(item, collect))
     return images
 
 
@@ -112,15 +118,31 @@ def extended_extract_images(
     enhanced_css: bool = True,
     js_strings: bool = True,
     json_ld: bool = True,
+    collect: list | None = None,
 ) -> list[str]:
-    """Sorted-unique absolute image URLs from every M5 source."""
+    """Sorted-unique absolute image URLs from every M5 source.
+
+    ``collect``: optional list receiving ``(stage, raw_value)`` for
+    every candidate string BEFORE that stage's extension filter (stages
+    ``img``/``js`` have no per-stage filter; ``lazy``/``resp``/``css``/
+    ``jsonld`` drop non-image extensions before the merge).  The
+    ``docs_extended_images`` SQL oracle replays the whole downstream
+    composition — per-stage ext filter, strip, urljoin, final ext
+    validation, set-dedup, sort — over a Parquet dump of this stream,
+    so only the HTML parsing / regex scanning above this line stays
+    conformance-tested locally (the images_tags trust split)."""
     raw: list[str] = []
+
+    def _note(stage: str, values: list[str]) -> None:
+        if collect is not None:
+            collect.extend((stage, v) for v in values)
 
     # 1. standard <img src>
     for img in root.find_all("img"):
         src = img.get("src")
         if src:
             raw.append(src)
+            _note("img", [src])
 
     # 2. lazy loading (image_spider.py:259-281)
     if extract_lazy_loaded:
@@ -141,6 +163,7 @@ def extended_extract_images(
             v = el.get("data-background-image")
             if v:
                 lazy.append(v)
+        _note("lazy", lazy)
         raw.extend(u for u in lazy if u and is_image_url_ext(u))
 
     # 3. responsive picture/srcset (:283-317)
@@ -160,6 +183,7 @@ def extended_extract_images(
                 v = img.get(attr)
                 if v:
                     resp.extend(parse_srcset(v))
+        _note("resp", resp)
         raw.extend(u for u in resp if u and is_image_url_ext(u))
 
     # 5. enhanced CSS (:351-396) — style tags + inline styles joined
@@ -178,6 +202,7 @@ def extended_extract_images(
                 re.IGNORECASE,
             )
             css.extend(var_rx.findall(all_styles))
+        _note("css", css)
         raw.extend(u for u in css if u and is_image_url_ext(u))
 
     # JS string patterns (:197-208) — scripts joined with spaces
@@ -190,7 +215,9 @@ def extended_extract_images(
         ]
         all_scripts = " ".join(plain)
         for rx in _JS_RES:
-            raw.extend(rx.findall(all_scripts))
+            found = rx.findall(all_scripts)
+            _note("js", found)
+            raw.extend(found)
 
     # JSON-LD (:211-219)
     if json_ld:
@@ -198,7 +225,10 @@ def extended_extract_images(
             if s.get("type") == "application/ld+json":
                 txt = "".join(t for t in s.iter_text(skip=frozenset()))
                 try:
-                    raw.extend(_from_json(json.loads(txt)))
+                    buf: list[str] = []
+                    found = _from_json(json.loads(txt), buf)
+                    _note("jsonld", buf)
+                    raw.extend(found)
                 except Exception:
                     pass
 

@@ -248,7 +248,8 @@ def test_crawl_mode_and_verdict_sql_oracles(contract, con):
     for name in ["crawl_scale_visits", "crawl_priority_visits",
                  "crawl_image_verdicts", "crawl_host_pagerank",
                  "crawl_sitemap_frontier", "docs_api_harvest",
-                 "crawl_nav_scores", "images_tags"]:
+                 "crawl_nav_scores", "images_tags",
+                 "docs_extended_images"]:
         ray_df = _canon(_to_pandas(qs[name](SF_DIR)))  # writes the base
         sql = oracles[name].replace("sf0.01", "sf0.001")
         sql_df = _canon(con.sql(sql).df())
@@ -273,7 +274,6 @@ def test_crawl_aggregate_sql_oracles(contract, con):
 @pytest.mark.parametrize(
     "name",
     ["emb_knn_lsh",
-     "docs_extended_images",
      "media_features",
      "emb_knn_ivf", "events_approx_users", "events_approx_hourly_users",
      "emb_kmeans", "crawl_robots_visits"],
