@@ -384,9 +384,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def images_analysis(sf_dir: str):
+        """M20/M21 analyzer under the hard gate: the engine dumps the
+        quality-formula primitives (lap_var, gray_std, gray_mean,
+        unique_colors, px dims) and the 100×100 packed color histogram
+        per decoded accepted image, and DuckDB re-derives every
+        returned column — quality micro-units (identical IEEE
+        composition + half-away rounding on both sides), the M22
+        threshold tree, count-desc/packed-asc top-5 dominant colors,
+        M23 tags (reference semantics advanced_formats.py:215-374).
+        Pixel work stays conformance-tested locally; the clustered
+        palette stays library-only (RandomState k-means is not
+        SQL-expressible) — see webops.images_analysis."""
         res, cfg = _run_crawl(sf_dir)
         return webops.images_analysis(
-            res.emissions, cfg.images, meta=_image_meta(sf_dir)
+            res.emissions,
+            cfg.images,
+            meta=_image_meta(sf_dir),
+            features_out=os.path.join(
+                _oracle_tbl_dir(sf_dir), "analysis_features"
+            ),
         )
 
     def images_tags(sf_dir: str):
@@ -409,7 +425,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def media_features(sf_dir: str):
-        return webops.media_features()
+        """Multimodal actor-pool stage under the hard gate: the engine
+        dumps the per-kind decode primitives and DuckDB re-composes
+        feature_a / feature_b (image width + exact pixel mean, audio
+        duration + exact-integer RMS, video frame/stride counts);
+        decode outcomes (ok, error) stay engine observations — the
+        codec boundary side of the images_tags trust split."""
+        return webops.media_features(
+            features_out=os.path.join(
+                _oracle_tbl_dir(sf_dir), "media_prims"
+            )
+        )
 
     def crawl_host_pagerank(sf_dir: str):
         """Exact-integer PageRank (see webops.host_pagerank).  SQL-
@@ -1222,6 +1248,97 @@ FROM ct
 """
 
 
+def _images_analysis_sql(features_dir: str) -> str:
+    """DuckDB replay of the M20/M21 analyzer over the engine-written
+    primitive dump: quality = half-away micro-units of the identically
+    composed double (imageio.analyze._quality_raw — LEAST/abs/weighted
+    sum are the same IEEE op sequence, so round(q*1e6) matches
+    quality_micro_from_terms bit-for-bit), content_type = the
+    advanced_formats.py:305-340 threshold tree (shared with the
+    images_tags oracle), dominant_colors = top-5 of the 100×100 packed
+    histogram by count DESC / packed ASC (analyze.analyze_colors'
+    defined total order), ai_tags = the :342-374 tag rules."""
+    return f"""
+WITH f AS (SELECT * FROM read_parquet('{features_dir}/*.parquet')),
+q AS (
+  SELECT emit_seq, url, width, height, mode, edge_cnt, unique50,
+    LEAST(
+      LEAST(lap_var / 1000.0, 1.0) * 0.3
+      + (gray_std / 128.0) * 0.25
+      + (1.0 - abs(gray_mean / 255.0 - 0.5) * 2) * 0.2
+      + (CAST(unique_colors AS DOUBLE)
+         / CAST(LEAST(px_h * px_w, 65536) AS DOUBLE)) * 0.25,
+      1.0) AS q_raw
+  FROM f),
+ct AS (
+  SELECT *, CAST(round(q_raw * 1000000.0) AS BIGINT) AS quality_micro,
+    CASE
+      WHEN CAST(edge_cnt AS DOUBLE) / 2500.0 > 0.3
+        AND CAST(unique50 AS DOUBLE) / 2500.0 < 0.1 THEN 'text'
+      WHEN (CASE WHEN height = 0 THEN 1.0
+            ELSE CAST(width AS DOUBLE) / height END) > 2.0
+        OR (CASE WHEN height = 0 THEN 1.0
+            ELSE CAST(width AS DOUBLE) / height END) < 0.5 THEN 'banner'
+      WHEN LEAST(width, height) < 100 AND GREATEST(width, height) < 200
+        THEN 'icon'
+      WHEN CAST(unique50 AS DOUBLE) / 2500.0 < 0.2
+        AND CAST(edge_cnt AS DOUBLE) / 2500.0 > 0.2 THEN 'logo'
+      WHEN CAST(edge_cnt AS DOUBLE) / 2500.0 < 0.1
+        AND CAST(unique50 AS DOUBLE) / 2500.0 > 0.5 THEN 'photo'
+      ELSE 'illustration' END AS content_type
+  FROM q),
+colors AS (
+  SELECT emit_seq, unnest(cpacked) AS p, unnest(ccnt) AS c FROM f),
+ranked AS (
+  SELECT emit_seq, p,
+    row_number() OVER (PARTITION BY emit_seq ORDER BY c DESC, p ASC)
+      AS rn
+  FROM colors),
+dom AS (
+  SELECT emit_seq,
+    string_agg(
+      printf('#%02x%02x%02x', p // 65536, (p // 256) % 256, p % 256),
+      ',' ORDER BY rn) AS dominant_colors
+  FROM ranked WHERE rn <= 5 GROUP BY emit_seq)
+SELECT ct.emit_seq, ct.url, ct.quality_micro, ct.content_type,
+  dom.dominant_colors,
+  ct.content_type || ',' ||
+  CASE WHEN width > 1920 OR height > 1080 THEN 'high_resolution'
+       WHEN width < 300 OR height < 300 THEN 'low_resolution'
+       ELSE 'medium_resolution' END || ',' ||
+  CASE WHEN CAST(width AS DOUBLE) > height * 1.3 THEN 'landscape'
+       WHEN CAST(height AS DOUBLE) > width * 1.3 THEN 'portrait'
+       ELSE 'square' END || ',' ||
+  CASE WHEN mode = 'L' THEN 'grayscale'
+       WHEN mode IN ('RGBA', 'LA') THEN 'transparent'
+       ELSE 'color' END AS ai_tags
+FROM ct JOIN dom USING (emit_seq)
+ORDER BY emit_seq"""
+
+
+def _media_features_sql(prims_dir: str) -> str:
+    """DuckDB replay of MediaFeatureStage's feature composition over
+    the engine-written primitive dump: image mean-luma as ONE double
+    division of the exact pixel sum, audio duration n/rate and
+    exact-integer RMS sqrt(Σs² / (n·32767²)) (identical exact double
+    operands on both sides), video ceil-div sampled-frame count; 0.0
+    for dead-letter rows (multimodal.py:MediaFeatureStage)."""
+    return f"""
+SELECT media_id, kind, ok, error,
+  CASE WHEN NOT ok THEN 0.0
+       WHEN kind = 'image' THEN CAST(width AS DOUBLE)
+       WHEN kind = 'audio' THEN CAST(n_samples AS DOUBLE) / rate
+       ELSE CAST(n_frames AS DOUBLE) END AS feature_a,
+  CASE WHEN NOT ok THEN 0.0
+       WHEN kind = 'image' THEN CAST(luma_sum AS DOUBLE) / n_vals
+       WHEN kind = 'audio' THEN
+         sqrt(CAST(sum_sq AS DOUBLE) / (n_samples * 1073676289))
+       ELSE CAST((n_frames + stride - 1) // stride AS DOUBLE)
+  END AS feature_b
+FROM read_parquet('{prims_dir}/*.parquet')
+ORDER BY media_id"""
+
+
 def _extended_images_sql(raw_dir: str) -> str:
     """DuckDB replay of the M5–M10 extractor's downstream composition
     over the engine-written pre-filter candidate dump (page_url, stage,
@@ -1714,6 +1831,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_extended_images": _extended_images_sql(
             f"{_oracle_tbl_dir('sf0.01')}/extended_raw"
+        ),
+        "images_analysis": _images_analysis_sql(
+            f"{_oracle_tbl_dir('sf0.01')}/analysis_features"
+        ),
+        "media_features": _media_features_sql(
+            f"{_oracle_tbl_dir('sf0.01')}/media_prims"
         ),
         "crawl_ua_counts": (
             "SELECT user_agent, count(*) AS n FROM "

@@ -547,13 +547,15 @@ def nav_scores(
 
 # --------------------------------------------- M20–M23: analyzer pipeline
 
-def analyzed_images(emissions: pa.Table, images_cfg, meta=None):
+def analyzed_images(emissions: pa.Table, images_cfg, meta=None,
+                    qfeatures: bool = False):
     """Accepted images → AnalyzeStage (via the §2.11 step registry).
     Returns the analyzed Dataset (columns: emit_seq, url, metadata
-    struct, features struct) — shared by ``images_analysis`` and
-    ``images_tags`` so one decode+analyze pass feeds both queries.
-    Pass ``meta`` (the verdict Dataset from ``run_image_pipeline``) to
-    reuse an already-executed pipeline instead of re-running it."""
+    struct, features struct[, qfeatures struct]) — shared by
+    ``images_analysis`` and ``images_tags`` so one decode+analyze pass
+    feeds both queries.  Pass ``meta`` (the verdict Dataset from
+    ``run_image_pipeline``) to reuse an already-executed pipeline
+    instead of re-running it."""
     from ..pipelines.images import run_image_pipeline
     from ..steps import run_chain
 
@@ -574,17 +576,99 @@ def analyzed_images(emissions: pa.Table, images_cfg, meta=None):
     n_acc = accepted.count()
     accepted = accepted.repartition(max(1, min(64, n_acc // 32 + 1)))
     return run_chain(
-        accepted, [("analyze", {"concurrency": (1, 16), "batch_size": 32})]
+        accepted,
+        [("analyze", {"concurrency": (1, 16), "batch_size": 32,
+                      "qfeatures": qfeatures})],
     )
 
 
 def images_analysis(
-    emissions: pa.Table, images_cfg, meta=None, analyzed=None
+    emissions: pa.Table,
+    images_cfg,
+    meta=None,
+    analyzed=None,
+    features_out: str | None = None,
 ) -> pd.DataFrame:
     """Flat metadata columns (M20–M23) per accepted image, sorted by
-    emit_seq."""
+    emit_seq.
+
+    Without ``features_out``: the full-fidelity library output —
+    reference round-6 float quality, dominant colors AND the clustered
+    palette.
+
+    With ``features_out``: the SQL-ORACLED contract projection.  The
+    engine dumps the M20/M21 primitives (quality terms lap_var /
+    gray_std / gray_mean / unique_colors / px dims, the 100×100 packed
+    color histogram, plus the M22 integer features) to Parquet, and
+    DuckDB re-derives EVERY returned column independently
+    (``__ray_entry__._images_analysis_sql``): quality as half-away
+    micro-units of the identically-composed double, content_type via
+    the threshold tree, dominant_colors via the count-desc/packed-asc
+    top-5, ai_tags via the tag rules.  The clustered color palette is
+    the one column that stays library-only: its float k-means with
+    RandomState(42) subset init is not SQL-expressible — the kernel is
+    pytest-gated instead (test_extended_and_nav).  Pixel decode and
+    feature extraction stay conformance-tested locally — the
+    images_tags trust split."""
     if analyzed is None:
-        analyzed = analyzed_images(emissions, images_cfg, meta)
+        analyzed = analyzed_images(
+            emissions, images_cfg, meta, qfeatures=features_out is not None
+        )
+    if features_out is not None:
+        def project(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.is_valid(b.column("qfeatures"))
+            b = b.filter(mask)
+            f = b.column("features")
+            qf = b.column("qfeatures")
+            m = b.column("metadata")
+            cols = {
+                "emit_seq": b.column("emit_seq"),
+                "url": b.column("url"),
+            }
+            for name in ("width", "height", "mode", "edge_cnt", "unique50"):
+                cols[name] = pc.struct_field(f, name)
+            for name in (
+                "lap_var", "gray_std", "gray_mean", "unique_colors",
+                "px_h", "px_w", "quality_micro", "cpacked", "ccnt",
+            ):
+                cols[name] = pc.struct_field(qf, name)
+            cols["content_type"] = pc.struct_field(m, "content_type")
+            cols["dominant_colors"] = pa.array(
+                [",".join(x) for x in
+                 pc.struct_field(m, "dominant_colors").to_pylist()],
+                pa.string(),
+            )
+            cols["ai_tags"] = pa.array(
+                [",".join(x) for x in
+                 pc.struct_field(m, "ai_tags").to_pylist()],
+                pa.string(),
+            )
+            return pa.table(cols)
+
+        import shutil
+
+        projected = analyzed.map_batches(project, batch_format="pyarrow")
+        # dump-then-read: the oracle must see exactly the primitives the
+        # engine derived its answer from (same pass, same rows)
+        shutil.rmtree(features_out, ignore_errors=True)
+        projected.write_parquet(features_out)
+        import ray.data as rd
+
+        out = (
+            rd.read_parquet(
+                features_out,
+                columns=[
+                    "emit_seq", "url", "quality_micro", "content_type",
+                    "dominant_colors", "ai_tags",
+                ],
+            )
+            .to_pandas()
+        )
+        out["emit_seq"] = out["emit_seq"].astype("int64")
+        out["quality_micro"] = out["quality_micro"].astype("int64")
+        return out.sort_values("emit_seq").reset_index(drop=True)
 
     def flatten(df: pd.DataFrame) -> pd.DataFrame:
         m = df["metadata"]
@@ -721,14 +805,48 @@ def synth_media_table(n_rows: int = 120) -> pa.Table:
     )
 
 
-def media_features(n_rows: int = 120) -> pd.DataFrame:
+def media_features(
+    n_rows: int = 120, features_out: str | None = None
+) -> pd.DataFrame:
     """Media table → feature rows (thumb dropped: scalar features only
-    reach the driver), sorted by media_id."""
-    from ..multimodal import media_feature_pipeline
+    reach the driver), sorted by media_id.
+
+    ``features_out``: dump the per-kind decode primitives (image
+    pixel-sum/count + width, audio sample count/rate/Σs², video frame
+    count/stride — multimodal.MEDIA_PRIMS_TYPE) alongside, and DuckDB
+    re-derives feature_a / feature_b from them
+    (``__ray_entry__._media_features_sql``).  Decode success/failure
+    (ok, error) stays an engine observation — the codec boundary is the
+    pixel-work side of the images_tags trust split."""
+    from ..multimodal import MEDIA_PRIMS_TYPE, media_feature_pipeline
 
     ds = media_feature_pipeline(synth_media_table(n_rows))
-    out = ds.map_batches(
-        lambda b: b.drop_columns(["thumb"]), batch_format="pyarrow"
+
+    def flatten(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {
+            n: b.column(n)
+            for n in ("media_id", "kind", "ok", "error",
+                      "feature_a", "feature_b")
+        }
+        for f in MEDIA_PRIMS_TYPE:
+            cols[f.name] = pc.struct_field(b.column("prims"), f.name)
+        return pa.table(cols)
+
+    flat = ds.map_batches(flatten, batch_format="pyarrow")
+    if features_out is not None:
+        import shutil
+
+        # dump-then-read: the oracle sees exactly the primitives the
+        # engine composed its features from (same pass, same rows)
+        shutil.rmtree(features_out, ignore_errors=True)
+        flat.write_parquet(features_out)
+        import ray.data as rd
+
+        flat = rd.read_parquet(features_out)
+    out = flat.select_columns(
+        ["media_id", "kind", "ok", "error", "feature_a", "feature_b"]
     ).to_pandas()
     return out.sort_values("media_id").reset_index(drop=True)
 

@@ -58,14 +58,18 @@ def _edge_density(gray: np.ndarray, thresh: float = 50.0) -> float:
     return float((mag > thresh).sum() / gray.size)
 
 
-def quality_score(px: np.ndarray) -> float:
-    """advanced_formats.py:215-252: 0.3·sharpness + 0.25·contrast +
-    0.2·brightness-centering + 0.25·color-diversity, capped 1.0."""
+def quality_terms(px: np.ndarray) -> tuple[float, float, float, int, int, int]:
+    """(lap_var, gray_std, gray_mean, unique_colors, px_h, px_w) — the
+    six primitives the M20 quality formula consumes.  Exposed separately
+    so the score is a pure function of dumpable values: the
+    ``images_analysis`` SQL oracle replays ``_quality_raw`` /
+    ``quality_micro_from_terms`` over a Parquet dump of these, and only
+    the pixel work above this line stays conformance-tested locally
+    (the images_tags trust split)."""
     gray = _to_gray(px)
-    sharpness = min(_laplacian_var(gray) / 1000.0, 1.0)
-    contrast = float(gray.std() / 128.0)
-    brightness = float(gray.mean() / 255.0)
-    brightness_score = 1.0 - abs(brightness - 0.5) * 2
+    lap_var = _laplacian_var(gray)
+    gray_std = float(gray.std())
+    gray_mean = float(gray.mean())
     # pack channels into one integer per pixel: bijective for uint8
     # channels, so the distinct count equals row-wise np.unique(axis=0)
     # — which lexsorts structured rows and is ~100x slower
@@ -85,10 +89,69 @@ def quality_score(px: np.ndarray) -> float:
         unique_colors = int(np.count_nonzero(flags))
     else:
         unique_colors = len(np.unique(packed))
-    max_colors = min(px.shape[0] * px.shape[1], 65536)
+    return lap_var, gray_std, gray_mean, unique_colors, px.shape[0], px.shape[1]
+
+
+def _quality_raw(
+    lap_var: float,
+    gray_std: float,
+    gray_mean: float,
+    unique_colors: int,
+    px_h: int,
+    px_w: int,
+) -> float:
+    """min(weighted sum, 1.0) BEFORE the reference's round(·, 6) — the
+    double both the engine and the DuckDB replay feed into their
+    respective roundings (identical IEEE op sequence on both sides)."""
+    sharpness = min(lap_var / 1000.0, 1.0)
+    contrast = gray_std / 128.0
+    brightness = gray_mean / 255.0
+    brightness_score = 1.0 - abs(brightness - 0.5) * 2
+    max_colors = min(px_h * px_w, 65536)
     color_diversity = unique_colors / max_colors
     q = sharpness * 0.3 + contrast * 0.25 + brightness_score * 0.2 + color_diversity * 0.25
-    return round(min(q, 1.0), 6)
+    return min(q, 1.0)
+
+
+def quality_from_terms(
+    lap_var: float,
+    gray_std: float,
+    gray_mean: float,
+    unique_colors: int,
+    px_h: int,
+    px_w: int,
+) -> float:
+    return round(
+        _quality_raw(lap_var, gray_std, gray_mean, unique_colors, px_h, px_w), 6
+    )
+
+
+def quality_micro_from_terms(
+    lap_var: float,
+    gray_std: float,
+    gray_mean: float,
+    unique_colors: int,
+    px_h: int,
+    px_w: int,
+) -> int:
+    """Integer micro-unit quality for the hash-gated contract row:
+    half-away rounding of q·1e6 — the same double DuckDB's
+    ``round(q * 1000000.0)`` sees, so the BIGINTs match bit-for-bit
+    (Python's round(·, 6) is correctly-rounded decimal and NOT
+    reproducible by DuckDB's scaled-multiply round; the micro-unit
+    column is, which is why the driver row carries it while the
+    library API keeps the reference's round-6 float)."""
+    y = _quality_raw(lap_var, gray_std, gray_mean, unique_colors, px_h, px_w) * 1e6
+    import math
+
+    f = math.floor(y)
+    return int(f + (y - f >= 0.5))
+
+
+def quality_score(px: np.ndarray) -> float:
+    """advanced_formats.py:215-252: 0.3·sharpness + 0.25·contrast +
+    0.2·brightness-centering + 0.25·color-diversity, capped 1.0."""
+    return quality_from_terms(*quality_terms(px))
 
 
 def _rgb_to_hex(rgb) -> str:
@@ -112,9 +175,12 @@ def _kmeans(colors: np.ndarray, n_clusters: int, seed: int = 42,
     return centers.astype(int)
 
 
-def analyze_colors(px: np.ndarray) -> dict:
-    """advanced_formats.py:254-303: 100×100 downsample, top-5 dominant
-    hex + clustered ≤8 palette."""
+def color_counts(px: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(packed_rgb_uint32 ascending, counts) of the 100×100 downsample
+    — the integer histogram the M21 dominant-color selection consumes.
+    Exposed separately so the selection is a pure function of dumpable
+    integers (the ``images_analysis`` SQL oracle replays the
+    count-desc/packed-asc top-5 over a Parquet dump of these)."""
     if px.ndim == 2:
         px = np.stack([px] * 3, axis=-1)
     small = _resize_nn(px[..., :3], 100, 100)
@@ -127,13 +193,22 @@ def analyze_colors(px: np.ndarray) -> dict:
         | (pixels[:, 1].astype(np.uint32) << 8)
         | pixels[:, 2].astype(np.uint32)
     )
-    upacked, counts = np.unique(packed, return_counts=True)
-    unique_colors = np.stack(
-        [(upacked >> 16) & 0xFF, (upacked >> 8) & 0xFF, upacked & 0xFF],
+    return np.unique(packed, return_counts=True)
+
+
+def analyze_colors(px: np.ndarray) -> dict:
+    """advanced_formats.py:254-303: 100×100 downsample, top-5 dominant
+    hex + clustered ≤8 palette.  Dominant order is count-desc with
+    packed-RGB-asc tie-break — a DEFINED total order (the former
+    np.argsort was unstable on count ties), so the selection is
+    SQL-replayable and stable across numpy versions."""
+    upacked, counts = color_counts(px)
+    order = np.lexsort((upacked, -counts.astype(np.int64)))
+    dominant_p = upacked[order]
+    dominant = np.stack(
+        [(dominant_p >> 16) & 0xFF, (dominant_p >> 8) & 0xFF, dominant_p & 0xFF],
         axis=1,
-    ).astype(pixels.dtype)
-    order = np.argsort(counts)[::-1]
-    dominant = unique_colors[order]
+    ).astype(np.uint8)
     dominant_hex = [_rgb_to_hex(c) for c in dominant[:5]]
     palette = _kmeans(dominant[:20], 8)
     return {"dominant": dominant_hex, "palette": [_rgb_to_hex(c) for c in palette]}
@@ -238,13 +313,38 @@ FEATURES_TYPE = pa.struct(
 )
 
 
+# M20/M21 primitive dump (quality terms + 100×100 color histogram);
+# quality_micro is the engine-side micro-unit score the oracle
+# RE-DERIVES from the other fields — it rides along so the projection
+# does not recompute it per row downstream
+QFEATURES_TYPE = pa.struct(
+    [
+        ("lap_var", pa.float64()),
+        ("gray_std", pa.float64()),
+        ("gray_mean", pa.float64()),
+        ("unique_colors", pa.int64()),
+        ("px_h", pa.int64()),
+        ("px_w", pa.int64()),
+        ("quality_micro", pa.int64()),
+        ("cpacked", pa.list_(pa.int64())),
+        ("ccnt", pa.list_(pa.int64())),
+    ]
+)
+
+
 class AnalyzeStage:
     """map_batches stage: accepted-image rows (url[, bytes]) → +metadata
     struct column (the ImageMetadata equivalent) + ``features`` struct
     (the integer inputs of the M22/M23 decision logic — dumped to
     Parquet by ``images_tags`` so DuckDB can replay the classifier).
-    Bytes are decoded via imageio.formats.decode_pixels; rows that fail
-    decode get a null in both columns."""
+    With ``qfeatures=True`` also emits the M20/M21 primitive dump — the
+    quality-formula terms and the 100×100 color histogram — consumed by
+    the ``images_analysis`` SQL oracle.  Bytes are decoded via
+    imageio.formats.decode_pixels; rows that fail decode get a null in
+    every added column."""
+
+    def __init__(self, qfeatures: bool = False):
+        self.qfeatures = qfeatures
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .formats import decode_pixels, parse_info
@@ -255,6 +355,7 @@ class AnalyzeStage:
         blobs = batch.column("bytes").to_pylist() if have_bytes else None
         metas = []
         feats = []
+        qfeats = []
         for i, url in enumerate(urls):
             data = blobs[i] if blobs else synth_image_bytes(url)[0]
             try:
@@ -265,9 +366,10 @@ class AnalyzeStage:
                     info.width, info.height, edge_cnt, unique50
                 )
                 colors = analyze_colors(px)
+                terms = quality_terms(px)
                 metas.append(
                     {
-                        "quality_score": quality_score(px),
+                        "quality_score": quality_from_terms(*terms),
                         "content_type": ct,
                         "dominant_colors": colors["dominant"],
                         "color_palette": colors["palette"],
@@ -283,9 +385,29 @@ class AnalyzeStage:
                         "unique50": unique50,
                     }
                 )
+                if self.qfeatures:
+                    cp, cc = color_counts(px)
+                    qfeats.append(
+                        {
+                            "lap_var": terms[0],
+                            "gray_std": terms[1],
+                            "gray_mean": terms[2],
+                            "unique_colors": terms[3],
+                            "px_h": terms[4],
+                            "px_w": terms[5],
+                            "quality_micro": quality_micro_from_terms(*terms),
+                            "cpacked": cp.astype(np.int64).tolist(),
+                            "ccnt": cc.astype(np.int64).tolist(),
+                        }
+                    )
             except Exception:
                 metas.append(None)
                 feats.append(None)
-        return batch.append_column(
+                if self.qfeatures:
+                    qfeats.append(None)
+        out = batch.append_column(
             "metadata", pa.array(metas, METADATA_TYPE)
         ).append_column("features", pa.array(feats, FEATURES_TYPE))
+        if self.qfeatures:
+            out = out.append_column("qfeatures", pa.array(qfeats, QFEATURES_TYPE))
+        return out

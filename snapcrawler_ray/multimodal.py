@@ -38,6 +38,21 @@ MEDIA_SCHEMA = pa.schema(
 _FAKE_AUDIO_MAGIC = b"FAKE1AUD"
 _FAKE_VIDEO_MAGIC = b"FAKE1VID"
 
+# per-kind decode primitives (nullable per field) — the integer inputs
+# the media_features SQL oracle re-composes feature_a / feature_b from
+MEDIA_PRIMS_TYPE = pa.struct(
+    [
+        ("width", pa.int64()),       # image
+        ("n_vals", pa.int64()),      # image: resized pixel-value count
+        ("luma_sum", pa.int64()),    # image: exact pixel-value sum
+        ("n_samples", pa.int64()),   # audio
+        ("rate", pa.int64()),        # audio
+        ("sum_sq", pa.int64()),      # audio: exact Σ s_int16²
+        ("n_frames", pa.int64()),    # video
+        ("stride", pa.int64()),      # video: frame-sample stride
+    ]
+)
+
 
 def make_fake_audio(seed: int, n_samples: int = 16000, rate: int = 16000) -> bytes:
     """Deterministic fake audio container: magic + rate + int16 samples."""
@@ -104,33 +119,59 @@ class MediaFeatureStage:
         self.image_max_side = image_max_side
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
         kinds = batch.column("kind").to_pylist()
         payloads = batch.column("payload").to_pylist()
-        ok, err, f1, f2, thumbs = [], [], [], [], []
+        ok, err, f1, f2, thumbs, prims = [], [], [], [], [], []
         for kind, payload in zip(kinds, payloads):
             try:
                 if kind == "image":
                     info = parse_info(payload)
                     px = decode_pixels(payload, info)
                     small = resize_image(px, self.image_max_side)
-                    luma = float(small.mean())
+                    # integer primitives: the pixel-value sum is exact in
+                    # float64 (np.mean's pairwise sums of ≤2^53 integers
+                    # are exact additions), so mean == luma_sum / n_vals
+                    # as ONE double division — the SQL oracle replays it
+                    luma_sum = int(small.sum(dtype=np.int64))
+                    n_vals = int(small.size)
+                    luma = luma_sum / n_vals
                     thumb = encode_png(
                         small if small.ndim == 2 else small[..., :3]
                     )
                     f1.append(float(info.width))
                     f2.append(luma)
                     thumbs.append(thumb)
+                    prims.append({"width": info.width, "n_vals": n_vals,
+                                  "luma_sum": luma_sum})
                 elif kind == "audio":
                     samples, rate = decode_audio(payload)
-                    f1.append(len(samples) / rate)
-                    f2.append(float(np.sqrt((samples ** 2).mean())))
+                    n = len(samples)
+                    # exact-integer RMS over the recovered int16 samples:
+                    # sqrt(sum(s²) / (n · 32767²)).  Both division
+                    # operands are exactly representable doubles
+                    # (sum_sq < 2^53 for any clip under ~2.3 h), so the
+                    # SQL oracle's sqrt sees the identical quotient —
+                    # unlike the former float32 pairwise mean, which no
+                    # SQL engine could replay
+                    ints = np.rint(
+                        samples.astype(np.float64) * 32767.0
+                    ).astype(np.int64)
+                    sum_sq = int((ints * ints).sum())
+                    f1.append(n / rate)
+                    f2.append(math.sqrt(sum_sq / (n * 1073676289)))
                     thumbs.append(None)
+                    prims.append({"n_samples": n, "rate": rate,
+                                  "sum_sq": sum_sq})
                 elif kind == "video":
                     frames = decode_video_frames(payload)
                     sampled = frames[:: self.frame_stride]
                     f1.append(float(len(frames)))
                     f2.append(float(len(sampled)))
                     thumbs.append(encode_png(sampled[0]) if len(sampled) else None)
+                    prims.append({"n_frames": len(frames),
+                                  "stride": self.frame_stride})
                 else:
                     raise ValueError(f"unknown kind {kind}")
                 ok.append(True)
@@ -141,12 +182,14 @@ class MediaFeatureStage:
                 f1.append(0.0)
                 f2.append(0.0)
                 thumbs.append(None)
+                prims.append(None)
             except Exception as e:
                 ok.append(False)
                 err.append(f"{type(e).__name__}: {e}")
                 f1.append(0.0)
                 f2.append(0.0)
                 thumbs.append(None)
+                prims.append(None)
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -156,6 +199,7 @@ class MediaFeatureStage:
                 "feature_a": pa.array(f1, pa.float64()),
                 "feature_b": pa.array(f2, pa.float64()),
                 "thumb": pa.array(thumbs, pa.binary()),
+                "prims": pa.array(prims, MEDIA_PRIMS_TYPE),
             }
         )
 

@@ -113,6 +113,7 @@ def _analyze_step(**params):
     from .imageio.analyze import AnalyzeStage
 
     return FnStep("analyze", AnalyzeStage, is_class=True,
+                  fn_kwargs={"qfeatures": params.get("qfeatures", False)},
                   batch_size=params.get("batch_size", 32),
                   concurrency=params.get("concurrency", (1, 4)))
 

@@ -249,7 +249,8 @@ def test_crawl_mode_and_verdict_sql_oracles(contract, con):
                  "crawl_image_verdicts", "crawl_host_pagerank",
                  "crawl_sitemap_frontier", "docs_api_harvest",
                  "crawl_nav_scores", "images_tags",
-                 "docs_extended_images"]:
+                 "docs_extended_images", "images_analysis",
+                 "media_features"]:
         ray_df = _canon(_to_pandas(qs[name](SF_DIR)))  # writes the base
         sql = oracles[name].replace("sf0.01", "sf0.001")
         sql_df = _canon(con.sql(sql).df())
@@ -274,7 +275,6 @@ def test_crawl_aggregate_sql_oracles(contract, con):
 @pytest.mark.parametrize(
     "name",
     ["emb_knn_lsh",
-     "media_features",
      "emb_knn_ivf", "events_approx_users", "events_approx_hourly_users",
      "emb_kmeans", "crawl_robots_visits"],
 )
@@ -529,15 +529,19 @@ def test_emb_near_dup_finds_planted_pairs(ray_session, tmp_path):
 
 
 def test_images_analysis_query(contract):
-    """M20–M23 analyzer over accepted images: every accepted row gets a
-    metadata struct with a valid content type and 3 tag slots."""
+    """M20–M23 analyzer contract row: every decoded accepted row gets a
+    micro-unit quality in [0, 1e6], a valid content type, 5 dominant
+    colors and 3 tag slots (the value truth itself is SQL-oracled in
+    test_crawl_mode_and_verdict_sql_oracles and by the driver)."""
     qs, _ = contract
     df = _to_pandas(qs["images_analysis"](SF_DIR))
     assert len(df) > 10
-    assert {"quality_score", "content_type", "ai_tags"} <= set(df.columns)
+    assert {"quality_micro", "content_type", "dominant_colors",
+            "ai_tags"} <= set(df.columns)
     valid = {"text", "banner", "icon", "logo", "photo", "illustration"}
     assert set(df["content_type"].unique()) <= valid
-    assert (df["quality_score"].dropna() <= 1.0).all()
+    assert df["quality_micro"].between(0, 1_000_000).all()
+    assert df["dominant_colors"].str.count("#").max() == 5
     assert df["ai_tags"].str.count(",").min() >= 2  # type+resolution+orient
 
 
