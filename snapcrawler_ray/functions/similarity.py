@@ -372,8 +372,13 @@ def knn_pq(
     Codebooks are model-sized (n_sub × n_codes × sub_dim floats) and
     broadcast once via ``ray.put``.  Recall vs the exact path is
     machine-checked by ``emb_knn_pq_recall`` (same contract shape as
-    LSH/IVF/int8).  Deterministic: seeded sample + k-means, ties break
-    (sim desc, vec_id asc) via the batch-order-invariant lexsort."""
+    LSH/IVF/int8).  Deterministic for a FIXED block/batch layout:
+    seeded sample + k-means, and ties break (sim desc, vec_id asc) via
+    lexsort — but the per-batch ADC shortlist (top refine_r per batch)
+    makes shortlist membership, and hence the top-k, depend on how Ray
+    partitions the scan; only the recall contract, not the exact row
+    set, is invariant across layouts (a partition-invariant variant
+    would need a global ADC top-R fold before the exact re-rank)."""
     qids, qm = _load_queries(sf_dir, n_queries)
     from .io import read_table
 
@@ -713,21 +718,12 @@ def _round_half_away_int(y: np.ndarray) -> np.ndarray:
     return (np.sign(y) * out).astype(np.int64)
 
 
-def kmeans_fixed_centroids(
-    sf_dir: str, k: int = 8, n_updates: int = 2, scale: int = 10**6
-) -> np.ndarray:
-    """(k, dim) int64 centroids after ``n_updates`` exact fixed-point
-    Lloyd updates — bit-identical to :func:`kmeans_fixed`'s ``cent``
-    after the same number of iterations (same seeds, argmin ties,
-    floor-division update) and to the DuckDB oracle's ``cent{n}`` CTE.
-    Split out so SemDeDup (functions/dedup.py) can assign against the
-    same centroids the shared SQL replay derives.  Distributed shape:
-    per-iteration centroid broadcast, one streaming partial-sums pass,
-    O(k·dim) driver fold — no assignments ever leave the workers."""
+def _kmeans_fixed_seeds(sf_dir: str, k: int, scale: int) -> np.ndarray:
+    """(k, dim) int64 seed centroids: quantized embeddings of the k
+    smallest vec_ids — shared by :func:`kmeans_fixed` and
+    :func:`kmeans_fixed_centroids` (and the DuckDB ``cent0`` CTE)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
-
-    from .io import read_table
 
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -737,43 +733,89 @@ def kmeans_fixed_centroids(
     seeds = np.stack(t.column("embedding").to_pylist()).astype(np.float64)[
         order
     ]
-    cent = _round_half_away_int(seeds * scale)  # (k, dim) int64
+    return _round_half_away_int(seeds * scale)
+
+
+def _kmeans_fixed_pass(
+    ds, cent: np.ndarray, scale: int, with_inertia: bool
+) -> tuple[np.ndarray, np.ndarray, int | None]:
+    """ONE exact fixed-point Lloyd iteration (quantize, int64 argmin
+    with ties → smaller index, partial sums, floor-division update) —
+    the single place the update exists, so :func:`kmeans_fixed` and
+    :func:`kmeans_fixed_centroids` cannot drift (they must stay
+    bit-identical to each other and to the unrolled DuckDB CTE for the
+    kmeans/SemDeDup oracles to hold).  Returns (cent updated in place,
+    counts, exact inertia int or None).  Distributed shape: centroid
+    broadcast via ``ray.put``, one streaming partials pass, O(k·dim)
+    driver fold — assignments never leave the workers."""
+    k = len(cent)
+    ref = ray.put(cent)
+
+    def partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        c = ray.get(_ref)  # (k, dim) int64
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        q = _round_half_away_int(m * scale)  # (n, dim) int64
+        # int64 distances: q·q − 2 q·c + c·c, all exact
+        d2 = (
+            (q * q).sum(1, keepdims=True)
+            - 2 * (q @ c.T)
+            + (c * c).sum(1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)  # ties → smaller index
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, q)
+        cnt = np.bincount(a, minlength=k).astype(np.int64)
+        out = pd.DataFrame(
+            {"cluster": np.arange(k, dtype=np.int64), "cnt": cnt}
+        )
+        if with_inertia:
+            # exact arbitrary-precision err: per-row d2 is bounded by
+            # dim*(2*scale)^2 ≈ 2.56e14, so an int64 batch sum wraps
+            # silently past ~36k rows; split into 32-bit halves (each
+            # half's int64 sum has >1e9-row headroom) and recombine as
+            # a Python int — matches the oracle's HUGEINT sum exactly
+            best = d2[np.arange(len(a)), a]
+            err = (int((best >> 32).sum()) << 32) + int(
+                (best & 0xFFFFFFFF).sum()
+            )
+            # object dtype carries the exact Python int (the driver
+            # fold below sums these without wrapping)
+            out["err"] = [err if i == 0 else 0 for i in range(k)]
+        out["sums"] = list(sums)
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    counts = parts.groupby("cluster")["cnt"].sum().to_numpy(np.int64)
+    inertia = (
+        int(sum(int(x) for x in parts["err"])) if with_inertia else None
+    )
+    sums = np.zeros_like(cent)
+    for cid, g in parts.groupby("cluster"):
+        sums[cid] = np.stack(g["sums"].to_numpy()).sum(0)
+    nz = counts > 0
+    cent[nz] = sums[nz] // counts[nz, None]  # floor div, exact
+    return cent, counts, inertia
+
+
+def kmeans_fixed_centroids(
+    sf_dir: str, k: int = 8, n_updates: int = 2, scale: int = 10**6
+) -> np.ndarray:
+    """(k, dim) int64 centroids after ``n_updates`` exact fixed-point
+    Lloyd updates — bit-identical to :func:`kmeans_fixed`'s ``cent``
+    after the same number of iterations (the update IS the same code,
+    :func:`_kmeans_fixed_pass`) and to the DuckDB oracle's ``cent{n}``
+    CTE.  Split out so SemDeDup (functions/dedup.py) can assign against
+    the same centroids the shared SQL replay derives."""
+    from .io import read_table
+
+    cent = _kmeans_fixed_seeds(sf_dir, k, scale)
     if n_updates <= 0:
         return cent
-    kk = len(cent)
-
     ds = read_table(sf_dir, "embeddings", ["embedding"], blocks=16)
     if n_updates > 1:
         ds = ds.materialize()
     for _ in range(n_updates):
-        ref = ray.put(cent)
-
-        def partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
-            c = ray.get(_ref)  # (k, dim) int64
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            q = _round_half_away_int(m * scale)
-            d2 = (
-                (q * q).sum(1, keepdims=True)
-                - 2 * (q @ c.T)
-                + (c * c).sum(1)[None, :]
-            )
-            a = np.argmin(d2, axis=1)  # ties → smaller index
-            sums = np.zeros_like(c)
-            np.add.at(sums, a, q)
-            cnt = np.bincount(a, minlength=len(c)).astype(np.int64)
-            out = pd.DataFrame(
-                {"cluster": np.arange(len(c), dtype=np.int64), "cnt": cnt}
-            )
-            out["sums"] = list(sums)
-            return out
-
-        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-        counts = parts.groupby("cluster")["cnt"].sum().to_numpy(np.int64)
-        sums = np.zeros_like(cent)
-        for cid, g in parts.groupby("cluster"):
-            sums[cid] = np.stack(g["sums"].to_numpy()).sum(0)
-        nz = counts > 0
-        cent[nz] = sums[nz] // counts[nz, None]  # floor div, exact
+        cent, _, _ = _kmeans_fixed_pass(ds, cent, scale, with_inertia=False)
     return cent
 
 
@@ -805,71 +847,17 @@ def kmeans_fixed(
     rows/batch); only the final int64 EMIT bounds the corpus (~3.6·10⁴
     distances per 2⁶³), past which both the engine (numpy conversion)
     and the oracle (BIGINT cast) fail loudly rather than diverge."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
     from .io import read_table
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    t = t.filter(pc.less(t.column("vec_id"), k))
-    order = np.argsort(t.column("vec_id").to_numpy())
-    seeds = np.stack(t.column("embedding").to_pylist()).astype(np.float64)[
-        order
-    ]
-    cent = _round_half_away_int(seeds * scale)  # (k, dim) int64
-
+    cent = _kmeans_fixed_seeds(sf_dir, k, scale)
     ds = read_table(sf_dir, "embeddings", ["embedding"], blocks=16).materialize()
 
     counts = np.zeros(k, dtype=np.int64)
     inertia = 0
     for _ in range(n_iter):
-        ref = ray.put(cent)
-
-        def partial(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
-            c = ray.get(_ref)  # (k, dim) int64
-            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            q = _round_half_away_int(m * scale)  # (n, dim) int64
-            # int64 distances: q·q − 2 q·c + c·c, all exact
-            d2 = (
-                (q * q).sum(1, keepdims=True)
-                - 2 * (q @ c.T)
-                + (c * c).sum(1)[None, :]
-            )
-            a = np.argmin(d2, axis=1)  # ties → smaller index
-            sums = np.zeros_like(c)
-            np.add.at(sums, a, q)
-            cnt = np.bincount(a, minlength=k).astype(np.int64)
-            # exact arbitrary-precision err: per-row d2 is bounded by
-            # dim*(2*scale)^2 ≈ 2.56e14, so an int64 batch sum wraps
-            # silently past ~36k rows; split into 32-bit halves (each
-            # half's int64 sum has >1e9-row headroom) and recombine as
-            # a Python int — matches the oracle's HUGEINT sum exactly
-            best = d2[np.arange(len(a)), a]
-            err = (int((best >> 32).sum()) << 32) + int(
-                (best & 0xFFFFFFFF).sum()
-            )
-            out = pd.DataFrame(
-                {
-                    "cluster": np.arange(k, dtype=np.int64),
-                    "cnt": cnt,
-                    # object dtype carries the exact Python int (the
-                    # driver fold below sums these without wrapping)
-                    "err": [err if i == 0 else 0 for i in range(k)],
-                }
-            )
-            out["sums"] = list(sums)
-            return out
-
-        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-        counts = parts.groupby("cluster")["cnt"].sum().to_numpy(np.int64)
-        inertia = int(sum(int(x) for x in parts["err"]))
-        sums = np.zeros_like(cent)
-        for cid, g in parts.groupby("cluster"):
-            sums[cid] = np.stack(g["sums"].to_numpy()).sum(0)
-        nz = counts > 0
-        cent[nz] = sums[nz] // counts[nz, None]  # floor div, exact
+        cent, counts, inertia = _kmeans_fixed_pass(
+            ds, cent, scale, with_inertia=True
+        )
 
     return pd.DataFrame(
         {

@@ -2707,6 +2707,12 @@ def mix_weight(source: str) -> int:
     suffix mod 5, plus 1 — non-uniform across the synthetic src0..N
     so the resample is non-vacuous.  SQL: CAST(substr(source, 4) AS
     BIGINT) % 5 + 1; keep the two in lockstep."""
+    if not re.fullmatch(r"src\d+", source):
+        raise ValueError(
+            f"mix_weight expects synthetic source ids shaped 'src<digits>', "
+            f"got {source!r} — wire a real target-composition table here "
+            f"before running on non-synthetic sources"
+        )
     return int(source[3:]) % 5 + 1
 
 

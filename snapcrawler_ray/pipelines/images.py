@@ -229,7 +229,20 @@ def run_image_pipeline(
                 return df[fresh]
 
             winners = winners.map_batches(fresh_only, batch_format="pandas")
-        winners = winners.materialize()
+            # the pin is a CORRECTNESS guard here, not a perf choice:
+            # check_and_add mutates the seen pool, so the winners
+            # lineage must execute exactly once — any downstream
+            # re-execution (sort/limit/byte-cap passes re-pulling the
+            # join) would re-filter against an already-updated pool and
+            # mark everything dup
+            winners = winners.materialize()
+            n_join = winners.count()  # free on a materialized set
+        else:
+            # stateless claims are idempotent — let winners stream into
+            # the join (no extra pin/pass); size the join from the
+            # already-materialized meta's free count, an upper bound on
+            # the unique-hash population (VERDICT r4 #6)
+            n_join = meta.count()
 
         def add_key(b: pa.Table) -> pa.Table:
             key = b.column("phash").to_numpy(zero_copy_only=False).view(np.int64)
@@ -249,11 +262,17 @@ def run_image_pipeline(
         ).join(
             winners,
             join_type="left_outer",
-            # winners is materialized (count is free) and scales 1:1
-            # with the unique-hash population, a lower bound on meta
-            num_partitions=join_partitions(winners.count()),
+            num_partitions=join_partitions(n_join),
             on=("phash_i",),
         ).map_batches(mark_dups, batch_format="pandas")
+        if seen is None:
+            # one reduce+join execution total: the verdicts feed BOTH
+            # the accepted chain and the returned Dataset, and with
+            # winners streaming (unpinned) each downstream consumer
+            # would otherwise re-run the whole claims→reduce→join.
+            # O(emissions) scalar rows — the same class as the pre-dedup
+            # meta pinned above
+            meta = meta.materialize()
 
     import pyarrow.compute as pc
 

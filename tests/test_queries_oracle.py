@@ -528,6 +528,21 @@ def test_emb_near_dup_finds_planted_pairs(ray_session, tmp_path):
     assert got == {(0, 200), (17, 201), (42, 202)}
 
 
+def test_semdedup_cluster_cap_parity(ray_session):
+    """The fat-cluster skew guard (block-pair fan-out above
+    cluster_cap) must be bit-identical to the in-task sweep — same
+    pairs, same keep decisions (VERDICT r4 #2).  cap=16 forces every
+    sf0.001 cluster through the fan-out path."""
+    from snapcrawler_ray.functions import dedup
+
+    a = dedup.semdedup_pairs(SF_DIR, cluster_cap=None)
+    b = dedup.semdedup_pairs(SF_DIR, cluster_cap=16)
+    pd.testing.assert_frame_equal(_canon(a), _canon(b))
+    ka = dedup.semdedup_keep(SF_DIR, cluster_cap=None)
+    kb = dedup.semdedup_keep(SF_DIR, cluster_cap=16)
+    pd.testing.assert_frame_equal(_canon(ka), _canon(kb))
+
+
 def test_images_analysis_query(contract):
     """M20–M23 analyzer contract row: every decoded accepted row gets a
     micro-unit quality in [0, 1e6], a valid content type, 5 dominant
