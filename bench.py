@@ -139,6 +139,76 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+def run_scale_paths(sf_dir: str) -> dict:
+    """Forced above-threshold (100×-design) paths vs their default
+    twins at the same sf — VERDICT r4 #3: the distributed variants
+    (gram dictionary / LM model never on the driver, partitioned hash
+    join instead of broadcast, blocked pair sweep, SemDeDup block
+    fan-out) were parity-tested but never benched; this measures their
+    constant factor.  Each wall is min-of-2 (same rationale as
+    run_queries)."""
+    from snapcrawler_ray.functions import dedup, relational, text
+
+    cases = {
+        # ExactSubstr: forced max_broadcast_grams=0 keeps the duplicated
+        # gram dictionary distributed (sorted shards + per-batch joins)
+        "dup_spans_default": lambda: text.dup_spans(sf_dir),
+        "dup_spans_forced": lambda: text.dup_spans(
+            sf_dir, max_broadcast_grams=0
+        ),
+        "dup_spans_cut_default": lambda: text.dup_spans_cut(sf_dir),
+        "dup_spans_cut_forced": lambda: text.dup_spans_cut(
+            sf_dir, max_broadcast_grams=0
+        ),
+        # LM scoring: forced 0 keeps the token/bigram model partitioned
+        # (join per shard) instead of broadcast
+        "unigram_surprisal_default": lambda: text.unigram_surprisal(sf_dir),
+        "unigram_surprisal_forced": lambda: text.unigram_surprisal(
+            sf_dir, max_broadcast_tokens=0
+        ),
+        "bigram_surprisal_default": lambda: text.bigram_surprisal(sf_dir),
+        "bigram_surprisal_forced": lambda: text.bigram_surprisal(
+            sf_dir, max_broadcast_grams=0
+        ),
+        # dim joins: forced 0 switches broadcast → partitioned hash join
+        "q3_default": lambda: relational.q3_top_orders(sf_dir),
+        "q3_forced_hash_join": lambda: relational.q3_top_orders(
+            sf_dir, max_broadcast_rows=0
+        ),
+        "q5_default": lambda: relational.q5_region_supplier_revenue(sf_dir),
+        "q5_forced_hash_join": lambda: relational.q5_region_supplier_revenue(
+            sf_dir, max_broadcast_rows=0
+        ),
+        # exact near-dup: forced blocked_min_rows=0 runs the IVF-cell
+        # spill-block pair sweep instead of the broadcast matrix
+        "near_dup_exact_default": lambda: dedup.embedding_near_dup_pairs_exact(
+            sf_dir
+        ),
+        "near_dup_exact_blocked": lambda: dedup.embedding_near_dup_pairs_exact(
+            sf_dir, blocked_min_rows=0
+        ),
+        # SemDeDup: low cap forces every cluster through the block-pair
+        # fan-out (the fat-cluster skew guard)
+        "semdedup_pairs_default": lambda: dedup.semdedup_pairs(sf_dir),
+        "semdedup_pairs_fanout": lambda: dedup.semdedup_pairs(
+            sf_dir, cluster_cap=256
+        ),
+    }
+    import ray.data
+
+    out = {}
+    for name, fn in cases.items():
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            res = fn()
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+            walls.append(time.time() - t0)
+        out[name] = round(min(walls), 3)
+    return out
+
+
 _SCALING_LEVELS = (2, 8, 4, 16, 32)
 _N4N_PAIRS = ((2, 8), (4, 16), (8, 32))
 
@@ -288,9 +358,28 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--scale-paths", action="store_true")
     args = ap.parse_args()
 
     sf_dir = _env_sf_dir()
+
+    if args.scale_paths:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=_env_cpus(),
+                     include_dashboard=False, log_to_driver=False)
+        paths = run_scale_paths(sf_dir)
+        ray.shutdown()
+        print(json.dumps({
+            "metric": "forced scale-path walls vs default twins",
+            "value": max(paths.values()),
+            "unit": "sec",
+            "scale_paths": paths,
+            "sf": _sf_of(sf_dir),
+            "num_cpus": _env_cpus(),
+        }))
+        return
 
     if args.scaling:
         # Fresh processes at two parallelism levels — the sandbox

@@ -87,7 +87,7 @@ def training_corpus(
                     }
                 )
             t = df["text"].fillna("").str.strip()
-            n_tok = t.str.split(_WS).map(len).where(t != "", 0)
+            n_tok = (t.str.count(_WS) + 1).where(t != "", 0)
             from .text import round4_half_away
 
             q = round4_half_away(
@@ -217,7 +217,7 @@ def web_training_corpus(
                 }
             )
         t = df["text"].fillna("").str.strip()
-        n_tokens = t.str.split(_WS).map(len).where(t != "", 0).astype("int64")
+        n_tokens = (t.str.count(_WS) + 1).where(t != "", 0).astype("int64")
         n_chars = df["text"].fillna("").str.len().astype("float64")
         q = round4_half_away(
             0.5 * np.minimum(1.0, n_chars / 1000.0)

