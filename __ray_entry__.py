@@ -571,59 +571,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ENTRY ORDER IS DELIBERATE.  The driver records CORRECTNESS rows
     # for exactly the first 50 dict entries each round, so the contract
-    # is rotated per round by verification priority.  r04 window (the
+    # is rotated per round by verification priority.  r05 window (the
     # first 50), highest information per row first:
-    #   (1) the crawl core, newly SQL-ORACLED this round — recursive-CTE
-    #       replay of the reference crawl loop over the engine-written
-    #       extraction-meta parquet (visits / emissions / seen set /
-    #       robots), UA rotation, navigation scores, the adaptive
-    #       politeness timeline, the image-verdict table (pre-dedup dump
-    #       + SQL F7 re-derivation), scale/priority projections, JSON API
-    #       harvest, exact-integer PageRank, sitemap frontier, and the
-    #       crawl-x-webtext bridge re-run over the r4 engine;
-    #   (2) every operator ADDED in r4 (never driver-checked): CMS,
-    #       images_tags, BPE counts/merges/training/ENCODING, watermark
-    #       late-data, repeated n-grams, bottom-k sample, ExactSubstr
-    #       dup spans + cut, bigram surprisal, Gopher rules, source KL,
-    #       overlapping chunks, SimHash pairs + keep, int8- and
-    #       PQ-kNN recall, rolling fingerprints (upgraded rows-only ->
-    #       oracled), DSIR weights + resample, BM25 top-k, SemDeDup
-    #       pairs + keep, CCNet perplexity terciles, source-mixing
-    #       resample, winnowing selection + match pairs;
-    #   (3) r02-green entries whose CODE CHANGED in r4 (SimHash md5
-    #       cache, vectorized MinHash/decontamination shingles, dim-join
-    #       topology switch on the q-family, components escape hatch,
-    #       top-k tie-break hardening) — re-recorded on the new code.
-    # Entries past #50 keep their green rows from CORRECTNESS_r02/r03
-    # (unchanged code), so the r02-r04 union covers all 110 entries;
+    #   (1) the three operators whose driver rows were no_oracle until
+    #       this round, now under the hard SQL gate: the M5-M10
+    #       extended extractor (pre-filter candidate dump + urljoin/
+    #       filter/dedup replay), the M20/M21 analyzer (quality-term +
+    #       color-histogram dump, micro-unit quality), and the
+    #       multimodal media features (decode-primitive dump);
+    #   (2) every entry whose KERNEL changed in r5: the Arrow-native
+    #       q1/q3 partials, the count+1 token-count rewrite (token
+    #       counts, quality family, pack_windows, clean_corpus,
+    #       cluster_quality, both training-corpus pipelines), the
+    #       images.py dedup-join restructure (crawl_image_verdicts),
+    #       the AnalyzeStage qfeatures plumbing (images_tags), the
+    #       SemDeDup fan-out skew guard + shared kmeans fixed-point
+    #       pass (semdedup pairs/keep, kmeans_fixed), and the
+    #       mix_weight source-id guard (mix_sample);
+    #   (3) r4-oracled entries kept under fresh rows because their
+    #       lineage overlaps the r5 hunks (BPE encode shares the
+    #       tokenizer surface, surprisal/gopher/dup-span rows share
+    #       text.py).
+    # Entries past #50 keep their green rows from CORRECTNESS_r02-r04
+    # (no r5 hunks — the crawl-core scheduler/politeness/sitemap/
+    # pagerank rows were all re-recorded green in r04 and their code is
+    # untouched this round; verified against `git diff ecac54d..HEAD`);
     # their sf0.01 value truth is also re-checked every session by
     # tools/contract_rehearsal.py + tests/test_queries_oracle.py.
     return {
-        # --- [1] crawl core under the hard gate (new this round) ---
-        # --- [1] crawl scheduler — newly SQL-oracled (recursive-CTE
-        # replay of reference crawling_module.py:80-189 over the
-        # engine-written extraction-meta parquet) ---
-        "crawl_visits": crawl_visits,
-        "crawl_emissions": crawl_emissions,
-        "crawl_seen_set": crawl_seen_set,
-        "crawl_robots_visits": crawl_robots_visits,
-        "crawl_ua_counts": crawl_ua_counts,
-        "crawl_nav_scores": crawl_nav_scores,
-        "crawl_politeness_schedule": crawl_politeness_schedule,
+        # --- [1] former no_oracle entries, newly SQL-oracled in r5 ---
+        "docs_extended_images": docs_extended_images,
+        "images_analysis": images_analysis,
+        "media_features": media_features,
+        # --- [2] kernels changed in r5 (fresh rows on the new code) ---
+        # images.py dedup-join restructure + AnalyzeStage qfeatures
         "crawl_image_verdicts": crawl_image_verdicts,
-        "crawl_scale_visits": crawl_scale_visits,
-        "crawl_priority_visits": crawl_priority_visits,
-        "docs_api_harvest": docs_api_harvest,
-        "crawl_host_pagerank": crawl_host_pagerank,
-        "crawl_sitemap_frontier": crawl_sitemap_frontier,
+        "images_tags": images_tags,
+        # Arrow-native partials (zero-copy cents + C++ hash aggregate)
+        "q1_pricing": relational.q1_pricing,
+        "q3_top_orders": lambda d: relational.q3_top_orders(d),
+        # count+1 token-count rewrite sites
+        "docs_token_counts": text.token_counts,
+        "docs_quality": text.quality_scores,
+        "docs_top_quality": lambda d: text.top_quality_per_source(d),
+        "docs_adaptive_quality": text.adaptive_quality_filter,
+        "docs_weighted_sample": text.weighted_sample,
+        "docs_pack_windows": lambda d: text.pack_windows(d),
+        "docs_clean_corpus": lambda d: dedup.clean_corpus_keep(d),
+        "emb_cluster_quality": lambda d: similarity.cluster_quality(d),
+        # both training-corpus pipelines share the rewritten count
         "web_training_corpus": web_training_corpus,
-        # --- [2] operators added in r4 (first driver rows) ---
-        "events_range_join": lambda d: relational.events_range_join(d),
+        # shared fixed-point Lloyd pass refactor
         "emb_kmeans_fixed": lambda d: similarity.kmeans_fixed(d),
         "events_hll_registers": lambda d: sketch.hll_registers(d),
         "events_cms_registers": lambda d: sketch.cms_registers(d),
         "events_cms_topk": lambda d: sketch.cms_topk_users(d),
-        "images_tags": images_tags,
         "docs_bpe_tokens": text.bpe_token_counts,
         "events_watermark_late": relational.events_watermark_late,
         "docs_repeated_ngrams": text.repeated_ngrams,
@@ -689,7 +691,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_training_corpus": prep.training_corpus,
         "docs_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d),
         "q5_region_supplier": lambda d: relational.q5_region_supplier_revenue(d),
-        # --- past the 50-row window: green rows in r02/r03 stand ---
+        # --- past the 50-row window ---
+        # The crawl-core scheduler rows (visits/emissions/seen/robots/
+        # ua/nav/politeness/scale/priority/api-harvest/pagerank/
+        # sitemap) and events_range_join were all re-recorded
+        # triple-green in CORRECTNESS_r04 and have ZERO r5 hunks
+        # (pipelines/crawl.py, pipelines/replay.py, stages/fetch.py,
+        # state/*, html/extract.py, html/navigation.py,
+        # sources/sitemap.py, functions/jsonx.py and sketch.py are
+        # untouched this round — `git diff ecac54d..HEAD`); their r04
+        # rows stand, and the shared _run_crawl lineage is re-executed
+        # in-window through crawl_image_verdicts/web_training_corpus.
+        "crawl_visits": crawl_visits,
+        "crawl_emissions": crawl_emissions,
+        "crawl_seen_set": crawl_seen_set,
+        "crawl_robots_visits": crawl_robots_visits,
+        "crawl_ua_counts": crawl_ua_counts,
+        "crawl_nav_scores": crawl_nav_scores,
+        "crawl_politeness_schedule": crawl_politeness_schedule,
+        "crawl_scale_visits": crawl_scale_visits,
+        "crawl_priority_visits": crawl_priority_visits,
+        "docs_api_harvest": docs_api_harvest,
+        "crawl_host_pagerank": crawl_host_pagerank,
+        "crawl_sitemap_frontier": crawl_sitemap_frontier,
+        "events_range_join": lambda d: relational.events_range_join(d),
         # (q1 is a single-table aggregate and nation_revenue shares
         # q5's dim-join path — both r02-green; q3/q5 above keep the r4
         # join-topology switch itself under a fresh row.  exact_dedup
@@ -710,11 +735,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": lambda d: dedup.minhash_lsh_pairs(d),
         "docs_neardup_keep": lambda d: dedup.doc_neardup_keep(d),
         "docs_decontaminate": lambda d: dedup.decontaminate(d),
-        # q3 swapped below for docs_bpe_encode: in-window q3/q5 both
-        # existed to re-record the r4 dim-join topology switch; q5
-        # exercises that same switch (plus the region dim), and q3
-        # keeps its green r02 row
-        "q3_top_orders": lambda d: relational.q3_top_orders(d),
         # sessionize and topk_users swapped below for docs_winnow /
         # docs_winnow_pairs: NEITHER kernel has r4 hunks (the
         # relational.py changes are the join topology, re-recorded by
@@ -723,10 +743,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows) — their r02/r03 green rows stand
         "events_sessionize": lambda d: relational.events_sessionize(d),
         "events_topk_users": lambda d: relational.events_topk_users(d),
-        "q1_pricing": relational.q1_pricing,
-        # clean_corpus composes exact-dedup + near-dup keep + quality,
-        # each separately in-window this round
-        "docs_clean_corpus": lambda d: dedup.clean_corpus_keep(d),
         "nation_revenue": relational.nation_revenue,
         "events_rolling": lambda d: relational.events_rolling_window(d),
         "events_asof": lambda d: relational.events_asof_milestones(d),
@@ -735,8 +751,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "emb_knn": lambda d: similarity.knn_bruteforce(d, k=10, n_queries=5),
         "docs_lang_filter": lambda d: text.lang_filter(d, "en"),
-        "docs_token_counts": text.token_counts,
-        "docs_quality": text.quality_scores,
         "docs_dedup_per_source": dedup.dedup_count_per_source,
         "docs_source_stats": text.source_stats,
         "docs_repetition": text.repetition_stats,
@@ -746,18 +760,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprints_norm": text.fingerprints_norm,
         "docs_sample": text.sample_docs,
         "docs_stratified_sample": lambda d: text.stratified_sample(d),
-        "docs_adaptive_quality": text.adaptive_quality_filter,
         "docs_vocab_overlap": text.vocab_overlap,
         "docs_tfidf_terms": lambda d: text.tfidf_top_terms(d),
-        "docs_pack_windows": lambda d: text.pack_windows(d),
-        "docs_weighted_sample": text.weighted_sample,
         "docs_token_topk": lambda d: text.token_topk(d),
         "docs_token_topk_mg": lambda d: text.token_topk_mg(d),
         "emb_knn_ivf": lambda d: similarity.knn_ivf(d, k=10, n_queries=5),
         "emb_near_dup": lambda d: dedup.embedding_near_dup_pairs(d),
         "emb_dedup_keep": lambda d: dedup.embedding_dedup_keep(d),
         "emb_cluster_counts": lambda d: similarity.cluster_counts(d),
-        "emb_cluster_quality": lambda d: similarity.cluster_quality(d),
         "events_pivot_hourly": relational.events_pivot_hourly,
         "emb_knn_lsh": lambda d: similarity.knn_lsh(d, k=10, n_queries=5),
         "emb_kmeans": lambda d: similarity.kmeans(d),
@@ -766,9 +776,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_visits": crawl_host_visits,
         "crawl_depth_histogram": crawl_depth_histogram,
         "crawl_status_counts": crawl_status_counts,
-        "docs_extended_images": docs_extended_images,
-        "images_analysis": images_analysis,
-        "media_features": media_features,
         "q6_forecast": relational.q6_forecast_revenue,
         "q14_promo": relational.q14_promo_revenue,
         "events_funnel": relational.events_funnel,
@@ -778,7 +785,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_anomalies": relational.events_daily_anomalies,
         "orders_rollup": relational.orders_rollup,
         "cust_no_big_order": relational.customers_without_orders,
-        "docs_top_quality": lambda d: text.top_quality_per_source(d),
         "part_type_stats": relational.part_type_stats,
         "emb_near_dup_exact": lambda d: dedup.embedding_near_dup_pairs_exact(d),
         "emb_dedup_keep_exact": lambda d: dedup.embedding_dedup_keep_exact(d),

@@ -779,7 +779,8 @@ def clean_corpus_keep(
                 }
             )
         t = df["text"].fillna("").str.strip()
-        n_tokens = t.str.split(ws).map(len).where(t != "", 0).astype("float64")
+        # count+1 == len(split) on stripped text (see text._WS note)
+        n_tokens = (t.str.count(ws) + 1).where(t != "", 0).astype("float64")
         from .text import round4_half_away
 
         q = round4_half_away(

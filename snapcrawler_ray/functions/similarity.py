@@ -584,7 +584,8 @@ def cluster_quality(sf_dir: str, k: int = 8) -> pd.DataFrame:
 
     def qual(df: pd.DataFrame) -> pd.DataFrame:
         t = df["text"].fillna("").str.strip()
-        n_tokens = t.str.split(ws).map(len).where(t != "", 0).astype("float64")
+        # count+1 == len(split) on stripped text (see text._WS note)
+        n_tokens = (t.str.count(ws) + 1).where(t != "", 0).astype("float64")
         q = 0.5 * np.minimum(1.0, df["n_chars"].astype("float64") / 1000.0) \
             + 0.5 * np.minimum(1.0, n_tokens / 200.0)
         # integer ten-thousandths (half-away round, like the SQL round())

@@ -21,7 +21,9 @@ def probe(n_pages: int, round_budget: int = 0) -> dict:
     ray.init(address="local", num_cpus=32, include_dashboard=False,
              log_to_driver=False)
     try:
-        from snapcrawler_ray.config import CrawlConfig, CrawlLimits
+        from snapcrawler_ray.config import (
+            CrawlConfig, CrawlLimits, ScaleConfig,
+        )
         from snapcrawler_ray.pipelines.crawl import CrawlEngine
         from snapcrawler_ray.sources.corpus import (
             CorpusSpec, generate_corpus, seeds_for,
@@ -35,8 +37,10 @@ def probe(n_pages: int, round_budget: int = 0) -> dict:
         cfg = CrawlConfig(
             start_urls=tuple(seeds),
             limits=CrawlLimits(max_depth=9),
-            round_budget=round_budget,
-            frontier_policy="priority" if round_budget else "bfs",
+            scale=ScaleConfig(
+                round_budget=round_budget,
+                frontier_policy="priority" if round_budget else "bfs",
+            ),
         )
         eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets,
                           mode="scale")
