@@ -660,3 +660,26 @@ def test_actor_death_fails_loud_then_resume_recovers(small_corpus, tmp_path):
     assert resumed.visits.to_pylist() == full.visits.to_pylist()
     assert resumed.emissions.to_pylist() == full.emissions.to_pylist()
     assert resumed.seen_urls == full.seen_urls
+
+
+def test_exact_mode_meta_store_loud_guard():
+    """Exact mode is the verification path: past WARN_ROWS absorbed
+    extraction-meta rows the store warns ONCE that driver memory is
+    O(corpus) and scale mode is the at-size configuration."""
+    import warnings
+
+    import pyarrow as pa
+
+    from snapcrawler_ray.pipelines.crawl import _MetaStore
+
+    ms = _MetaStore()
+    ms.WARN_ROWS = 10
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ms.absorb(pa.table({"url": [f"u{i}" for i in range(8)]}))
+        assert not w
+        ms.absorb(pa.table({"url": [f"v{i}" for i in range(8)]}))
+        assert len(w) == 1 and issubclass(w[0].category, ResourceWarning)
+        assert "scale" in str(w[0].message)
+        ms.absorb(pa.table({"url": ["x"]}))
+        assert len(w) == 1  # once only
