@@ -1370,7 +1370,8 @@ def _extended_images_sql(raw_dir: str) -> str:
     return f"""
 WITH r AS (
   SELECT page_url, stage, raw
-  FROM read_parquet('{raw_dir}/*.parquet')),
+  FROM read_parquet('{raw_dir}/*.parquet')
+  WHERE side = 'raw'),
 staged AS (
   SELECT page_url, raw FROM r
   WHERE stage IN ('img', 'js') OR {ext_pred('raw')}),

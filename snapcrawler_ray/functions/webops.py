@@ -184,25 +184,23 @@ def extended_images(
     if raw_out is None:
         return inp.map_batches(f, batch_format="pyarrow", batch_size=128)
 
-    # one extraction pass feeds both the result and the oracle dump:
-    # tag each block's rows, write the raw side, return the out side
-    import os
+    # ONE extraction pass feeds both the result and the oracle dump
+    # (dump-then-read, the images_tags pattern): the tagged union of
+    # out+raw rows is written once, then each side is read back with a
+    # cheap filter — no materialize barrier, no re-extraction
     import shutil
 
-    both = inp.map_batches(
-        lambda b: _tagged_union(f(b)), batch_format="pyarrow", batch_size=128
-    ).materialize()
-    shutil.rmtree(raw_out, ignore_errors=True)
-    os.makedirs(raw_out, exist_ok=True)
     import pyarrow.compute as pc
 
-    both.map_batches(
-        lambda b: b.filter(pc.equal(b.column("side"), "raw")).select(
-            ["page_url", "stage", "raw"]
-        ),
-        batch_format="pyarrow",
+    shutil.rmtree(raw_out, ignore_errors=True)
+    inp.map_batches(
+        lambda b: _tagged_union(f(b)), batch_format="pyarrow", batch_size=128
     ).write_parquet(raw_out)
-    return both.map_batches(
+    # the SQL oracle reads the same directory and filters side='raw'
+    # itself; the engine result is the out side
+    return ray.data.read_parquet(
+        raw_out, columns=["side", "page_url", "image_url"]
+    ).map_batches(
         lambda b: b.filter(pc.equal(b.column("side"), "out")).select(
             ["page_url", "image_url"]
         ),
