@@ -250,6 +250,21 @@ def _dim_join(
     )
 
 
+def _rev_by_key_arrow(b, key: str):
+    """Arrow-native revenue partial: numpy cents on zero-copy buffers +
+    pyarrow C++ hash aggregate, grouped by ``key`` (the q1/q3 pattern,
+    VERDICT r4 #4)."""
+    import pyarrow as pa
+
+    price_c = _cents_np(b.column("l_extendedprice").to_numpy())
+    disc_c = _cents_np(b.column("l_discount").to_numpy())
+    g = pa.table({key: b.column(key), "rev_u": price_c * (100 - disc_c)})
+    out = g.group_by([key]).aggregate([("rev_u", "sum")])
+    return out.rename_columns(
+        [c[:-4] if c.endswith("_sum") else c for c in out.column_names]
+    )
+
+
 def _revenue_units(df: pd.DataFrame) -> pd.Series:
     return _cents(df["l_extendedprice"]) * (100 - _cents(df["l_discount"]))
 
@@ -398,12 +413,9 @@ def nation_revenue(
         line, orders, ["n_name"], sf_dir, max_broadcast_rows
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"n_name": df["n_name"], "rev_u": _revenue_units(df)}
-        ).groupby("n_name", as_index=False).sum()
-
-    agg = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = joined.map_batches(
+        lambda b: _rev_by_key_arrow(b, "n_name"), batch_format="pyarrow"
+    ).to_pandas()
     agg = agg.groupby("n_name", as_index=False).sum()
     agg["revenue"] = agg["rev_u"] / 10000.0
     return agg[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
@@ -483,13 +495,15 @@ def q5_region_supplier_revenue(
         line, orders, ["c_nationkey"], sf_dir, max_broadcast_rows
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["c_nationkey"] == df["s_nationkey"]]
-        return pd.DataFrame(
-            {"n_name": df["n_name"], "rev_u": _revenue_units(df)}
-        ).groupby("n_name", as_index=False).sum()
+    def partial(b):
+        import pyarrow.compute as pc
 
-    agg = joined.map_batches(partial, batch_format="pandas").to_pandas()
+        b = b.filter(
+            pc.equal(b.column("c_nationkey"), b.column("s_nationkey"))
+        )
+        return _rev_by_key_arrow(b, "n_name")
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
     if agg.empty:
         return pd.DataFrame({"n_name": pd.Series([], dtype=object),
                              "revenue": pd.Series([], dtype=float)})
