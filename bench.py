@@ -56,18 +56,33 @@ def build_corpus(sf_dir: str):
 
 
 def run_headline(sf_dir: str) -> dict:
-    """Scale-mode crawl (bloom seen-filter) — the 10^10-design path.
+    """Scale-mode crawl with BLOOM seen shards — the 10^10-design path.
+
+    seen_mode is set explicitly: ScaleConfig defaults to 'exact' (the
+    verification configuration), and through r4 the headline silently
+    measured exact sets.  An A/B at 1M pages (BASELINE.md r5) showed
+    bloom is the faster config anyway (132k vs 127k urls/s, identical
+    visit set), so the headline now measures what the design ships.
+    Capacity is sized to the corpus (pages/2 per shard ≈ 4× the
+    per-shard key load) so the fpp stays at design level at any sf.
 
     Two back-to-back runs, best wall reported: single-node run-to-run
     noise (page cache, CPU frequency, co-tenant load) is ±15%, larger
     than the effects being measured."""
-    from snapcrawler_ray.config import CrawlConfig, CrawlLimits
+    from snapcrawler_ray.config import CrawlConfig, CrawlLimits, ScaleConfig
     from snapcrawler_ray.pipelines.crawl import CrawlEngine
     from snapcrawler_ray.sources.corpus import seeds_for
 
     spec, path = build_corpus(sf_dir)
     seeds = seeds_for(spec)
-    cfg = CrawlConfig(start_urls=tuple(seeds), limits=CrawlLimits(max_depth=7))
+    cfg = CrawlConfig(
+        start_urls=tuple(seeds),
+        limits=CrawlLimits(max_depth=7),
+        scale=ScaleConfig(
+            seen_mode="bloom",
+            bloom_capacity=max(1_000_000, spec.n_pages // 2),
+        ),
+    )
     n_reps = int(os.environ.get("SNAPRAY_BENCH_REPS", "2"))
     walls, visits, emissions = [], 0, 0
     for _ in range(n_reps):

@@ -104,12 +104,20 @@ class SeenShard:
         In-batch duplicates follow first-wins: only the first occurrence
         of a new key reports True."""
         keys = np.asarray(keys, dtype=np.uint64)
-        if self.mode != "exact":
-            return self._ns_bloom(ns).check_and_add(keys)
-        st = self._ns_exact(ns)
         uniq, first_idx = np.unique(keys, return_index=True)
-        new_u = ~self._exact_contains(st, uniq)
-        self._exact_absorb(st, uniq[new_u])
+        if self.mode != "exact":
+            # dedupe BEFORE the filter: the filters' batch
+            # check_and_add is contains-then-add, so without this an
+            # in-batch duplicate pair would BOTH report new — the
+            # first-wins contract above (and reference MD5-dedup
+            # semantics, crawling_module.py:227-234) would silently
+            # break in every non-exact mode (caught in r5 as a +10
+            # emission drift between exact and bloom at 1M pages)
+            new_u = self._ns_bloom(ns).check_and_add(uniq)
+        else:
+            st = self._ns_exact(ns)
+            new_u = ~self._exact_contains(st, uniq)
+            self._exact_absorb(st, uniq[new_u])
         out = np.zeros(len(keys), dtype=bool)
         out[first_idx[new_u]] = True
         return out

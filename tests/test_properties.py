@@ -154,6 +154,39 @@ def test_exact_seen_semantics_match_python_set(batches):
 
 
 @given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=0,
+                 max_size=30),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_approx_seen_in_batch_first_wins(batches):
+    """The NON-exact shards must honour the same in-batch first-wins
+    contract as exact mode: the filters' batch check_and_add is
+    contains-then-add, so the shard dedupes keys before the filter —
+    without that, an in-batch duplicate pair both report new (the r5
+    +10-emission drift between exact and bloom at 1M pages).  At these
+    capacities bloom/cuckoo are fp-free, so the masks must EQUAL the
+    python-set loop, not just approximate it."""
+    from snapcrawler_ray.state.seen import SeenShard
+
+    for mode in ("bloom", "cuckoo"):
+        shard = SeenShard.__ray_actor_class__(
+            mode, bloom_capacity=100_000, bloom_bits_per_key=16
+        )
+        ref: set[int] = set()
+        for batch in batches:
+            keys = np.array(batch, dtype=np.uint64)
+            got = shard.check_and_add("t", keys)
+            want = []
+            for k in batch:
+                want.append(k not in ref)
+                ref.add(k)
+            assert got.tolist() == want, mode
+
+
+@given(
     st.lists(st.integers(min_value=1, max_value=500), min_size=1,
              max_size=60),
     st.integers(min_value=1, max_value=30_000),

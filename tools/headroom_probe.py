@@ -40,6 +40,10 @@ def probe(n_pages: int, round_budget: int = 0) -> dict:
             scale=ScaleConfig(
                 round_budget=round_budget,
                 frontier_policy="priority" if round_budget else "bfs",
+                # the 10^10-design seen config (bench.run_headline's
+                # rationale); capacity sized to the corpus
+                seen_mode="bloom",
+                bloom_capacity=max(1_000_000, n_pages // 2),
             ),
         )
         eng = CrawlEngine(path, seeds, cfg, n_buckets=spec.buckets,
