@@ -700,13 +700,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # The crawl-core scheduler rows (visits/emissions/seen/robots/
         # ua/nav/politeness/scale/priority/api-harvest/pagerank/
         # sitemap) and events_range_join were all re-recorded
-        # triple-green in CORRECTNESS_r04 and have ZERO r5 hunks
-        # (pipelines/crawl.py, pipelines/replay.py, stages/fetch.py,
-        # state/*, html/extract.py, html/navigation.py,
-        # sources/sitemap.py, functions/jsonx.py and sketch.py are
-        # untouched this round — `git diff ecac54d..HEAD`); their r04
-        # rows stand, and the shared _run_crawl lineage is re-executed
-        # in-window through crawl_image_verdicts/web_training_corpus.
+        # triple-green in CORRECTNESS_r04.  r5 hunks in their lineage
+        # (`git diff ecac54d..HEAD`): pipelines/crawl.py gained only
+        # the _MetaStore ResourceWarning guard (no value change), and
+        # state/seen.py gained the in-batch first-wins fix for the
+        # APPROXIMATE modes — every contract entry runs exact seen
+        # shards, whose branch is value-identical (restructure only,
+        # pinned by test_exact_seen_semantics_match_python_set), and
+        # the full exact-seen _run_crawl lineage is re-gated IN-window
+        # through crawl_image_verdicts / web_training_corpus.  replay,
+        # fetch, extract, navigation, sitemap, jsonx and sketch are
+        # untouched; the r04 rows stand.
         "crawl_visits": crawl_visits,
         "crawl_emissions": crawl_emissions,
         "crawl_seen_set": crawl_seen_set,
