@@ -43,6 +43,17 @@ def main(argv: list[str] | None = None) -> int:
                     "(enables respect_robots_txt)")
     ap.add_argument("--frontier", choices=("bfs", "priority"),
                     default=None, help="scale-mode frontier policy")
+    ap.add_argument("--seen-mode",
+                    choices=("exact", "bloom", "cuckoo", "windowed_cuckoo"),
+                    default=None,
+                    help="scale-mode seen-filter kind (default: bloom "
+                         "with capacity sized to the corpus — the "
+                         "10^10-design config; ScaleConfig's own "
+                         "default of 'exact' is the verification "
+                         "shape and grows O(urls) actor memory)")
+    ap.add_argument("--seen-capacity", type=int, default=None,
+                    help="per-shard approximate-filter capacity "
+                         "(default: synth pages/2 or 1e6)")
     ap.add_argument("--round-budget", type=int, default=None,
                     help="max URLs emitted per round (priority policy)")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -103,6 +114,24 @@ def main(argv: list[str] | None = None) -> int:
                     if args.round_budget is not None
                     else cfg.scale.round_budget
                 ),
+            ),
+        )
+    if args.mode == "scale":
+        # default the SHIPPED seen config (bench.run_headline's
+        # rationale): bloom shards with corpus-sized capacity; an
+        # explicit --seen-mode (or a yaml that set one away from the
+        # dataclass default) wins
+        seen_mode = args.seen_mode or (
+            cfg.scale.seen_mode if cfg.scale.seen_mode != "exact"
+            else "bloom"
+        )
+        cap = args.seen_capacity or max(
+            1_000_000, (args.synth_corpus or 0) // 2
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            scale=dataclasses.replace(
+                cfg.scale, seen_mode=seen_mode, bloom_capacity=cap
             ),
         )
     robots_payloads = None
